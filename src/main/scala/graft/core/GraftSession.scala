@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory for the engine.
+  *
+  * Every entry point (Verify, Bench, tests, serving) must run with the same
+  * session-level semantics or oracle hash-matching silently breaks:
+  *
+  *   - `spark.sql.session.timeZone=UTC` — the synthetic parquet timestamps are
+  *     timezone-naive (isAdjustedToUTC=false); pinning UTC makes Spark's
+  *     session-local interpretation agree with DuckDB's naive reading
+  *     regardless of JVM default TZ.
+  *   - `spark.sql.legacy.parquet.nanosAsLong=true` — events.parquet stores
+  *     `ts` as TIMESTAMP(NANOS), which Spark cannot read as TimestampType;
+  *     with this flag it reads as LongType (nanoseconds since epoch) and
+  *     [[Tables.load]] derives an event-time column from it.
+  *   - `spark.sql.shuffle.partitions=32` — matches local[32]; 200 would
+  *     produce tiny partitions at test scale. On a real cluster this is
+  *     superseded by AQE coalescing (enabled).
+  */
+object GraftSession {
+
+  /** Apply graft's standard configs to any builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = configure(
+      SparkSession.builder().master(s"local[$cores]").appName(appName))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Defensive re-application of the configs that are runtime-settable, for
+    * sessions created by an external harness that bypassed [[configure]].
+    */
+  def ensureConfigured(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: org.apache.spark.sql.AnalysisException => () }
+    spark
+  }
+}

@@ -44,12 +44,16 @@ object Tables {
     StructField("p_size", IntegerType),
     StructField("p_retailprice", DoubleType)))
 
+  // o_orderdate / l_shipdate / events.ts are stored timezone-naive
+  // (parquet isAdjustedToUTC=false). TimestampNTZType matches that logical
+  // type exactly, so results do not depend on spark.sql.session.timeZone or
+  // the JVM default zone — required for stable DuckDB oracle comparison.
   val orders: StructType = StructType(Seq(
     StructField("o_orderkey", LongType),
     StructField("o_custkey", LongType),
     StructField("o_orderstatus", StringType),
     StructField("o_totalprice", DoubleType),
-    StructField("o_orderdate", TimestampType),
+    StructField("o_orderdate", TimestampNTZType),
     StructField("o_orderpriority", StringType)))
 
   val lineitem: StructType = StructType(Seq(
@@ -63,11 +67,16 @@ object Tables {
     StructField("l_tax", DoubleType),
     StructField("l_returnflag", StringType),
     StructField("l_linestatus", StringType),
-    StructField("l_shipdate", TimestampType)))
+    StructField("l_shipdate", TimestampNTZType)))
 
+  // events.ts is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false): Spark has
+  // no nanosecond timestamp type, so (with
+  // spark.sql.legacy.parquet.nanosAsLong=true, set by GraftSession) the
+  // column is read as raw nanoseconds-since-epoch; load() derives a usable
+  // microsecond-precision `event_time` column alongside it.
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -93,7 +102,17 @@ object Tables {
 
   /** Read one synthetic table with its declared schema. Column pruning +
     * predicate pushdown then apply at the parquet scan via Catalyst.
+    *
+    * For `events`, `ts` stays raw nanos (exact, sortable, joinable) and a
+    * derived `event_time: TimestampType` (micros precision; session TZ is
+    * pinned UTC by GraftSession so it behaves as naive UTC) is appended.
     */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    GraftSession.ensureConfigured(spark)
+    val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("event_time",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 }

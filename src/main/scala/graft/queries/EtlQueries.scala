@@ -1,0 +1,460 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import graft.etl.{ColumnStats, Preprocess}
+import graft.eval.Metrics
+
+/** Relational/ETL operator queries (SURVEY §2.2-§2.7), each with a DuckDB
+  * oracle. Every query obeys the QueryDef determinism contract: exact
+  * decimal intermediates for fractional sums, identical expression shapes on
+  * both sides, and total ordering by a unique key set.
+  *
+  * Scale notes (100 TB): every query here is either (a) a narrow
+  * projection/filter chain that collapses into the parquet scan, or (b) a
+  * hash aggregation with map-side partial aggregation, or (c) a broadcast
+  * join of a small dimension — no shuffle carries more than the final
+  * grouped result except the explicit global sorts, which exist only to
+  * satisfy the oracle's total-order contract.
+  */
+object EtlQueries extends QueryModule {
+
+  private val D2 = DecimalType(18, 2)
+  private val D6 = DecimalType(18, 6)
+
+  /** Order-independent exact sum of a fractional column: decimal in, one
+    * final cast to double (matches `CAST(SUM(CAST(x AS DECIMAL(p,s))) AS
+    * DOUBLE)` on the DuckDB side).
+    */
+  private def dsum(c: Column, dt: DecimalType = D2): Column =
+    sum(c.cast(dt)).cast(DoubleType)
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ----- §2.2 projections / filters -------------------------------------
+
+    "q_p2_projection_filter" -> QueryDef(
+      (s, dir) => {
+        // P2 tolerant drop (incl. a nonexistent column) + P6 comparison
+        // filter; both reach the parquet scan as pruning + pushed filter.
+        val part = Preprocess.dropTolerant(T(s, dir, "part"),
+          Seq("p_brand", "p_type", "p_retailprice", "no_such_column"))
+        part.filter(col("p_size") > 30)
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_name, p_size FROM part
+             | WHERE p_size > 30 ORDER BY p_partkey""".stripMargin),
+      "P2+P6: tolerant projection, pushed comparison filter"),
+
+    "q_p4_case_label" -> QueryDef(
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+        Preprocess.deriveLabel(li, "l_returnflag", "R", "state")
+          .select(col("l_orderkey"), col("l_linenumber"), col("state"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             | CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS state
+             | FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      "P4: CASE label derivation (reference preprocess.py:84)"),
+
+    "q_p5_inf_to_null" -> QueryDef(
+      (s, dir) => {
+        // Manufacture real ±Inf (as CICIDS rate columns do), normalize via
+        // infToNull, then aggregate order-independently: per-row
+        // floor(rate*1e6) is an exact long (identical IEEE ops on both
+        // sides), and a sum of longs is associative.
+        val li = T(s, dir, "lineitem").withColumn("rate",
+          when(col("l_quantity") > 45, lit(Double.PositiveInfinity))
+            .otherwise(col("l_extendedprice") / col("l_quantity")))
+        Preprocess.infToNull(li, Seq("rate"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("rate").isNull, 1L).otherwise(0L)).as("n_null_rate"),
+            sum(floor(col("rate") * lit(1000000.0))).as("sum_rate_micros"))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+             | CAST(SUM(CASE WHEN rate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_rate,
+             | CAST(SUM(CAST(FLOOR(rate * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_rate_micros
+             | FROM (SELECT CASE WHEN l_quantity > 45 THEN NULL
+             |   ELSE l_extendedprice / l_quantity
+             |   END AS rate FROM lineitem) t""".stripMargin),
+      "P5: ±inf → null normalization (reference preprocess.py:85)"),
+
+    "q_p6_filter_date" -> QueryDef(
+      (s, dir) =>
+        T(s, dir, "lineitem")
+          .filter(col("l_shipdate") >=
+            lit("1997-06-01 00:00:00").cast(TimestampNTZType))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate").cast(DateType).as("ship_day"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             | CAST(l_shipdate AS DATE) AS ship_day FROM lineitem
+             | WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+             | ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      "P6+F4: pushed timestamp-NTZ filter + date cast"),
+
+    "q_p7_duplicate_rows" -> QueryDef(
+      (s, dir) => {
+        val d = T(s, dir, "documents").select(col("lang"), col("source"))
+        Preprocess.duplicateRows(d)
+          .withColumnRenamed("count", "cnt")
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""SELECT lang, source, COUNT(*) AS cnt FROM documents
+             | GROUP BY lang, source HAVING COUNT(*) > 1
+             | ORDER BY lang, source""".stripMargin),
+      "P7: duplicate-row predicate (notebook cell 5)"),
+
+    "q_p8_conform" -> QueryDef(
+      (s, dir) => {
+        val target = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_chars", DoubleType),
+          StructField("missing_feat", DoubleType)))
+        Preprocess.conform(T(s, dir, "documents"), target)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
+             | CAST(NULL AS DOUBLE) AS missing_feat FROM documents
+             | ORDER BY doc_id""".stripMargin),
+      "P8: conform to declared schema, null-fill missing (predict.py:138)"),
+
+    "q_p9_limit" -> QueryDef(
+      (s, dir) =>
+        T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .limit(5),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             | ORDER BY l_orderkey, l_linenumber LIMIT 5""".stripMargin),
+      "P9/O2: deterministic head(5)"),
+
+    // ----- §2.4 unions / dedup --------------------------------------------
+
+    "q_u1_union_all" -> QueryDef(
+      (s, dir) => {
+        val o = T(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+        val l = T(s, dir, "lineitem")
+          .select(col("l_orderkey").as("k"), col("l_extendedprice").as("v"))
+        o.unionByName(l)
+          .groupBy((col("k") % 10).as("bucket"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("v")).as("total"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT k % 10 AS bucket, COUNT(*) AS cnt,
+             | CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+             | FROM (SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+             |       UNION ALL SELECT l_orderkey, l_extendedprice FROM lineitem) t
+             | GROUP BY 1 ORDER BY 1""".stripMargin),
+      "U1: same-schema multi-source union (notebook cells 2-4)"),
+
+    "q_u2_union_hetero" -> QueryDef(
+      (s, dir) => {
+        val o = T(s, dir, "orders")
+          .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"))
+        val c = T(s, dir, "customer")
+          .select(col("c_custkey").as("id"), col("c_acctbal").as("price"),
+            col("c_mktsegment").as("mktsegment"))
+        o.unionByName(c, allowMissingColumns = true)
+          .groupBy(col("mktsegment"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("price")).as("total"))
+          .orderBy(asc_nulls_first("mktsegment"))
+      },
+      Some("""SELECT mktsegment, COUNT(*) AS cnt,
+             | CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+             | FROM (SELECT o_orderkey AS id, o_totalprice AS price,
+             |         CAST(NULL AS VARCHAR) AS mktsegment FROM orders
+             |       UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment
+             |         FROM customer) t
+             | GROUP BY mktsegment ORDER BY mktsegment NULLS FIRST""".stripMargin),
+      "U2: heterogeneous union, allowMissingColumns (notebook cell 33)"),
+
+    "q_u3_dedup_distinct" -> QueryDef(
+      (s, dir) =>
+        T(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"))
+          .dropDuplicates()
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             | ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      "U3: hash-shuffle dedup (notebook cells 5-7)"),
+
+    // ----- §2.5 aggregations ----------------------------------------------
+
+    "q_a1_null_counts" -> QueryDef(
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+          .withColumn("d_disc", expr("nullif(l_discount, 0.0)"))
+          .withColumn("d_tax", expr("nullif(l_tax, 0.0)"))
+        val counted = ColumnStats.nullCounts(li, Seq("d_disc", "d_tax"))
+        counted.select(col("d_disc").as("discount_nulls"),
+          col("d_tax").as("tax_nulls"))
+      },
+      Some("""SELECT CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL
+             |   THEN 1 ELSE 0 END) AS BIGINT) AS discount_nulls,
+             | CAST(SUM(CASE WHEN NULLIF(l_tax, 0.0) IS NULL
+             |   THEN 1 ELSE 0 END) AS BIGINT) AS tax_nulls
+             | FROM lineitem""".stripMargin),
+      "A1: per-column null counts (notebook cells 17-25)"),
+
+    "q_a2_distinct_counts" -> QueryDef(
+      (s, dir) =>
+        ColumnStats.distinctCounts(T(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus", "l_suppkey")),
+      Some("""SELECT COUNT(DISTINCT l_returnflag) AS l_returnflag,
+             | COUNT(DISTINCT l_linestatus) AS l_linestatus,
+             | COUNT(DISTINCT l_suppkey) AS l_suppkey
+             | FROM lineitem""".stripMargin),
+      "A2: per-column exact distinct counts (notebook cells 15-16)"),
+
+    "q_a3_mode" -> QueryDef(
+      (s, dir) =>
+        ColumnStats.modeOf(T(s, dir, "orders"), "o_orderpriority")
+          .withColumnRenamed("count", "cnt"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+             | GROUP BY o_orderpriority
+             | ORDER BY cnt DESC, o_orderpriority ASC LIMIT 1""".stripMargin),
+      "A3/O3: column mode with deterministic tie-break (notebook cell 18)"),
+
+    "q_a4a5_mean_std" -> QueryDef(
+      (s, dir) => {
+        // mean from exact decimal sum; stddev from exact sum/sumsq with an
+        // expression shape identical to the SQL side (IEEE ops in the same
+        // order → bit-equal doubles).
+        val li = T(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(D2)).as("s"),
+            sum(col("l_quantity").cast(D2) * col("l_quantity").cast(D2))
+              .as("sq"))
+          .select(
+            col("l_returnflag"),
+            col("n"),
+            (col("s").cast(DoubleType) / col("n")).as("mean_qty"),
+            sqrt((col("sq").cast(DoubleType) -
+              col("s").cast(DoubleType) * col("s").cast(DoubleType) / col("n"))
+              / (col("n") - 1)).as("std_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, n,
+             | CAST(s AS DOUBLE) / n AS mean_qty,
+             | sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             |   / (n - 1)) AS std_qty
+             | FROM (SELECT l_returnflag, COUNT(*) AS n,
+             |   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+             |   SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sq
+             |   FROM lineitem GROUP BY l_returnflag) t
+             | ORDER BY l_returnflag""".stripMargin),
+      "A4+A5: mean/stddev from exact decimal components (train.py:62-63)"),
+
+    "q_a6_histogram" -> QueryDef(
+      (s, dir) =>
+        ColumnStats.histogram(T(s, dir, "orders"), "o_orderpriority")
+          .withColumnRenamed("count", "cnt"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+             | GROUP BY o_orderpriority
+             | ORDER BY cnt DESC, o_orderpriority ASC""".stripMargin),
+      "A6: value histogram (notebook cell 43 value_counts)"),
+
+    "q_a11_count_shape" -> QueryDef(
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+        li.agg(count(lit(1)).as("n_rows"))
+          .withColumn("n_cols", lit(li.columns.length))
+      },
+      Some("SELECT COUNT(*) AS n_rows, 11 AS n_cols FROM lineitem"),
+      "A11: shape (notebook cell 3)"),
+
+    // ----- derived-label evaluation metrics (A7-A9) on orders -------------
+    // label := high-value order; pred := urgent priority. Purely
+    // deterministic derivations so the metric pipeline itself is
+    // oracle-checkable; the same Metrics functions score real ML output in
+    // MlQueries.
+
+    "q_a7_accuracy" -> QueryDef(
+      (s, dir) => Metrics.accuracy(labeledOrders(s, dir)),
+      Some(s"""SELECT CAST(SUM(CASE WHEN label = prediction THEN 1 ELSE 0 END) AS BIGINT)
+             | / COUNT(*) AS accuracy FROM ($labeledOrdersSql) t""".stripMargin),
+      "A7: accuracy scalar aggregate (train.py:124)"),
+
+    "q_a8_confusion" -> QueryDef(
+      (s, dir) => Metrics.confusion(labeledOrders(s, dir)),
+      Some(s"""SELECT label, prediction, COUNT(*) AS n
+             | FROM ($labeledOrdersSql) t
+             | GROUP BY label, prediction ORDER BY label, prediction""".stripMargin),
+      "A8: confusion matrix (notebook cells 49-51)"),
+
+    "q_a9_report" -> QueryDef(
+      (s, dir) => Metrics.classificationReport(labeledOrders(s, dir)),
+      Some(s"""WITH cm AS (SELECT label, prediction, COUNT(*) AS n
+             |   FROM ($labeledOrdersSql) t GROUP BY label, prediction),
+             | bl AS (SELECT label AS cls, CAST(SUM(n) AS BIGINT) AS support,
+             |   CAST(SUM(CASE WHEN label = prediction THEN n ELSE 0 END) AS BIGINT) AS tp
+             |   FROM cm GROUP BY label),
+             | bp AS (SELECT prediction AS cls, CAST(SUM(n) AS BIGINT) AS predicted
+             |   FROM cm GROUP BY prediction)
+             | SELECT bl.cls AS cls, support,
+             |   CASE WHEN COALESCE(predicted, 0) = 0 THEN 0.0
+             |     ELSE tp / predicted END AS "precision",
+             |   CASE WHEN support = 0 THEN 0.0 ELSE tp / support END AS recall,
+             |   CASE WHEN (CASE WHEN COALESCE(predicted, 0) = 0 THEN 0.0 ELSE tp / predicted END)
+             |      + (CASE WHEN support = 0 THEN 0.0 ELSE tp / support END) = 0.0 THEN 0.0
+             |     ELSE 2.0 * (CASE WHEN COALESCE(predicted, 0) = 0 THEN 0.0 ELSE tp / predicted END)
+             |        * (CASE WHEN support = 0 THEN 0.0 ELSE tp / support END)
+             |        / ((CASE WHEN COALESCE(predicted, 0) = 0 THEN 0.0 ELSE tp / predicted END)
+             |         + (CASE WHEN support = 0 THEN 0.0 ELSE tp / support END)) END AS f1
+             | FROM bl JOIN bp ON bl.cls = bp.cls ORDER BY cls""".stripMargin),
+      "A9: per-class precision/recall/F1 (notebook cell 51)"),
+
+    // ----- §2.6 sort / top-k ----------------------------------------------
+
+    "q_o1_sort_topk" -> QueryDef(
+      (s, dir) =>
+        T(s, dir, "part")
+          .select(col("p_partkey"), col("p_retailprice"))
+          .orderBy(desc("p_retailprice"), asc("p_partkey"))
+          .limit(10),
+      Some("""SELECT p_partkey, p_retailprice FROM part
+             | ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10""".stripMargin),
+      "O1+O2: global top-k via TakeOrderedAndProject (notebook cell 26)"),
+
+    // ----- §2.7 scalar functions ------------------------------------------
+
+    "q_f3_casts" -> QueryDef(
+      (s, dir) =>
+        T(s, dir, "events")
+          .select(col("event_id"),
+            floor(col("value")).cast(IntegerType).as("v_int"),
+            col("user_id").cast(StringType).as("uid_str"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id, CAST(FLOOR(value) AS INTEGER) AS v_int,
+             | CAST(user_id AS VARCHAR) AS uid_str FROM events
+             | ORDER BY event_id""".stripMargin),
+      "F3: int/string casts (predict.py:221-225)"),
+
+    "q_f4_event_day" -> QueryDef(
+      (s, dir) =>
+        T(s, dir, "events")
+          .groupBy(date_format(col("event_time"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total"))
+          .orderBy(col("day")),
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt,
+             | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+             | FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      "F4: event-time handling incl. nanos→micros derivation (Tables.load)"),
+
+    "q_f9_json_extract" -> QueryDef(
+      (s, dir) =>
+        T(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             | CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+             | COUNT(*) AS cnt FROM events
+             | GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "F9: JSON payload extraction (app.py:107,136)"),
+
+    // ----- joins (SURVEY §2.3 idx-rejoin design + dimensional join) -------
+
+    "q_join_broadcast" -> QueryDef(
+      (s, dir) => {
+        val o = T(s, dir, "orders")
+        // customer is the small side: broadcast — no shuffle of orders.
+        val c = broadcast(T(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")))
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS cnt,
+             | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             | FROM orders JOIN customer ON o_custkey = c_custkey
+             | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      "broadcast dim join (SURVEY §2.3: rejoin pattern for split files)"),
+
+    "q_join_idx_rejoin" -> QueryDef(
+      (s, dir) => {
+        // The X/y split-file rejoin: persist an explicit composite idx, then
+        // equi-join the halves back (SURVEY §2.3, preprocess.py:106-107).
+        val li = T(s, dir, "lineitem")
+        val x = li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        val y = li.select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_returnflag") === "R", 1).otherwise(0).as("label"))
+        x.join(y, Seq("l_orderkey", "l_linenumber"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("label"))
+      },
+      Some("""SELECT label, COUNT(*) AS cnt,
+             | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             | FROM (SELECT x.l_quantity,
+             |         CASE WHEN y.l_returnflag = 'R' THEN 1 ELSE 0 END AS label
+             |       FROM lineitem x JOIN lineitem y
+             |         ON x.l_orderkey = y.l_orderkey
+             |        AND x.l_linenumber = y.l_linenumber) t
+             | GROUP BY label ORDER BY label""".stripMargin),
+      "J: X/y idx-rejoin as equi join on persisted composite key"),
+
+    // ----- headline multi-operator pipelines ------------------------------
+
+    "q_q1_pricing_summary" -> QueryDef(
+      (s, dir) =>
+        T(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base"),
+            sum(col("l_extendedprice").cast(D2) *
+              (lit(1).cast(D2) - col("l_discount").cast(D2)))
+              .cast(DoubleType).as("sum_disc_price"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+             | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |   AS sum_disc_price,
+             | COUNT(*) AS n
+             | FROM lineitem GROUP BY l_returnflag, l_linestatus
+             | ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      "headline: pricing summary (partial-agg + tiny shuffle)"),
+
+    "q_m3_class_ratio" -> QueryDef(
+      (s, dir) =>
+        T(s, dir, "orders")
+          .groupBy(when(col("o_totalprice") > 150000, 1).otherwise(0)
+            .as("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("label")),
+      Some("""SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS label,
+             | COUNT(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      "M3/A6: class-ratio inspection pre-rebalance (notebook cell 43)")
+  )
+
+  /** Shared deterministic (label, prediction) derivation over orders. */
+  private def labeledOrders(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").select(
+      when(col("o_totalprice") > 100000, 1).otherwise(0).as("label"),
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+        .as("prediction"))
+
+  private val labeledOrdersSql: String =
+    """SELECT CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS label,
+      | CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS prediction
+      | FROM orders""".stripMargin
+}

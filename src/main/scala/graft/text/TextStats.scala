@@ -1,0 +1,59 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis column builders for large-scale training-data pipelines:
+  * token counting, quality scoring, fingerprinting. All are pure Catalyst
+  * expression trees over builtins — codegen'd, no UDFs, so they run inside
+  * whole-stage codegen at the scan at 100 TB.
+  */
+object TextStats {
+
+  /** Whitespace tokenization (the baseline tokenizer; BPE-ish regex variant
+    * below).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish word/number/punctuation token extraction: alphabetic runs,
+    * digit runs, or single non-space symbols.
+    */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  def regexTokenCount(text: Column): Column = size(regexTokens(text))
+
+  /** Minimal English-ish stopword list used for quality ratios. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(split(trim(lower(text)), "\\s+"),
+      t => t.isInCollection(stopwords)))
+
+  /** Characters that are neither lowercase alphanumerics nor whitespace. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[a-z0-9\\s]", ""))
+
+  /** Composite document-quality score in [0,1]: stopword presence, sane
+    * length band, low punctuation density (reference-style heuristics for
+    * pretraining corpus filtering).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val stopRatio = stopwordCount(text) / nTok
+    val punctRatio = punctCount(text) / length(text)
+    lit(0.5) * stopRatio +
+      lit(0.3) * when(nTok.between(10, 1000), 1.0).otherwise(0.0) +
+      lit(0.2) * (lit(1.0) - punctRatio)
+  }
+
+  /** Exact content fingerprint (hex md5) — the dedup key. */
+  def fingerprintMd5(text: Column): Column = md5(text.cast(BinaryType))
+
+  /** 64-bit fast fingerprint for shard-local joins (xxhash64 seed 42). */
+  def fingerprint64(text: Column): Column = xxhash64(text)
+}
