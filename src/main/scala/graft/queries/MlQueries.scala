@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{QueryDef, QueryModule, Tables}
+import graft.eval.Metrics
+import graft.ml.{Importance, MultiModel, PrepPipeline, Smote, Trainers}
 
 /** ML-pipeline queries (SURVEY §2.8-2.9). Queries whose semantics are
   * SQL-expressible carry a DuckDB oracle (label encoding); trainer/metric
@@ -17,7 +19,106 @@ object MlQueries extends QueryModule {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The modeling frame: lineitem numerics as features, return-flag as the
+    * binary label (the engine's stand-in for the reference's 47-feature
+    * CICIDS matrix).
+    */
+  private val FeatureCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private def labeledLineitem(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem").select(
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+      col("l_tax"))
+
+  /** Train one reference model type end-to-end and report scoring rows
+    * (rows-only contract: trainer internals are not ANSI-SQL).
+    */
+  private def trainerQuery(modelType: String,
+      params: Map[String, String]): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val (tr, te) = MultiModel.split(labeledLineitem(s, dir))
+      val t = MultiModel.train(tr, FeatureCols, modelType, params,
+        useSmote = true, smoteStrategy = "oversample")
+      val teAcc = MultiModel.accuracy(t.pipeline, te)
+      s.createDataFrame(Seq(
+        (modelType, t.trainAccuracy, teAcc, tr.count(), te.count())))
+        .toDF("model_type", "train_accuracy", "test_accuracy",
+          "n_train", "n_test")
+    }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ----- trainers L2-L5 (rows-only; score bounds asserted in specs) ----
+
+    "q_l2_log_reg" -> QueryDef(
+      trainerQuery("LOG_REG", Map("max_iter" -> "20")), None,
+      "L2: logistic regression train+score (train.py:116-126)"),
+
+    "q_l3_rand_forest" -> QueryDef(
+      trainerQuery("RAND_FOREST",
+        Map("n_estimators" -> "20", "criterion" -> "gini")), None,
+      "L3: random forest train+score (train.py:128-138)"),
+
+    "q_l4_gnb" -> QueryDef(
+      trainerQuery("GNB", Map.empty), None,
+      "L4: gaussian naive Bayes train+score (train.py:140-147)"),
+
+    "q_l5_d_tree" -> QueryDef(
+      trainerQuery("D_TREE",
+        Map("max_depth" -> "5", "min_samples_split" -> "2")), None,
+      "L5: decision tree train+score (train.py:149-159)"),
+
+    "q_l6_predict_confusion" -> QueryDef(
+      (s, dir) => {
+        // L6+A8: score the held-out split with a DT and emit the real
+        // confusion matrix of model output.
+        val (tr, te) = MultiModel.split(labeledLineitem(s, dir))
+        val t = MultiModel.train(tr, FeatureCols, "D_TREE",
+          Map("max_depth" -> "5"), useSmote = false)
+        Metrics.confusion(
+          MultiModel.score(t.pipeline, te)
+            .select(col("label"), col("prediction")))
+      }, None,
+      "L6: batch scoring + confusion of model output (predict.py:118-125)"),
+
+    "q_m1_split" -> QueryDef(
+      (s, dir) => {
+        val (tr, te) = MultiModel.split(labeledLineitem(s, dir))
+        s.createDataFrame(Seq(("train", tr.count()), ("test", te.count())))
+          .toDF("split", "n").orderBy(col("split"))
+      }, None,
+      "M1: 70/30 randomSplit seed 42 (notebook cell 46)"),
+
+    "q_m2_smote" -> QueryDef(
+      (s, dir) => {
+        // SMOTE balance invariant IS oracle-checkable: post-transform both
+        // classes sit at the majority count.
+        val df = labeledLineitem(s, dir)
+        val prep = PrepPipeline.fit(df, FeatureCols)
+        val prepped = prep.transform(df)
+          .select(col("label"), col(PrepPipeline.FeaturesCol))
+        new Smote().setStrategy("smote").setK(3).transform(prepped)
+          .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH c AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label,
+             |   COUNT(*) AS cnt FROM lineitem GROUP BY 1)
+             | SELECT label, (SELECT MAX(cnt) FROM c) AS cnt FROM c
+             | ORDER BY label""".stripMargin),
+      "M2: SMOTE rebalance — exact class-balance invariant (train.py:70-71)"),
+
+    "q_a10_importance" -> QueryDef(
+      (s, dir) => {
+        val df = labeledLineitem(s, dir)
+        val prep = PrepPipeline.fit(df, FeatureCols)
+        val prepped = prep.transform(df)
+          .select(col("label"), col(PrepPipeline.FeaturesCol))
+        val rf = Trainers.randomForest(nEstimators = 20).fit(prepped)
+        Importance.ranked(s, rf, FeatureCols)
+      }, None,
+      "A10/L8: RF feature importances ranked (notebook cells 26-29)"),
 
     "q_f5_label_encode" -> QueryDef(
       (s, dir) => {

@@ -1,0 +1,90 @@
+package graft.sim
+
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+  * approximate path as the scale route.
+  *
+  * Scale design: the probe set is always the small side — it is broadcast,
+  * so brute force is one map-side pass over the corpus (no shuffle of
+  * corpus vectors) followed by a per-probe top-k. The LSH path replaces
+  * the full corpus pass with bucket-local candidate joins
+  * (BucketedRandomProjectionLSH on L2-normalized vectors, where euclidean
+  * rank order == cosine rank order).
+  */
+object Ann {
+
+  /** Cosine similarity of two equal-length double arrays, fully codegen'd
+    * (zip_with + aggregate builtins — no UDF).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  /** Exact top-k cosine neighbors for each probe row.
+    *
+    * @param corpus (idCol, vecCol Array[Float]) — the big side
+    * @param probes (idCol, vecCol) — small, broadcast
+    * @return (probe_id, neighbor_id, cosine, rank) rank 1..k
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"))
+    val p = broadcast(probes.select(col(idCol).as("probe_id"),
+      asDouble(col(vecCol)).as("__pv")))
+    val scored = c.join(p, col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__pv"), col("__cv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"),
+        col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Approximate top-k via LSH on normalized vectors. Same output shape as
+    * [[bruteForceTopK]]; recall asserted in AnnSpec.
+    */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, bucketLength: Double = 1.0,
+      numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
+    val norm = new Normalizer().setInputCol("__v").setOutputCol("__nv")
+    def prep(df: DataFrame, id: String) = norm.transform(
+      df.select(col(idCol).as(id),
+        array_to_vector(asDouble(col(vecCol))).as("__v")))
+    val c = prep(corpus, "neighbor_id")
+    val p = prep(probes, "probe_id")
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("__nv").setOutputCol("__h")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(seed)
+    val model = lsh.fit(c)
+    // normalized vectors: d² = 2 - 2·cos → cos = 1 - d²/2
+    val joined = model
+      .approxSimilarityJoin(p, c, 2.0, "__d")
+      .select(
+        col("datasetA.probe_id"),
+        col("datasetB.neighbor_id"),
+        (lit(1.0) - col("__d") * col("__d") / 2.0).as("cosine"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"),
+        col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.text
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora: MinHash+LSH candidate
+  * generation with exact n-gram Jaccard verification, and SimHash
+  * fingerprints with banded bucketing.
+  *
+  * Scale design: both paths are strictly bucket-local — MinHashLSH joins
+  * only within matching hash bands and SimHash only within matching 16-bit
+  * chunks, so candidate generation is O(bucket²·buckets), never a corpus
+  * cross join. Exact Jaccard runs only on the candidate pairs.
+  */
+object NearDup {
+
+  /** Token n-gram shingles of a text column as a distinct array. */
+  def shingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    df.withColumn("__shingles",
+      array_distinct(
+        transform(
+          // sliding n-gram windows over the token array
+          sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** MinHash-LSH near-dup candidate pairs with exact Jaccard verification.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b and jaccard >= minJaccard
+    */
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashTables: Int = 8, numFeatures: Int = 1 << 18,
+      minJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val sh = shingles(df, textCol, n)
+      .select(col(idCol).as("__id"), col("__shingles"))
+      .filter(size(col("__shingles")) > 0)
+    val tf = new HashingTF().setInputCol("__shingles")
+      .setOutputCol("__tf").setNumFeatures(numFeatures).setBinary(true)
+    val vecs = tf.transform(sh)
+    val mh = new MinHashLSH().setInputCol("__tf").setOutputCol("__mh")
+      .setNumHashTables(numHashTables).setSeed(seed)
+    val model = mh.fit(vecs)
+    // LSH candidate pairs at generous distance, then exact verification
+    val cand = model
+      .approxSimilarityJoin(vecs, vecs, 1.0 - minJaccard / 2, "__jd")
+      .select(
+        col("datasetA.__id").as("id_a"),
+        col("datasetB.__id").as("id_b"),
+        col("datasetA.__shingles").as("__sa"),
+        col("datasetB.__shingles").as("__sb"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("__inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
+      .withColumn("jaccard",
+        col("__inter") /
+          (size(col("__sa")) + size(col("__sb")) - col("__inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard for given candidate pairs (ids joined back to
+    * texts); the verification half of [[minHashPairs]] exposed standalone.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingles(df, textCol, n)
+      .select(col(idCol).as("__jid"), col("__shingles"))
+    val a = pairs.join(sh, pairs("id_a") === col("__jid"))
+      .withColumnRenamed("__shingles", "__sa").drop("__jid")
+    val b = a.join(sh, a("id_b") === col("__jid"))
+      .withColumnRenamed("__shingles", "__sb").drop("__jid")
+    b.withColumn("__inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
+      .withColumn("jaccard",
+        col("__inter") /
+          (size(col("__sa")) + size(col("__sb")) - col("__inter")))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash of a text column, fully declarative (64 codegen'd
+    * sum-aggregates over exploded token hashes — no UDF, no driver loop).
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+        explode(array_distinct(split(trim(lower(col(textCol))), "\\s+")))
+          .as("__tok"))
+      .withColumn("__h", xxhash64(col("__tok")))
+    // per bit: +1 if set, -1 if not; sign of the sum is the simhash bit
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1L) === 1L, 1)
+        .otherwise(-1)).as(s"__b$i"))
+    val sums = toks.groupBy(col("__id")).agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 64).map(i =>
+      when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("__id"), hash.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: pigeonhole banding on the 4 16-bit
+    * chunks (any pair within hamming distance 3 shares at least one exact
+    * chunk), verified by exact hamming distance.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simHash(df, idCol, textCol)
+    val banded = sh.select(col("__id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)
+            .as("chunk"))): _*)).as("bc"))
+      .select(col("__id"), col("simhash"),
+        col("bc.band"), col("bc.chunk"))
+    val a = banded.select(col("band"), col("chunk"),
+      col("__id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("chunk"),
+      col("__id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}
