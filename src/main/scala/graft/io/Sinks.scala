@@ -1,0 +1,53 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** S2/S4 — file sinks matching the reference's persisted artifacts. */
+object Sinks {
+
+  /** S2 — CSV with an explicit index column (reference
+    * `to_csv(..., index=True)`, /root/reference/src/preprocess.py:106-107).
+    * The index is the persisted rejoin key for split X/y files (SURVEY
+    * §2.3): deterministic dense row numbers ordered by the given key
+    * columns.
+    *
+    * Scale note: a dense global index forces a total sort; at 100 TB
+    * prefer a composite natural key. This sink exists for reference
+    * parity of the split-file workflow.
+    */
+  def csvWithIndex(df: DataFrame, path: String, orderCols: Seq[String])
+      : Unit = {
+    val w = Window.orderBy(orderCols.map(col): _*)
+    df.withColumn("idx", row_number().over(w) - 1)
+      .select(col("idx") +: df.columns.map(col): _*)
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
+
+  /** Plain parquet sink — the engine's preferred format (columnar,
+    * predicate-pushdown-able, splittable).
+    */
+  def parquet(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  /** S4 — JSON predictions document
+    * `{"predictions": [...], "created_at": ...}` (reference
+    * /root/reference/src/predict.py:248-260). Collapses to a single JSON
+    * doc like the reference's fallback file; predictions frames are
+    * result-sized, not data-sized.
+    */
+  def jsonPredictions(df: DataFrame, predictionCol: String, path: String)
+      : Unit = {
+    df.agg(collect_list(col(predictionCol).cast("int"))
+        .as("predictions"))
+      .withColumn("created_at",
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssX"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).json(path)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.etl.Preprocess
+
+/** S1/S3 — the reference's two data sources re-expressed Spark-first. */
+object Sources {
+
+  /** S1 — CICIDS-style CSV scan: header row, latin1 encoding, explicit
+    * schema (never inferSchema: at 100 TB an inference pass is a wasted
+    * full read and schema drift breaks plan stability), header whitespace
+    * normalized (reference /root/reference/src/preprocess.py:103 + :62).
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      encoding: String = "latin1", trimHeaders: Boolean = true): DataFrame = {
+    val df = spark.read
+      .option("header", "true")
+      .option("encoding", normalizeEncoding(encoding))
+      .schema(schema)
+      .csv(path)
+    if (trimHeaders) Preprocess.trimHeaders(df) else df
+  }
+
+  /** pandas' "latin1" alias → the charset name Spark 4 accepts. */
+  private def normalizeEncoding(e: String): String =
+    if (e.equalsIgnoreCase("latin1") || e.equalsIgnoreCase("latin-1"))
+      "iso-8859-1"
+    else e
+
+  /** S1 variant — untyped read for schema discovery on small samples only. */
+  def csvInferred(spark: SparkSession, path: String,
+      encoding: String = "latin1"): DataFrame =
+    Preprocess.trimHeaders(
+      spark.read.option("header", "true")
+        .option("encoding", normalizeEncoding(encoding))
+        .option("inferSchema", "true").csv(path))
+
+  /** S3 — JSON scoring documents `{"X": [...], "y": [...]}`
+    * (reference /root/reference/src/predict.py:131-135): multiline scan,
+    * explode the X record array to rows, carry y positionally via the
+    * paired index (Spark has no stable row order; the explicit index
+    * replaces pandas' positional alignment — SURVEY §7.4).
+    */
+  def jsonDocs(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("multiLine", "true").json(path)
+    val x = raw.select(posexplode(col("X")).as(Seq("idx", "row")))
+      .select(col("idx"), col("row.*"))
+    if (raw.columns.contains("y")) {
+      val y = raw.select(posexplode(col("y")).as(Seq("idx", "label")))
+      x.join(y, Seq("idx"))
+    } else x
+  }
+}

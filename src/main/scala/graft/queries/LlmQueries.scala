@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, QueryModule, Tables}
-import graft.text.TextStats
+import graft.multimodal.Multimodal
+import graft.sim.Ann
+import graft.text.{NearDup, TextStats}
 
 /** LLM training-data pipeline queries over `documents` / `embeddings`:
   * exact dedup, text statistics, quality scoring, fingerprinting. The
@@ -103,6 +105,110 @@ object LlmQueries extends QueryModule {
       Some("""SELECT doc_id, md5(text) AS fp FROM documents
              | ORDER BY doc_id""".stripMargin),
       "document fingerprinting (content digest)"),
+
+    "q_ngram_jaccard" -> QueryDef(
+      (s, dir) => {
+        // exact 3-gram Jaccard over a deterministic pair set (adjacent
+        // doc_ids) — the verification primitive of the near-dup family,
+        // oracle-checked end to end.
+        val docs = T(s, dir, "documents")
+        val pairs = docs.select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1).as("id_b"))
+          .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"))
+        NearDup.ngramJaccard(docs, "doc_id", "text", pairs, n = 3)
+          .orderBy(col("id_a"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |   regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |   FROM documents),
+             | g AS (SELECT doc_id,
+             |   list_distinct(list_transform(range(1, greatest(len(ts)-2,1)+1),
+             |     i -> array_to_string(ts[i:least(i+2, len(ts))], ' '))) AS gs
+             |   FROM t)
+             | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |   CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+             |     / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
+             |     AS jaccard
+             | FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+             | ORDER BY id_a""".stripMargin),
+      "n-gram Jaccard similarity on deterministic pairs (oracle-checked)"),
+
+    "q_minhash_neardup" -> QueryDef(
+      (s, dir) =>
+        NearDup.minHashPairs(T(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.5)
+          .orderBy(col("id_a"), col("id_b")),
+      None,
+      "MinHash-LSH near-dup pairs, bucket-local join + exact verify"),
+
+    "q_simhash_neardup" -> QueryDef(
+      (s, dir) =>
+        NearDup.simHashPairs(T(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 8)
+          .orderBy(col("id_a"), col("id_b")),
+      None,
+      "SimHash near-dup pairs via 16-bit pigeonhole banding"),
+
+    "q_ann_brute_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val probes = emb.orderBy(col("vec_id")).limit(5)
+        Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 10)
+      },
+      None,
+      "exact cosine top-k, broadcast probes (ANN baseline)"),
+
+    "q_ann_lsh_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val probes = emb.orderBy(col("vec_id")).limit(5)
+        Ann.lshTopK(emb, probes, "vec_id", "embedding", k = 10)
+      },
+      None,
+      "LSH-bucketed approximate cosine top-k (ANN scale path)"),
+
+    "q_lang_id" -> QueryDef(
+      (s, dir) =>
+        T(s, dir, "documents")
+          .groupBy(TextStats.langId(col("text")).as("lang_pred"))
+          .agg(count(lit(1)).as("docs"))
+          .orderBy(col("lang_pred")),
+      None,
+      "language-ID heuristic histogram (marker-token profiles)"),
+
+    "q_mm_decode" -> QueryDef(
+      (s, dir) => {
+        // multimodal plumbing demo: documents bytes as opaque media
+        // payloads → stub decode → per-type stats over decoded features
+        val media = Multimodal.asMedia(
+          T(s, dir, "documents").withColumn("payload",
+            col("text").cast("binary")),
+          "doc_id", "payload", "image")
+        Multimodal.decode(media)
+          .groupBy(col("media_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("decoded.n_bytes").cast("long")).as("total_bytes"),
+            sum(floor(col("decoded.mean_byte") * 1000)).as("mean_byte_milli"))
+          .orderBy(col("media_type"))
+      },
+      None,
+      "multimodal: binary payload + stubbed decode, partition-local"),
+
+    "q_mm_frame_sample" -> QueryDef(
+      (s, dir) => {
+        val media = Multimodal.asMedia(
+          T(s, dir, "documents").withColumn("payload",
+            col("text").cast("binary")),
+          "doc_id", "payload", "video")
+        Multimodal.frameSample(media, stride = 10)
+          .groupBy(col("media_id") % 10)
+          .agg(count(lit(1)).as("frames"))
+          .withColumnRenamed("(media_id % 10)", "bucket")
+          .orderBy(col("bucket"))
+      },
+      None,
+      "multimodal: video frame sampling at stride"),
 
     "q_lang_hist" -> QueryDef(
       (s, dir) =>

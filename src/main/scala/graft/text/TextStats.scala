@@ -51,6 +51,32 @@ object TextStats {
       lit(0.2) * (lit(1.0) - punctRatio)
   }
 
+  /** Marker-token profiles for the n-gram/stopword language-ID heuristic
+    * (tiny closed-class word lists per language).
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "les", "une", "dans"))
+
+  /** Language-ID heuristic: count marker tokens per language profile,
+    * argmax with deterministic tie-break (lang asc); "und" when no marker
+    * hits. Declarative (sort_array over (score, lang) structs) — codegen'd,
+    * no UDF.
+    */
+  def langId(text: Column): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        (-size(filter(toks, t => t.isInCollection(markers)))).as("neg"),
+        lit(lang).as("lang"))
+    }
+    val best = sort_array(array(scored: _*)).getItem(0)
+    when(best.getField("neg") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
   /** Exact content fingerprint (hex md5) — the dedup key. */
   def fingerprintMd5(text: Column): Column = md5(text.cast(BinaryType))
 
