@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.ml.MultiModel
+
+class EventStreamSpec extends SparkSpec {
+
+  /** File streaming source wants a directory: stage events.parquet into a
+    * temp dir (hard-link copy).
+    */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft-events-stream")
+    Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("windowed counts over the events stream match the batch result") {
+    val events = EventStream.readEvents(spark, eventsDir)
+    val stream = EventStream.windowedCounts(events)
+    // complete mode: emit every window incl. the last still-open one, so
+    // totals are comparable to the batch count (append would hold back
+    // windows above the final watermark)
+    val q = stream.writeStream
+      .format("memory").queryName("win_counts")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("win_counts")
+      .agg(sum("n")).head().getLong(0)
+    val batch = Tables.load(spark, sf0001, "events").count()
+    assert(streamed === batch)
+  }
+
+  test("scoreStream scores micro-batches with a persisted model") {
+    val labeled = Tables.load(spark, sf0001, "lineitem").select(
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+      col("l_tax"))
+    val t = MultiModel.train(labeled,
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      "D_TREE", Map("max_depth" -> "3"), useSmote = false)
+
+    val events = EventStream.readEvents(spark, eventsDir)
+      .select(col("event_id"),
+        col("value").as("l_quantity"),
+        (col("value") * 100).as("l_extendedprice"),
+        lit(0.05).as("l_discount"), lit(0.02).as("l_tax"))
+
+    val scored = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = EventStream.scoreStream(events, t.pipeline) { (batch, _) =>
+      scored.addAndGet(
+        batch.filter(col("prediction").isin(0.0, 1.0)).count())
+      ()
+    }.start()
+    q.awaitTermination(120000)
+    assert(scored.get() === Tables.load(spark, sf0001, "events").count())
+  }
+}
