@@ -66,6 +66,20 @@ object Preprocess {
     df.select(cols.toIndexedSeq: _*)
   }
 
+  /** F8 — mode-impute: fill nulls in each column with that column's most
+    * frequent value (reference notebook cells 18, 39 `fillna(df.mode())`),
+    * with deterministic tie-break via [[ColumnStats.modeOf]]. One tiny
+    * aggregation job per column (candidate values only), then a single
+    * narrow na.fill pass.
+    */
+  def imputeMode(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val modes: Map[String, Any] = cols.flatMap { c =>
+      val top = ColumnStats.modeOf(df.filter(col(c).isNotNull), c).collect()
+      top.headOption.map(r => c -> r.get(0))
+    }.toMap
+    df.na.fill(modes)
+  }
+
   /** P7 — rows that occur more than once (reference notebook cell 5
     * `df[df.duplicated()]`), as (row-values, count>1). Hash-partitioned
     * group-by on all columns: scales linearly, never all-pairs.

@@ -2,6 +2,9 @@ package graft.ml
 
 import org.apache.spark.ml.classification.RandomForestClassificationModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.etl.Preprocess
 
 /** L8/A10 — feature-importance ranking + pruning loop (reference notebook
   * cells 26-29: train RF → rank `feature_importances_` → drop < 0.001).
@@ -27,4 +30,21 @@ object Importance {
       featureNames: Seq[String], threshold: Double = 0.001): Seq[String] =
     featureNames.zip(model.featureImportances.toArray)
       .filter(_._2 < threshold).map(_._1)
+
+  /** L8 — the full pruning loop (notebook cells 26-29): fit an RF on the
+    * labeled frame, rank importances, drop features below threshold from
+    * the frame (tolerant P2 projection). Returns the pruned frame and the
+    * surviving feature list.
+    */
+  def pruneFeatures(labeled: DataFrame, featureCols: Seq[String],
+      threshold: Double = 0.001, nTrees: Int = 20)
+      : (DataFrame, Seq[String]) = {
+    val prep = PrepPipeline.fit(labeled, featureCols)
+    val prepped = prep.transform(labeled)
+      .select(col("label"), col(PrepPipeline.FeaturesCol))
+    val rf = Trainers.randomForest(nEstimators = nTrees).fit(prepped)
+    val drop = dropList(rf, featureCols, threshold)
+    (Preprocess.dropTolerant(labeled, drop),
+      featureCols.filterNot(drop.contains))
+  }
 }

@@ -42,9 +42,12 @@ object NearDup {
     val mh = new MinHashLSH().setInputCol("__tf").setOutputCol("__mh")
       .setNumHashTables(numHashTables).setSeed(seed)
     val model = mh.fit(vecs)
-    // LSH candidate pairs at generous distance, then exact verification
+    // LSH candidate pairs at the target distance plus estimation slack,
+    // then exact verification (a looser threshold multiplies candidate
+    // pairs — at 50k docs, 0.75 vs 0.65 distance is a 10× join blowup)
     val cand = model
-      .approxSimilarityJoin(vecs, vecs, 1.0 - minJaccard / 2, "__jd")
+      .approxSimilarityJoin(vecs, vecs,
+        math.min(1.0, 1.0 - minJaccard + 0.15), "__jd")
       .select(
         col("datasetA.__id").as("id_a"),
         col("datasetB.__id").as("id_b"),

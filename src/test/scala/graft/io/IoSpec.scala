@@ -97,10 +97,13 @@ class IoSpec extends SparkSpec {
                       store.remove(args(1)); kv.remove(args(1))
                       out.print(":1\r\n")
                     case "RPUSH" =>
-                      val buf = store.getOrElseUpdate(args(1),
-                        mutable.Buffer.empty)
-                      buf.synchronized { buf ++= args.drop(2) }
-                      out.print(s":${buf.size}\r\n")
+                      val n = store.synchronized {
+                        val buf = store.getOrElseUpdate(args(1),
+                          mutable.Buffer.empty)
+                        buf ++= args.drop(2)
+                        buf.size
+                      }
+                      out.print(s":$n\r\n")
                     case "LRANGE" =>
                       val vs = store.getOrElse(args(1), mutable.Buffer.empty)
                       out.print(s"*${vs.size}\r\n")
