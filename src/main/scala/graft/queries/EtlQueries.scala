@@ -434,6 +434,32 @@ object EtlQueries extends QueryModule {
              | ORDER BY l_returnflag, l_linestatus""".stripMargin),
       "headline: pricing summary (partial-agg + tiny shuffle)"),
 
+    "q_window_running" -> QueryDef(
+      (s, dir) => {
+        // per-supplier running quantity total (event-ordered): partitioned
+        // window — parallelism = |suppliers|, state = one partition's rows
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        T(s, dir, "lineitem")
+          .filter(col("l_suppkey") < 10)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            sum(col("l_quantity").cast(D2)).over(w).cast(DoubleType)
+              .as("running_qty"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             |   PARTITION BY l_suppkey
+             |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |   AS running_qty
+             | FROM lineitem WHERE l_suppkey < 10
+             | ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
+      "window function: partitioned running total, exact decimal state"),
+
     "q_m3_class_ratio" -> QueryDef(
       (s, dir) =>
         T(s, dir, "orders")

@@ -134,6 +134,55 @@ object LlmQueries extends QueryModule {
              | ORDER BY id_a""".stripMargin),
       "n-gram Jaccard similarity on deterministic pairs (oracle-checked)"),
 
+    "q_token_count" -> QueryDef(
+      (s, dir) =>
+        T(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(
+            sum(TextStats.regexTokenCount(col("text")).cast("long"))
+              .as("regex_tokens"),
+            sum(TextStats.tokenCount(col("text")).cast("long"))
+              .as("ws_tokens"))
+          .orderBy(col("source")),
+      Some("""SELECT source,
+             | CAST(SUM(len(regexp_extract_all(text,
+             |   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS regex_tokens,
+             | CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             |   AS ws_tokens
+             | FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      "token counting: whitespace + BPE-ish regex tokenizers"),
+
+    "q_fingerprint_rolling" -> QueryDef(
+      (s, dir) =>
+        T(s, dir, "documents")
+          .groupBy(graft.functions.RollingFingerprint
+            .rolling_fingerprint(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .orderBy(col("fp")),
+      None,
+      "native codegen'd rolling-hash fingerprint dedup groups"),
+
+    "q_dedup_embedding" -> QueryDef(
+      (s, dir) => {
+        // embedding-cosine near-dup: LSH-bucketed candidate pairs at high
+        // cosine — the semantic-dedup primitive
+        val emb = T(s, dir, "embeddings")
+        // nearest semantic neighbor per probe with its cosine: the dedup
+        // decision is then a threshold over this candidate set (the
+        // synthetic random embeddings have no true near-dups, so the
+        // query emits the ranked candidates rather than filtering to an
+        // empty frame)
+        Ann.lshTopK(emb, emb.orderBy(col("vec_id")).limit(50),
+            "vec_id", "embedding", k = 1,
+            bucketLength = 2.0, numHashTables = 4)
+          .select(col("probe_id"), col("neighbor_id"), col("cosine"),
+            (col("cosine") > 0.95).as("is_dup"))
+          .orderBy(col("probe_id"), col("neighbor_id"))
+      },
+      None,
+      "embedding-cosine near-dup candidates (LSH-bucketed)"),
+
     "q_minhash_neardup" -> QueryDef(
       (s, dir) =>
         NearDup.minHashPairs(T(s, dir, "documents"), "doc_id", "text",
