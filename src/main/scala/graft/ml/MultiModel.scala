@@ -37,21 +37,29 @@ object MultiModel {
       useSmote: Boolean = true,
       smoteStrategy: String = "smote"): Trained = {
     val prep = PrepPipeline.fit(train, featureCols)
+    // the prepped matrix feeds SMOTE's class histogram + neighborhood
+    // pass, the classifier fit and the training-accuracy scan — persist
+    // once instead of re-running impute/assemble/scale per consumer
     val prepped = prep.transform(train)
       .select(col("label").cast("double").as("label"),
         col(PrepPipeline.FeaturesCol))
-    val fitInput =
-      if (useSmote)
-        new Smote().setStrategy(smoteStrategy).transform(prepped)
-      else prepped
-    val clf = Trainers.byName(modelType, params).fit(fitInput)
-      .asInstanceOf[org.apache.spark.ml.Transformer]
-    // wrap the already-fitted stages: Pipeline.fit passes Transformers
-    // through untouched, so nothing is re-fit here
-    val inference = new Pipeline()
-      .setStages(Array(prep, clf)).fit(train.limit(1))
-    val acc = accuracy(inference, train)
-    Trained(inference, modelType, params, acc)
+      .persist()
+    try {
+      val fitInput =
+        if (useSmote)
+          new Smote().setStrategy(smoteStrategy).transform(prepped)
+        else prepped
+      val clf = Trainers.byName(modelType, params).fit(fitInput)
+        .asInstanceOf[org.apache.spark.ml.Transformer]
+      // wrap the already-fitted stages: Pipeline.fit passes Transformers
+      // through untouched, so nothing is re-fit here
+      val inference = new Pipeline()
+        .setStages(Array(prep, clf)).fit(train.limit(1))
+      val acc = Metrics.accuracy(
+        clf.transform(prepped).select(col("label"), col("prediction")))
+        .head().getDouble(0)
+      Trained(inference, modelType, params, acc)
+    } finally prepped.unpersist()
   }
 
   /** L6 — score a frame: adds `prediction` (and probability columns where

@@ -460,6 +460,46 @@ object EtlQueries extends QueryModule {
              | ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
       "window function: partitioned running total, exact decimal state"),
 
+    "q_q3_shipping_priority" -> QueryDef(
+      (s, dir) => {
+        // 3-table join spine: dim filter pushed to customer scan, fact
+        // tables join on orderkey; revenue top-k via TakeOrderedAndProject
+        val cutoff = lit("1998-06-01 00:00:00").cast(TimestampNTZType)
+        val c = T(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val o = T(s, dir, "orders")
+          .filter(col("o_orderdate") < cutoff)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val l = T(s, dir, "lineitem")
+          .filter(col("l_shipdate") > cutoff)
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            col("o_orderdate").cast(DateType).as("odate"))
+          .agg(sum(col("l_extendedprice").cast(D2) *
+            (lit(1).cast(D2) - col("l_discount").cast(D2)))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(desc("revenue"), col("l_orderkey"))
+          .limit(10)
+          .select(col("l_orderkey"), col("odate"), col("revenue"))
+      },
+      Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+             | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |   AS revenue
+             | FROM customer
+             | JOIN orders ON c_custkey = o_custkey
+             | JOIN lineitem ON l_orderkey = o_orderkey
+             | WHERE c_mktsegment = 'BUILDING'
+             |   AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+             |   AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+             | GROUP BY l_orderkey, odate
+             | ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+      "headline: shipping-priority 3-table join + top-k (TPC-H Q3 shape)"),
+
     "q_m3_class_ratio" -> QueryDef(
       (s, dir) =>
         T(s, dir, "orders")
