@@ -1,7 +1,8 @@
 package graft.sim
 
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -44,6 +45,54 @@ object Ann {
     val p = broadcast(probes.select(col(idCol).as("probe_id"),
       asDouble(col(vecCol)).as("__pv")))
     val scored = c.join(p, col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__pv"), col("__cv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"),
+        col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: k-means partitions the corpus
+    * into cells; each probe scans only its `nProbe` nearest cells. The
+    * classic disk-friendly ANN layout — at 100 TB the corpus is
+    * partitioned (and can be physically laid out) by cell id, so a query
+    * touches nProbe/nCells of the data.
+    *
+    * Same output shape as [[bruteForceTopK]]; recall asserted in AnnSpec.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"),
+      array_to_vector(asDouble(col(vecCol))).as("__v"))
+    val km = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("__cell")
+    val model = km.fit(c)
+    val assigned = model.transform(c).select(
+      col("neighbor_id"), col("__cv"), col("__cell"))
+    // each probe's nProbe nearest centroids (centroid set is tiny —
+    // computed via a broadcast cross of |probes| × nCells)
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (v, i) => (i, v.toArray.toSeq)
+    }.toSeq
+    val cdf = broadcast(corpus.sparkSession.createDataFrame(centroids)
+      .toDF("__cell", "__centroid"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      asDouble(col(vecCol)).as("__pv"))
+    val probeCells = p.crossJoin(cdf)
+      .withColumn("__cd", cosine(col("__pv"), col("__centroid")))
+      .withColumn("__cr", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(desc("__cd"), col("__cell"))))
+      .filter(col("__cr") <= nProbe)
+      .select(col("probe_id"), col("__pv"), col("__cell"))
+    // scan only the probed cells
+    val scored = assigned.join(broadcast(probeCells), Seq("__cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__pv"), col("__cv")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(desc("cosine"), asc("neighbor_id"))

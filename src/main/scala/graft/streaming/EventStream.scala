@@ -1,11 +1,22 @@
 package graft.streaming
 
 import org.apache.spark.ml.PipelineModel
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState,
+  GroupStateTimeout, OutputMode, Trigger}
 
 import graft.core.Tables
+
+/** One user-session aggregate maintained by [[EventStream.sessionize]]. */
+final case class SessionUpdate(
+    user_id: Long, n_events: Long, start_ms: Long, end_ms: Long,
+    closed: Boolean)
+
+/** Internal per-user session state (top-level: Spark's state encoder needs
+  * a publicly constructible case class).
+  */
+final case class SessionState(start: Long, end: Long, n: Long)
 
 /** Structured Streaming surface (SURVEY §2.10: planned extension — the
   * reference has no streaming, but its Redis prediction push and the
@@ -38,6 +49,54 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total"))
+
+  /** Custom-state sessionization via flatMapGroupsWithState: per-user
+    * sessions split on inactivity gaps, state evicted by event-time
+    * timeout against the watermark. Emits the running session on every
+    * update (Update mode) and a final `closed=true` record on timeout.
+    *
+    * State size is one (start, end, n) triple per active user — bounded
+    * by active-user cardinality, not event volume.
+    */
+  def sessionize(events: DataFrame, watermark: String = "10 minutes",
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the watermarked event_time column must reach the stateful operator
+    // unchanged (casting it away would detach the watermark)
+    val ds = events
+      .withWatermark("event_time", watermark)
+      .select(col("user_id"), col("event_time"))
+      .as[(Long, java.sql.Timestamp)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(userId, s.n, s.start, s.end,
+              closed = true))
+          } else {
+            val times = rows.map(_._2.getTime).toVector
+            if (times.isEmpty) Iterator.empty
+            else {
+              val merged = state.getOption match {
+                case Some(s) if times.min <= s.end + gapMs =>
+                  SessionState(math.min(s.start, times.min),
+                    math.max(s.end, times.max), s.n + times.size)
+                case _ =>
+                  SessionState(times.min, times.max, times.size.toLong)
+              }
+              state.update(merged)
+              state.setTimeoutTimestamp(merged.end + gapMs)
+              Iterator(SessionUpdate(userId, merged.n, merged.start,
+                merged.end, closed = false))
+            }
+          }
+      }
+  }
 
   /** Stream-ified scoring (the reference's Redis push shape,
     * predict.py:221-226, as writeStream.foreachBatch): score each

@@ -34,6 +34,18 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k achieves reasonable recall scanning nProbe/nCells") {
+    val emb = Tables.load(spark, sf0001, "embeddings").cache()
+    val probes = emb.orderBy(col("vec_id")).limit(5)
+    val exact = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(emb, probes, "vec_id", "embedding", 10,
+        nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ivf recall $recall too low")
+  }
+
   test("LSH top-k achieves reasonable recall vs brute force") {
     val emb = Tables.load(spark, sf0001, "embeddings").cache()
     val probes = emb.orderBy(col("vec_id")).limit(5)

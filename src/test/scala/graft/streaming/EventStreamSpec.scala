@@ -38,6 +38,27 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("sessionize maintains per-user custom state over the stream") {
+    val events = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream.sessionize(events, gapMs = 3600L * 1000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val sessions = spark.table("sessions")
+    // last update per user carries that user's running session count;
+    // with a single batch, per-user n_events == batch event counts
+    val got = sessions.groupBy("user_id")
+      .agg(max("n_events").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Tables.load(spark, sf0001, "events")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(sessions.filter(col("start_ms") > col("end_ms")).count() === 0)
+  }
+
   test("scoreStream scores micro-batches with a persisted model") {
     val labeled = Tables.load(spark, sf0001, "lineitem").select(
       when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"),
