@@ -28,6 +28,9 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // keep managed (bucketed) tables out of the repo working dir
+    .config("spark.sql.warehouse.dir",
+      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse")
 
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = configure(

@@ -178,6 +178,24 @@ object EtlQueries extends QueryModule {
              | GROUP BY mktsegment ORDER BY mktsegment NULLS FIRST""".stripMargin),
       "U2: heterogeneous union, allowMissingColumns (notebook cell 33)"),
 
+    "q_u4_except_duplicates" -> QueryDef(
+      (s, dir) => {
+        // the notebook's duplicate-inspection idiom (SURVEY §2.4): the
+        // multiset difference df EXCEPT ALL distinct(df) = the extra
+        // copies of every duplicated row
+        val d = T(s, dir, "documents").select(col("lang"), col("source"))
+        d.exceptAll(d.dropDuplicates())
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("extra_copies"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""SELECT lang, source, COUNT(*) AS extra_copies FROM (
+             |   SELECT lang, source FROM documents
+             |   EXCEPT ALL
+             |   SELECT DISTINCT lang, source FROM documents) t
+             | GROUP BY lang, source ORDER BY lang, source""".stripMargin),
+      "set op: exceptAll duplicate-copy inspection (notebook cell 5 idiom)"),
+
     "q_u3_dedup_distinct" -> QueryDef(
       (s, dir) =>
         T(s, dir, "lineitem")
