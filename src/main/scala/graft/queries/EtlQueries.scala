@@ -284,6 +284,36 @@ object EtlQueries extends QueryModule {
              | ORDER BY cnt DESC, o_orderpriority ASC""".stripMargin),
       "A6: value histogram (notebook cell 43 value_counts)"),
 
+    "q_a12_rollup" -> QueryDef(
+      (s, dir) =>
+        T(s, dir, "orders")
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"),
+            dsum(col("o_totalprice")).as("total"))
+          .orderBy(asc_nulls_first("o_orderstatus"),
+            asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+             | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             | ORDER BY o_orderstatus NULLS FIRST,
+             |   o_orderpriority NULLS FIRST""".stripMargin),
+      "rollup hierarchy aggregation (engine extension beyond reference)"),
+
+    "q_a13_percentiles" -> QueryDef(
+      (s, dir) =>
+        T(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             | quantile_cont(l_quantity, 0.5) AS median_qty,
+             | quantile_cont(l_quantity, 0.9) AS p90_qty
+             | FROM lineitem GROUP BY l_returnflag
+             | ORDER BY l_returnflag""".stripMargin),
+      "exact interpolated percentiles (sorted-agg path)"),
+
     "q_a11_count_shape" -> QueryDef(
       (s, dir) => {
         val li = T(s, dir, "lineitem")
@@ -451,6 +481,31 @@ object EtlQueries extends QueryModule {
              | FROM lineitem GROUP BY l_returnflag, l_linestatus
              | ORDER BY l_returnflag, l_linestatus""".stripMargin),
       "headline: pricing summary (partial-agg + tiny shuffle)"),
+
+    "q_asof_join" -> QueryDef(
+      (s, dir) => {
+        // each purchase matched to the user's most recent prior (or
+        // simultaneous) signup — oracle-checked against DuckDB's native
+        // ASOF JOIN; ts is exact nanos so comparisons are integral
+        val ev = T(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id"),
+            col("ts"))
+        graft.operators.AsofJoin.asofJoin(
+            purchases, signups, Seq("user_id"), "ts", "ts",
+            Seq("signup_id"))
+          .select(col("event_id"), col("user_id"), col("signup_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, l.event_id AS signup_id
+             | FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             | ASOF LEFT JOIN
+             |      (SELECT * FROM events WHERE event_type = 'signup') l
+             |   ON p.user_id = l.user_id AND p.ts >= l.ts
+             | ORDER BY p.event_id""".stripMargin),
+      "as-of join composed from union + carry-forward window (no native op)"),
 
     "q_window_running" -> QueryDef(
       (s, dir) => {
