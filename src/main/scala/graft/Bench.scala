@@ -18,7 +18,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration aid: SPARK_GRAFT_ONLY=<regex> restricts the run to
+    // matching query names (unset in the driver's per-round invocation)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val sec =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

@@ -113,13 +113,19 @@ class Smote(override val uid: String) extends Transformer
     val w = Window.partitionBy(col("__slab"))
       .orderBy(col("__proj"), xxhash64(col(fc).cast("string")))
     val kk = $(k)
-    val neighborCols = (1 to (kk + 1) / 2).flatMap(i =>
-      Seq(lag(col(fc), i).over(w), lead(col(fc), i).over(w)))
-    val ranked = slabbed.join(offDf, Seq("__slab"))
+    val indexed = slabbed.join(offDf, Seq("__slab"))
       .withColumn("__sid", row_number().over(w) + col("__off"))
-      .withColumn("__nbs",
-        filter(array(neighborCols: _*), x => x.isNotNull))
-      .drop("__proj", "__slab", "__off")
+    // the k lag/lead vector neighborhoods are only consumed by the
+    // interpolating strategy — "oversample" duplicates rows verbatim, so
+    // skip shipping k extra vectors per row through the window there
+    val ranked = ($(strategy) match {
+      case "smote" =>
+        val neighborCols = (1 to (kk + 1) / 2).flatMap(i =>
+          Seq(lag(col(fc), i).over(w), lead(col(fc), i).over(w)))
+        indexed.withColumn("__nbs",
+          filter(array(neighborCols: _*), x => x.isNotNull))
+      case _ => indexed
+    }).drop("__proj", "__slab", "__off")
 
     // deterministic per-row synthetic copy counts: spread the deficit
     // round-robin (base copies for all, +1 for the first `rem` sids)

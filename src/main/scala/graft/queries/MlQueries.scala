@@ -32,13 +32,24 @@ object MlQueries extends QueryModule {
       col("l_quantity"), col("l_extendedprice"), col("l_discount"),
       col("l_tax"))
 
+  /** Persist the labeled modeling frame for the duration of `body`: the
+    * split/prep/SMOTE/fit/score stages each rescan their input, and all
+    * of them derive from this one frame. Safe to unpersist on exit —
+    * every query below returns a small driver-built result frame.
+    */
+  private def withLabeled[A](s: SparkSession, dir: String)
+      (body: DataFrame => A): A = {
+    val labeled = labeledLineitem(s, dir).persist()
+    try body(labeled) finally labeled.unpersist()
+  }
+
   /** Train one reference model type end-to-end and report scoring rows
     * (rows-only contract: trainer internals are not ANSI-SQL).
     */
   private def trainerQuery(modelType: String,
       params: Map[String, String]): (SparkSession, String) => DataFrame =
-    (s, dir) => {
-      val (tr, te) = MultiModel.split(labeledLineitem(s, dir))
+    (s, dir) => withLabeled(s, dir) { labeled =>
+      val (tr, te) = MultiModel.split(labeled)
       val t = MultiModel.train(tr, FeatureCols, modelType, params,
         useSmote = true, smoteStrategy = "oversample")
       val teAcc = MultiModel.accuracy(t.pipeline, te)
@@ -73,10 +84,15 @@ object MlQueries extends QueryModule {
     "q_l6_predict_confusion" -> QueryDef(
       (s, dir) => {
         // L6+A8: score the held-out split with a DT and emit the real
-        // confusion matrix of model output.
+        // confusion matrix of model output. tr is consumed eagerly by
+        // train() (fit + accuracy) so it is persisted just for that span;
+        // te feeds the returned lazy frame and is left unpersisted.
         val (tr, te) = MultiModel.split(labeledLineitem(s, dir))
-        val t = MultiModel.train(tr, FeatureCols, "D_TREE",
-          Map("max_depth" -> "5"), useSmote = false)
+        val trP = tr.persist()
+        val t =
+          try MultiModel.train(trP, FeatureCols, "D_TREE",
+            Map("max_depth" -> "5"), useSmote = false)
+          finally trP.unpersist()
         Metrics.confusion(
           MultiModel.score(t.pipeline, te)
             .select(col("label"), col("prediction")))
@@ -84,8 +100,8 @@ object MlQueries extends QueryModule {
       "L6: batch scoring + confusion of model output (predict.py:118-125)"),
 
     "q_m1_split" -> QueryDef(
-      (s, dir) => {
-        val (tr, te) = MultiModel.split(labeledLineitem(s, dir))
+      (s, dir) => withLabeled(s, dir) { labeled =>
+        val (tr, te) = MultiModel.split(labeled)
         s.createDataFrame(Seq(("train", tr.count()), ("test", te.count())))
           .toDF("split", "n").orderBy(col("split"))
       }, None,
@@ -110,13 +126,17 @@ object MlQueries extends QueryModule {
       "M2: SMOTE rebalance — exact class-balance invariant (train.py:70-71)"),
 
     "q_a10_importance" -> QueryDef(
-      (s, dir) => {
-        val df = labeledLineitem(s, dir)
+      (s, dir) => withLabeled(s, dir) { df =>
         val prep = PrepPipeline.fit(df, FeatureCols)
+        // RF's findSplits + per-depth passes each re-read the input;
+        // persist the prepped matrix so impute/assemble/scale run once
         val prepped = prep.transform(df)
           .select(col("label"), col(PrepPipeline.FeaturesCol))
-        val rf = Trainers.randomForest(nEstimators = 20).fit(prepped)
-        Importance.ranked(s, rf, FeatureCols)
+          .persist()
+        try {
+          val rf = Trainers.randomForest(nEstimators = 20).fit(prepped)
+          Importance.ranked(s, rf, FeatureCols)
+        } finally prepped.unpersist()
       }, None,
       "A10/L8: RF feature importances ranked (notebook cells 26-29)"),
 

@@ -38,7 +38,10 @@ object NearDup {
       .filter(size(col("__shingles")) > 0)
     val tf = new HashingTF().setInputCol("__shingles")
       .setOutputCol("__tf").setNumFeatures(numFeatures).setBinary(true)
-    val vecs = tf.transform(sh)
+    // the shingle+TF plan feeds the LSH fit and BOTH sides of the
+    // self-join — persist it once instead of recomputing the regex
+    // tokenization three times
+    val vecs = tf.transform(sh).persist()
     val mh = new MinHashLSH().setInputCol("__tf").setOutputCol("__mh")
       .setNumHashTables(numHashTables).setSeed(seed)
     val model = mh.fit(vecs)
