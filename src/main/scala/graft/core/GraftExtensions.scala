@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.RollingFingerprint
+import graft.functions.{CosineSimilarity, RollingFingerprint}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions into the SQL function registry so `spark.sql` queries can
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.rollingFingerprintDescriptor)
+    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
   }
 }
 
@@ -44,12 +45,26 @@ object GraftExtensions {
         "rolling_fingerprint(text[, k]) takes 1 or 2 arguments")
     })
 
+  /** cosine_sim(a, b) over array<float|double> columns. */
+  val cosineSimDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (children: Seq[Expression]) => children match {
+      case Seq(a, b) => CosineSimilarity(a, b)
+      case _ => throw new IllegalArgumentException(
+        "cosine_sim(a, b) takes exactly 2 arguments")
+    })
+
+  private def descriptors = Seq(rollingFingerprintDescriptor,
+    cosineSimDescriptor)
+
   /** Imperative registration for sessions created without extensions
     * (tests, notebooks).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = rollingFingerprintDescriptor
-    spark.sessionState.functionRegistry
-      .registerFunction(id, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(id, info, builder)
+    }
 }

@@ -259,6 +259,37 @@ object LlmQueries extends QueryModule {
       None,
       "multimodal: video frame sampling at stride"),
 
+    "q_cosine_adjacent" -> QueryDef(
+      (s, dir) => {
+        // the embedding-similarity primitive, oracle-checked end to end:
+        // native codegen'd cosine (fused dot+norm loop) over a
+        // deterministic pair set; bit-identical to DuckDB list_dot_product
+        // because both accumulate sequentially in double
+        val e = T(s, dir, "embeddings")
+        val a = e.select(col("vec_id"), col("embedding").as("__ea"))
+        val b = e.select((col("vec_id") - 1).as("vec_id"),
+          col("embedding").as("__eb"))
+        a.join(b, Seq("vec_id"))
+          .withColumn("cosine",
+            graft.functions.VectorMath.cosine_sim(col("__ea"), col("__eb")))
+          .select(col("vec_id"), col("cosine"),
+            (col("cosine") > 0.95).as("is_dup"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH d AS (SELECT vec_id,
+             |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |   FROM embeddings)
+             | SELECT a.vec_id,
+             |   list_dot_product(a.v, b.v)
+             |     / (sqrt(list_dot_product(a.v, a.v))
+             |      * sqrt(list_dot_product(b.v, b.v))) AS cosine,
+             |   list_dot_product(a.v, b.v)
+             |     / (sqrt(list_dot_product(a.v, a.v))
+             |      * sqrt(list_dot_product(b.v, b.v))) > 0.95 AS is_dup
+             | FROM d a JOIN d b ON b.vec_id = a.vec_id + 1
+             | ORDER BY a.vec_id""".stripMargin),
+      "native codegen'd cosine over adjacent embedding pairs (oracle)"),
+
     "q_lang_hist" -> QueryDef(
       (s, dir) =>
         T(s, dir, "documents")

@@ -20,10 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine similarity of two equal-length double arrays, fully codegen'd
-    * (zip_with + aggregate builtins — no UDF).
+  /** Cosine similarity of two equal-length numeric arrays — the native
+    * fused-loop expression (graft.functions.CosineSimilarity, codegen'd;
+    * bit-identical to [[cosineHof]], asserted in VectorMathSpec).
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorMath.cosine_sim(a, b)
+
+  /** The declarative zip_with/aggregate formulation — kept as the
+    * reference semantics the native expression is verified against.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -40,10 +47,12 @@ object Ann {
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int = 10): DataFrame = {
+    // raw float arrays go straight into the native cosine (it casts per
+    // element in-loop) — no per-row converted-array materialization
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("__cv"))
+      col(vecCol).as("__cv"))
     val p = broadcast(probes.select(col(idCol).as("probe_id"),
-      asDouble(col(vecCol)).as("__pv")))
+      col(vecCol).as("__pv")))
     val scored = c.join(p, col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__pv"), col("__cv")))
     val w = Window.partitionBy(col("probe_id"))
