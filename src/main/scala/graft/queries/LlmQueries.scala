@@ -223,8 +223,24 @@ object LlmQueries extends QueryModule {
           .groupBy(TextStats.langId(col("text")).as("lang_pred"))
           .agg(count(lit(1)).as("docs"))
           .orderBy(col("lang_pred")),
-      None,
-      "language-ID heuristic histogram (marker-token profiles)"),
+      // argmax over marker-token counts, tie-break lang asc ('und' on 0):
+      // the CASE tests languages in alphabetical order so the first
+      // equal-to-greatest wins, mirroring sort_array((neg, lang)) asc
+      Some("""WITH t AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |   FROM documents),
+             | s AS (SELECT
+             |   len(list_filter(ts, x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))) AS de,
+             |   len(list_filter(ts, x -> x IN ('the','and','of','to','in','is','that','it'))) AS en,
+             |   len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','los','una'))) AS es,
+             |   len(list_filter(ts, x -> x IN ('le','la','de','et','est','les','une','dans'))) AS fr
+             |   FROM t)
+             | SELECT CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+             |   WHEN de = greatest(de, en, es, fr) THEN 'de'
+             |   WHEN en = greatest(de, en, es, fr) THEN 'en'
+             |   WHEN es = greatest(de, en, es, fr) THEN 'es'
+             |   ELSE 'fr' END AS lang_pred, COUNT(*) AS docs
+             | FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
+      "language-ID heuristic histogram (marker-token profiles, oracle)"),
 
     "q_mm_decode" -> QueryDef(
       (s, dir) => {

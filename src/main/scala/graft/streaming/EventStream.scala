@@ -98,6 +98,36 @@ object EventStream {
       }
   }
 
+  /** Streaming scan of a documents-shaped parquet directory, with a
+    * deterministic event-time column derived from doc_id (the local
+    * stand-in for a message bus carrying ingestion timestamps).
+    */
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(Tables.documents)
+      .parquet(dir)
+      // offset well past the epoch: a row whose event time equals the
+      // initial watermark (epoch 0) would be dropped as expired
+      .withColumn("event_time",
+        timestamp_micros(lit(1600000000000000L) + col("doc_id")))
+
+  /** Streaming exact dedup: drops any document whose content fingerprint
+    * was already emitted, with state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark`) — the streaming form of the
+    * exact-dedup operator (q_dedup_exact_keep). At 100 TB/day ingest the
+    * state store holds only fingerprints younger than the watermark, not
+    * the corpus history; for longer dedup horizons, pair with a periodic
+    * batch dedup over the sink.
+    */
+  def dedupDocs(docs: DataFrame, textCol: String = "text",
+      timeCol: String = "event_time",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__fp", graft.text.TextStats.fingerprintMd5(col(textCol)))
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Stream-ified scoring (the reference's Redis push shape,
     * predict.py:221-226, as writeStream.foreachBatch): score each
     * micro-batch with a persisted PipelineModel and hand the predictions

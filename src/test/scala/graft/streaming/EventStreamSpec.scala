@@ -59,6 +59,27 @@ class EventStreamSpec extends SparkSpec {
     assert(sessions.filter(col("start_ms") > col("end_ms")).count() === 0)
   }
 
+  test("streaming dedup drops watermark-window duplicates") {
+    // stage the same documents file twice: every doc arrives twice with
+    // identical event-time → the second copy must be dropped
+    val dir = Files.createTempDirectory("graft-docs-stream")
+    Files.copy(java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      dir.resolve("a.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      dir.resolve("b.parquet"))
+    val docs = EventStream.readDocs(spark, dir.toString)
+    val q = EventStream.dedupDocs(docs).writeStream
+      .format("memory").queryName("dedup_docs")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val batch = Tables.load(spark, sf0001, "documents")
+    val distinctTexts = batch.select("text").distinct().count()
+    assert(spark.table("dedup_docs").count() === distinctTexts)
+    assert(batch.count() * 2 > distinctTexts) // input really had dups
+  }
+
   test("scoreStream scores micro-batches with a persisted model") {
     val labeled = Tables.load(spark, sf0001, "lineitem").select(
       when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"),
