@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{QueryDef, QueryModule, Tables}
-import graft.etl.{ColumnStats, Preprocess}
+import graft.etl.{ColumnStats, Preprocess, Skew}
 import graft.eval.Metrics
 
 /** Relational/ETL operator queries (SURVEY §2.2-§2.7), each with a DuckDB
@@ -458,6 +458,59 @@ object EtlQueries extends QueryModule {
       "J: X/y idx-rejoin as equi join on persisted composite key"),
 
     // ----- headline multi-operator pipelines ------------------------------
+
+    "q_q6_selective_agg" -> QueryDef(
+      (s, dir) =>
+        // Q6 shape: the pushdown showcase — every predicate reaches the
+        // parquet scan (timestamp range + two numeric bands), the read
+        // schema is 3 columns, and the result is a single partial+final
+        // agg row. At 100 TB this is a scan bounded by row-group skipping.
+        T(s, dir, "lineitem")
+          .filter(
+            col("l_shipdate") >=
+              lit("1997-01-01 00:00:00").cast(TimestampNTZType) &&
+            col("l_shipdate") <
+              lit("1998-01-01 00:00:00").cast(TimestampNTZType) &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(
+            sum(col("l_extendedprice").cast(D2) *
+              col("l_discount").cast(D2))
+              .cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n")),
+      Some("""SELECT
+             | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |   * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             | COUNT(*) AS n
+             | FROM lineitem
+             | WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |   AND l_discount BETWEEN 0.05 AND 0.07
+             |   AND l_quantity < 24""".stripMargin),
+      "headline: Q6-shape selective scan agg (full predicate pushdown)"),
+
+    "q_join_salted" -> QueryDef(
+      (s, dir) => {
+        // skew-salted equi join: results are identical to the plain join
+        // (oracle-checked) while the shuffle spreads each hot key over
+        // `buckets` reducers — the defense when one key dominates so hard
+        // that even AQE's split partitions bottleneck
+        val o = T(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+        val c = T(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        Skew.saltedJoin(o, c, "custkey", buckets = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total_price"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+             | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |   AS total_price
+             | FROM orders JOIN customer ON o_custkey = c_custkey
+             | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      "skew-salted join == plain join results (oracle-checked)"),
 
     "q_q1_pricing_summary" -> QueryDef(
       (s, dir) =>
