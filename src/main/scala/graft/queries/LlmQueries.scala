@@ -242,6 +242,82 @@ object LlmQueries extends QueryModule {
              | FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
       "language-ID heuristic histogram (marker-token profiles, oracle)"),
 
+    "q_corpus_curation" -> QueryDef(
+      (s, dir) => {
+        // the flagship curation pipeline, oracle-checked end to end:
+        // language-ID gate → quality threshold → exact dedup (keep-first
+        // by digest) → per-source token accounting. One scan, one window
+        // shuffle on the digest, one tiny grouped result.
+        val d = T(s, dir, "documents")
+        val scored = d.select(
+            col("doc_id"), col("source"),
+            TextStats.langId(col("text")).as("__lang"),
+            TextStats.qualityScore(col("text")).as("__q"),
+            TextStats.fingerprintMd5(col("text")).as("__fp"),
+            TextStats.tokenCount(col("text")).as("__tok"))
+          .filter(col("__lang") === "en" && col("__q") >= 0.5)
+        val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+        scored.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("kept_docs"),
+            sum(col("__tok").cast("long")).as("kept_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source, text,
+             |   regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |   FROM documents),
+             | s AS (SELECT doc_id, source, text,
+             |   CASE WHEN greatest(
+             |       len(list_filter(ts, x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))),
+             |       len(list_filter(ts, x -> x IN ('the','and','of','to','in','is','that','it'))),
+             |       len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','los','una'))),
+             |       len(list_filter(ts, x -> x IN ('le','la','de','et','est','les','une','dans')))) = 0
+             |     THEN 'und'
+             |     WHEN len(list_filter(ts, x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))) = greatest(
+             |       len(list_filter(ts, x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))),
+             |       len(list_filter(ts, x -> x IN ('the','and','of','to','in','is','that','it'))),
+             |       len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','los','una'))),
+             |       len(list_filter(ts, x -> x IN ('le','la','de','et','est','les','une','dans')))) THEN 'de'
+             |     WHEN len(list_filter(ts, x -> x IN ('the','and','of','to','in','is','that','it'))) = greatest(
+             |       len(list_filter(ts, x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))),
+             |       len(list_filter(ts, x -> x IN ('the','and','of','to','in','is','that','it'))),
+             |       len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','los','una'))),
+             |       len(list_filter(ts, x -> x IN ('le','la','de','et','est','les','une','dans')))) THEN 'en'
+             |     WHEN len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','los','una'))) = greatest(
+             |       len(list_filter(ts, x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))),
+             |       len(list_filter(ts, x -> x IN ('the','and','of','to','in','is','that','it'))),
+             |       len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','los','una'))),
+             |       len(list_filter(ts, x -> x IN ('le','la','de','et','est','les','une','dans')))) THEN 'es'
+             |     ELSE 'fr' END AS lang_pred,
+             |   0.5 * (len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |       x -> x IN ('the','a','of','and','to','in','is','it')))
+             |     / len(regexp_split_to_array(trim(text), '\s+')))
+             |   + 0.3 * (CASE WHEN len(regexp_split_to_array(trim(text), '\s+'))
+             |       BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+             |   + 0.2 * (1.0 - LENGTH(regexp_replace(text, '[a-z0-9\s]', '', 'g'))
+             |     / LENGTH(text)) AS q,
+             |   len(regexp_split_to_array(trim(text), '\s+')) AS tok
+             |   FROM t),
+             | f AS (SELECT doc_id, source, tok,
+             |   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |   FROM s WHERE lang_pred = 'en' AND q >= 0.5)
+             | SELECT source, COUNT(*) AS kept_docs,
+             |   CAST(SUM(tok) AS BIGINT) AS kept_tokens
+             | FROM f WHERE rn = 1
+             | GROUP BY source ORDER BY source""".stripMargin),
+      "flagship corpus curation: lang gate + quality + dedup + accounting"),
+
+    "q_ann_ivf_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val probes = emb.orderBy(col("vec_id")).limit(5)
+        Ann.ivfTopK(emb, probes, "vec_id", "embedding", k = 10,
+          nCells = 8, nProbe = 3)
+      },
+      None,
+      "IVF (inverted-file) approximate cosine top-k — the partitioned scale path"),
+
     "q_mm_decode" -> QueryDef(
       (s, dir) => {
         // multimodal plumbing demo: documents bytes as opaque media
