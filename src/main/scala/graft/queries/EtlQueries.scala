@@ -560,6 +560,45 @@ object EtlQueries extends QueryModule {
              | ORDER BY p.event_id""".stripMargin),
       "as-of join composed from union + carry-forward window (no native op)"),
 
+    "q_sessionize_batch" -> QueryDef(
+      (s, dir) => {
+        // batch twin of streaming EventStream.sessionize, oracle-checked:
+        // gap > 30 min starts a new session (lag + running sum, all
+        // integral nanos arithmetic — exact at any scale). Parallelism =
+        // |users|; the window state is one user's events.
+        val gapNs = 30L * 60 * 1000000000L
+        val byUser = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val runningW = byUser.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        T(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("__new",
+            when(lag(col("ts"), 1).over(byUser).isNull ||
+              col("ts") - lag(col("ts"), 1).over(byUser) > gapNs, 1L)
+              .otherwise(0L))
+          .withColumn("__sess", sum(col("__new")).over(runningW))
+          .groupBy(col("user_id"))
+          .agg(max(col("__sess")).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH m AS (SELECT user_id, epoch_ns(ts) AS ts, event_id,
+             |   CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+             |     OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+             |     THEN 1 ELSE 0 END AS new_sess
+             |   FROM events
+             |   WINDOW w AS (PARTITION BY user_id
+             |     ORDER BY epoch_ns(ts), event_id)),
+             | s AS (SELECT user_id,
+             |   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             |   FROM m)
+             | SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions,
+             |   COUNT(*) AS n_events
+             | FROM s GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "batch sessionization: 30-min gap split via lag+cumsum (oracle)"),
+
     "q_window_running" -> QueryDef(
       (s, dir) => {
         // per-supplier running quantity total (event-ordered): partitioned
