@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, QueryModule, Tables}
 import graft.multimodal.Multimodal
 import graft.sim.Ann
-import graft.text.{NearDup, TextStats}
+import graft.text.{BloomDedup, NearDup, TextStats}
 
 /** LLM training-data pipeline queries over `documents` / `embeddings`:
   * exact dedup, text statistics, quality scoring, fingerprinting. The
@@ -241,6 +241,46 @@ object LlmQueries extends QueryModule {
              |   ELSE 'fr' END AS lang_pred, COUNT(*) AS docs
              | FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
       "language-ID heuristic histogram (marker-token profiles, oracle)"),
+
+    "q_vocab_topk" -> QueryDef(
+      (s, dir) =>
+        // corpus vocabulary heavy hitters: explode → partial-agg count →
+        // tiny top-k (TakeOrderedAndProject). Deterministic tie-break
+        // (count desc, token asc) keeps the cut oracle-stable.
+        T(s, dir, "documents")
+          .select(explode(split(trim(lower(col("text"))), "\\s+"))
+            .as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("token"))
+          .limit(20),
+      Some("""SELECT t AS token, COUNT(*) AS cnt
+             | FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+             |   '\s+')) AS t FROM documents)
+             | GROUP BY t ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin),
+      "vocabulary top-k heavy hitters (oracle-checked)"),
+
+    "q_dedup_bloom_incremental" -> QueryDef(
+      (s, dir) => {
+        // incremental dedup: historical corpus (doc_id < 400) vs incoming
+        // batch, keyed by a 20-char prefix fingerprint (boilerplate
+        // detection shape). Bloom pre-filter + exact confirm == plain
+        // semi join (oracle-checked).
+        val d = T(s, dir, "documents")
+        val corpus = d.filter(col("doc_id") < 400)
+        val batch = d.filter(col("doc_id") >= 400)
+        BloomDedup.duplicates(corpus, batch,
+            substring(col("text"), 1, 20),
+            expectedItems = 100000L, numBits = 800000L)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT b.doc_id FROM documents b
+             | WHERE b.doc_id >= 400 AND EXISTS (
+             |   SELECT 1 FROM documents c WHERE c.doc_id < 400
+             |     AND substr(c.text, 1, 20) = substr(b.text, 1, 20))
+             | ORDER BY b.doc_id""".stripMargin),
+      "incremental dedup: Bloom pre-filter + exact confirm (oracle)"),
 
     "q_corpus_curation" -> QueryDef(
       (s, dir) => {
