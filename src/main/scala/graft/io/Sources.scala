@@ -30,6 +30,37 @@ object Sources {
       "iso-8859-1"
     else e
 
+  /** S1 variant — malformed-row routing: PERMISSIVE read with the corrupt
+    * raw line captured, split into (valid rows, corrupt raw lines). The
+    * messy-CSV defense the reference handles by pandas' tolerant parser;
+    * here every malformed line is preserved for a dead-letter sink instead
+    * of being silently coerced.
+    *
+    * The frame is persisted before splitting: Spark disallows filtering on
+    * the corrupt-record column of a lazy scan (the raw line is only
+    * available while parsing), and the two halves would otherwise re-read
+    * the file twice anyway.
+    */
+  def csvWithBadRecords(spark: SparkSession, path: String,
+      schema: StructType, encoding: String = "latin1")
+      : (DataFrame, DataFrame) = {
+    val corruptCol = "_corrupt_record"
+    val df = spark.read
+      .option("header", "true")
+      .option("encoding", normalizeEncoding(encoding))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(corruptCol,
+          org.apache.spark.sql.types.StringType)))
+      .csv(path)
+      .persist()
+    (Preprocess.trimHeaders(
+        df.filter(col(corruptCol).isNull).drop(corruptCol)),
+      df.filter(col(corruptCol).isNotNull)
+        .select(col(corruptCol).as("raw_line")))
+  }
+
   /** S1 variant — untyped read for schema discovery on small samples only. */
   def csvInferred(spark: SparkSession, path: String,
       encoding: String = "latin1"): DataFrame =

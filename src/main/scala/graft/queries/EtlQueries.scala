@@ -560,6 +560,22 @@ object EtlQueries extends QueryModule {
              | ORDER BY p.event_id""".stripMargin),
       "as-of join composed from union + carry-forward window (no native op)"),
 
+    "q_a14_approx_stats" -> QueryDef(
+      (s, dir) =>
+        // the documented scale path for per-column profiling when
+        // exactness isn't required: HLL distinct (mergeable, one pass) +
+        // approximate quantiles. Deterministic for a fixed input but not
+        // ANSI-SQL-reproducible → rows-only gate; error bounds vs the
+        // exact values are asserted in ApproxStatsSpec.
+        T(s, dir, "lineitem")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+              .as("approx_median_price")),
+      None,
+      "approximate profiling: HLL distinct + approx quantile (scale path)"),
+
     "q_sessionize_batch" -> QueryDef(
       (s, dir) => {
         // batch twin of streaming EventStream.sessionize, oracle-checked:
