@@ -98,6 +98,36 @@ object EventStream {
       }
   }
 
+  /** Watermarked stream-stream interval join: each purchase event joined
+    * to the same user's signup events that happened within `horizon`
+    * before it. Both sides carry watermarks and the join condition bounds
+    * event-time distance, so each side's state store retains only
+    * watermark+horizon of history — the canonical attribution-join shape,
+    * cluster-ready at any ingest rate.
+    */
+  def purchaseAttribution(events: DataFrame,
+      watermark: String = "10 minutes",
+      horizon: String = "30 days"): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", watermark)
+    val signups = events
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"),
+        col("user_id").as("signup_user"),
+        col("event_time").as("signup_time"))
+      .withWatermark("signup_time", watermark)
+    purchases.join(signups,
+      col("user_id") === col("signup_user") &&
+        col("signup_time") <= col("purchase_time") &&
+        col("signup_time") >= col("purchase_time") - expr(
+          s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("user_id"), col("signup_id"),
+        col("purchase_time"), col("signup_time"))
+  }
+
   /** Streaming scan of a documents-shaped parquet directory, with a
     * deterministic event-time column derived from doc_id (the local
     * stand-in for a message bus carrying ingestion timestamps).

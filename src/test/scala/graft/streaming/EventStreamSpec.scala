@@ -80,6 +80,34 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.count() * 2 > distinctTexts) // input really had dups
   }
 
+  test("stream-stream interval join matches the batch equivalent") {
+    val events = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream.purchaseAttribution(events)
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("attribution").count()
+
+    val batch = Tables.load(spark, sf0001, "events")
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+    val p = batch.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("event_time").as("purchase_time"))
+    val s = batch.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"),
+        col("user_id").as("signup_user"),
+        col("event_time").as("signup_time"))
+    val expected = p.join(s,
+      col("user_id") === col("signup_user") &&
+        col("signup_time") <= col("purchase_time") &&
+        col("signup_time") >= col("purchase_time") -
+          expr("INTERVAL 30 days")).count()
+    assert(streamed === expected)
+    assert(expected > 0)
+  }
+
   test("scoreStream scores micro-batches with a persisted model") {
     val labeled = Tables.load(spark, sf0001, "lineitem").select(
       when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"),
