@@ -576,6 +576,34 @@ object EtlQueries extends QueryModule {
       None,
       "approximate profiling: HLL distinct + approx quantile (scale path)"),
 
+    "q_range_join" -> QueryDef(
+      (s, dir) => {
+        // binned range join (operators.RangeJoin): purchase→signup pairs
+        // within a 30-day lookback, hash-joined via time bins instead of
+        // Spark's nested-loop plan for range predicates; integral nanos.
+        val horizon = 30L * 24 * 3600 * 1000000000L
+        val ev = T(s, dir, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id"), col("ts").as("p_ts"))
+        val sg = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"),
+            col("user_id"), col("ts").as("s_ts"))
+        graft.operators.RangeJoin.rangeJoin(p, sg, Seq("user_id"),
+            "p_ts", "s_ts", lower = horizon, upper = 0L,
+            bin = horizon / 8)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT p.user_id, COUNT(*) AS n_pairs
+             | FROM events p JOIN events s ON s.user_id = p.user_id
+             |  AND p.event_type = 'purchase' AND s.event_type = 'signup'
+             |  AND epoch_ns(s.ts)
+             |    BETWEEN epoch_ns(p.ts) - 2592000000000000 AND epoch_ns(p.ts)
+             | GROUP BY p.user_id ORDER BY p.user_id""".stripMargin),
+      "binned range join == naive range join (oracle); hash not nested-loop"),
+
     "q_sessionize_batch" -> QueryDef(
       (s, dir) => {
         // batch twin of streaming EventStream.sessionize, oracle-checked:
