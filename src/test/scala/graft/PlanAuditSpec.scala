@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Machine-checked plan audits for the shapes SCALE.md claims: filters
+  * and projections reach the parquet scan, dimension joins broadcast,
+  * range joins hash, aggregates partial-aggregate. These are the
+  * properties that decide 100 TB behavior — asserted here so a
+  * regression in plan shape fails CI, not just a benchmark.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf001)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q_p2: predicate + projection reach the scan") {
+    val p = planOf("q_p2_projection_filter")
+    assert(p.contains("GreaterThan(p_size,30)"), p.take(2000))
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string,p_size:int>"))
+  }
+
+  test("q_q6: every predicate pushed; 4-column read schema") {
+    val p = planOf("q_q6_selective_agg")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"))
+    assert(p.contains("LessThan(l_quantity,24.0)"))
+    assert(p.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+        "l_discount:double,l_shipdate:timestamp_ntz>"))
+  }
+
+  test("q_join_broadcast: dimension join broadcasts, fact side unshuffled") {
+    val p = planOf("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_range_join: no nested loop, no cartesian") {
+    val p = planOf("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_q1: partial+final hash aggregation (map-side combine)") {
+    val p = planOf("q_q1_pricing_summary")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q_dedup_exact_keep: digest window is the only wide stage") {
+    val p = planOf("q_dedup_exact_keep")
+    // one Exchange for the hash-partition by digest, one for the output
+    // total order (oracle contract); no join anywhere
+    assert(!p.contains("Join"))
+    assert(p.contains("md5"))
+  }
+
+  test("q_cosine_adjacent: native cosine inside whole-stage codegen") {
+    val df = SparkEntry.queries("q_cosine_adjacent")(spark, sf001)
+    df.collect() // AQE: codegen spans only exist in the executed final plan
+    val p = df.queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators inside a WholeStageCodegen stage;
+    // the project computing cosine_sim must carry it
+    assert(p.contains("isFinalPlan=true"))
+    assert("""\*\(\d+\) Project \[vec_id.*cosine_sim""".r
+      .findFirstIn(p).isDefined, p.take(1500))
+  }
+}
