@@ -73,6 +73,9 @@ object NearDup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, n: Int = 3): DataFrame = {
+    // deliberately NOT persisted: the shingle arrays are large (hundreds
+    // of strings per row) and caching them costs more than the two
+    // recomputations (measured 4× slower with persist at sf0.1)
     val sh = shingles(df, textCol, n)
       .select(col(idCol).as("__jid"), col("__shingles"))
     val a = pairs.join(sh, pairs("id_a") === col("__jid"))
