@@ -59,24 +59,56 @@ object Multimodal {
   final case class DecodedStats(
       n_bytes: Int, mean_byte: Double, checksum01: Double)
 
+  /** The deterministic fake "pixel statistics" fold shared by the scalar
+    * UDF and the batched decoder.
+    */
+  private def foldStats(content: Array[Byte]): DecodedStats = {
+    var h = 1125899906842597L // FNV-ish deterministic fold
+    var sum = 0L; var i = 0
+    while (i < content.length) {
+      h = h * 31 + content(i); sum += content(i) & 0xFF; i += 1
+    }
+    DecodedStats(content.length,
+      if (content.length == 0) 0.0 else sum.toDouble / content.length,
+      (h & Long.MaxValue).toDouble / Long.MaxValue)
+  }
+
   val decodeStub: UserDefinedFunction =
-    udf((content: Array[Byte]) => {
-      if (content == null) null
-      else {
-        var h = 1125899906842597L // FNV-ish deterministic fold
-        var sum = 0L; var i = 0
-        while (i < content.length) {
-          h = h * 31 + content(i); sum += content(i) & 0xFF; i += 1
-        }
-        DecodedStats(content.length,
-          if (content.length == 0) 0.0 else sum.toDouble / content.length,
-          (h & Long.MaxValue).toDouble / Long.MaxValue)
-      }
-    })
+    udf((content: Array[Byte]) =>
+      if (content == null) null else foldStats(content))
 
   /** "Decode" every item: adds a `decoded` struct (stubbed stats). */
   def decode(media: DataFrame): DataFrame =
     media.withColumn("decoded", decodeStub(col("content")))
+
+  /** One decoded batch row (see [[decodeBatched]]). */
+  final case class DecodedRow(media_id: Long, media_type: String,
+      n_bytes: Int, mean_byte: Double, checksum01: Double)
+
+  /** Batched decode via `mapPartitions` — the Scala analogue of the
+    * `mapInPandas` batch shape: the codec sees an iterator of items per
+    * partition and amortizes per-batch setup (model load, codec context)
+    * across `batchSize` items instead of paying it per row. The stub's
+    * "setup" is a no-op, but the batching skeleton (grouped iterator,
+    * per-batch context, streaming output — never materializing a whole
+    * partition) is exactly what a production decoder keeps.
+    */
+  def decodeBatched(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media_type"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // per-batch context would be created here (codec, model, ...)
+          batch.iterator.map { case (id, tpe, content) =>
+            val s = foldStats(
+              if (content == null) Array.empty[Byte] else content)
+            DecodedRow(id, tpe, s.n_bytes, s.mean_byte, s.checksum01)
+          }
+        }
+      }.toDF()
+  }
 
   /** Deterministic fake embedding from the payload (stand-in for a model
     * forward pass), as Array[Float] matching the `embeddings` table shape.

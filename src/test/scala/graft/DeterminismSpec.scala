@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** The QueryDef determinism contract, machine-checked: oracle query
+  * results must not depend on the physical partitioning. A
+  * representative set spanning every shape that could leak partition
+  * order (window dedup, decimal aggregation, top-k with ties, range
+  * join, digest grouping) is run at two shuffle-partition settings and
+  * compared row-for-row — the same invariance that makes results stable
+  * between local[32] and a 1000-executor cluster.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val Sampled = Seq(
+    "q_q1_pricing_summary", "q_dedup_exact_keep", "q_vocab_topk",
+    "q_range_join", "q_sessionize_batch", "q_corpus_curation",
+    "q_a4a5_mean_std", "q_cosine_adjacent")
+
+  private def rowsAt(name: String, partitions: Int): Seq[String] = {
+    spark.conf.set("spark.sql.shuffle.partitions", partitions)
+    try {
+      val df: DataFrame = SparkEntry.queries(name)(spark, sf0001)
+      df.collect().map(_.toString).toSeq
+    } finally spark.conf.set("spark.sql.shuffle.partitions", 32)
+  }
+
+  for (name <- Sampled)
+    test(s"$name is identical at 7 and 32 shuffle partitions") {
+      assert(rowsAt(name, 7) === rowsAt(name, 32))
+    }
+}

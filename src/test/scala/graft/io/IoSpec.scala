@@ -183,4 +183,20 @@ class IoSpec extends SparkSpec {
       assert(n === (nFrames(id) + 6) / 7)
     }
   }
+
+  test("multimodal: batched decode matches the scalar decode") {
+    val docs = (1L to 200L).map(i => (i, s"payload-$i" * (i % 7 + 1).toInt))
+      .toDF("id", "payload")
+      .withColumn("payload", col("payload").cast("binary"))
+    val media = Multimodal.asMedia(docs, "id", "payload", "image")
+    val scalar = Multimodal.decode(media)
+      .select(col("media_id"), col("decoded.n_bytes"),
+        col("decoded.mean_byte"), col("decoded.checksum01"))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batched = Multimodal.decodeBatched(media, batchSize = 16)
+      .select(col("media_id"), col("n_bytes"), col("mean_byte"),
+        col("checksum01"))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(scalar.toSeq === batched.toSeq)
+  }
 }
