@@ -7,7 +7,8 @@ import org.apache.spark.sql.types._
 
 import graft.core.{QueryDef, QueryModule, Tables}
 import graft.eval.Metrics
-import graft.ml.{Importance, MultiModel, PrepPipeline, Smote, Trainers}
+import graft.ml.{Importance, MultiModel, PrepPipeline, Smote, Trainers,
+  TrainingCache}
 
 /** ML-pipeline queries (SURVEY §2.8-2.9). Queries whose semantics are
   * SQL-expressible carry a DuckDB oracle (label encoding); trainer/metric
@@ -43,18 +44,31 @@ object MlQueries extends QueryModule {
     try body(labeled) finally labeled.unpersist()
   }
 
+  /** The shared prepared-matrix cache entry for a testdata dir (split +
+    * prep fit + SMOTE paid once per session per dir — SURVEY §7.4.6's
+    * cached-prepared-data requirement; every stage is deterministic so
+    * cached == fresh).
+    */
+  private def prepared(s: SparkSession, dir: String): TrainingCache.Entry =
+    TrainingCache.entry(s, dir, FeatureCols)(labeledLineitem(s, dir))
+
   /** Train one reference model type end-to-end and report scoring rows
-    * (rows-only contract: trainer internals are not ANSI-SQL).
+    * (rows-only contract: trainer internals are not ANSI-SQL). Semantics
+    * identical to MultiModel.train(useSmote=true, "oversample") + test
+    * scoring — the classifier fit is the only per-model stage.
     */
   private def trainerQuery(modelType: String,
       params: Map[String, String]): (SparkSession, String) => DataFrame =
-    (s, dir) => withLabeled(s, dir) { labeled =>
-      val (tr, te) = MultiModel.split(labeled)
-      val t = MultiModel.train(tr, FeatureCols, modelType, params,
-        useSmote = true, smoteStrategy = "oversample")
-      val teAcc = MultiModel.accuracy(t.pipeline, te)
+    (s, dir) => {
+      val e = prepared(s, dir)
+      val clf = Trainers.byName(modelType, params).fit(e.smotedTrain)
+        .asInstanceOf[org.apache.spark.ml.Transformer]
+      def acc(df: DataFrame): Double =
+        Metrics.accuracy(clf.transform(df)
+          .select(col("label"), col("prediction"))).head().getDouble(0)
       s.createDataFrame(Seq(
-        (modelType, t.trainAccuracy, teAcc, tr.count(), te.count())))
+        (modelType, acc(e.preppedTrain), acc(e.preppedTest),
+          e.nTrain, e.nTest)))
         .toDF("model_type", "train_accuracy", "test_accuracy",
           "n_train", "n_test")
     }
@@ -83,26 +97,23 @@ object MlQueries extends QueryModule {
 
     "q_l6_predict_confusion" -> QueryDef(
       (s, dir) => {
-        // L6+A8: score the held-out split with a DT and emit the real
-        // confusion matrix of model output. tr is consumed eagerly by
-        // train() (fit + accuracy) so it is persisted just for that span;
-        // te feeds the returned lazy frame and is left unpersisted.
-        val (tr, te) = MultiModel.split(labeledLineitem(s, dir))
-        val trP = tr.persist()
-        val t =
-          try MultiModel.train(trP, FeatureCols, "D_TREE",
-            Map("max_depth" -> "5"), useSmote = false)
-          finally trP.unpersist()
+        // L6+A8: score the held-out split with a DT (no SMOTE — fit on
+        // the cached prepped train matrix) and emit the real confusion
+        // matrix of model output.
+        val e = prepared(s, dir)
+        val clf = Trainers.byName("D_TREE", Map("max_depth" -> "5"))
+          .fit(e.preppedTrain)
+          .asInstanceOf[org.apache.spark.ml.Transformer]
         Metrics.confusion(
-          MultiModel.score(t.pipeline, te)
+          clf.transform(e.preppedTest)
             .select(col("label"), col("prediction")))
       }, None,
       "L6: batch scoring + confusion of model output (predict.py:118-125)"),
 
     "q_m1_split" -> QueryDef(
-      (s, dir) => withLabeled(s, dir) { labeled =>
-        val (tr, te) = MultiModel.split(labeled)
-        s.createDataFrame(Seq(("train", tr.count()), ("test", te.count())))
+      (s, dir) => {
+        val e = prepared(s, dir)
+        s.createDataFrame(Seq(("train", e.nTrain), ("test", e.nTest)))
           .toDF("split", "n").orderBy(col("split"))
       }, None,
       "M1: 70/30 randomSplit seed 42 (notebook cell 46)"),
