@@ -282,6 +282,39 @@ object LlmQueries extends QueryModule {
              | ORDER BY b.doc_id""".stripMargin),
       "incremental dedup: Bloom pre-filter + exact confirm (oracle)"),
 
+    "q_neardup_components" -> QueryDef(
+      (s, dir) => {
+        // cluster-level dedup: pairs don't dedup a corpus, components do
+        // (similarity is transitive A~B~C). Edge set here: consecutive
+        // doc_ids sharing a language — long chains that exercise the
+        // multi-hop pointer-jumping path. Oracle: DuckDB recursive CTE.
+        val d = T(s, dir, "documents").select(col("doc_id"), col("lang"))
+        val a = d.select(col("doc_id").as("id_a"), col("lang").as("la"))
+        val b = d.select((col("doc_id") - 1).as("id_a"),
+          col("doc_id").as("id_b"), col("lang").as("lb"))
+        val edges = a.join(b, Seq("id_a"))
+          .filter(col("la") === col("lb"))
+          .select(col("id_a"), col("id_b"))
+        NearDup.connectedComponents(edges)
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("component"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |   SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |   FROM documents a JOIN documents b
+             |     ON b.doc_id = a.doc_id + 1 AND b.lang = a.lang),
+             | sym AS (SELECT id_a AS src, id_b AS dst FROM e
+             |   UNION ALL SELECT id_b, id_a FROM e),
+             | r(id, lbl) AS (
+             |   SELECT src, src FROM sym
+             |   UNION
+             |   SELECT sym.src, r.lbl FROM sym JOIN r ON r.id = sym.dst),
+             | comp AS (SELECT id, MIN(lbl) AS component FROM r GROUP BY id)
+             | SELECT component, COUNT(*) AS n_members
+             | FROM comp GROUP BY component ORDER BY component""".stripMargin),
+      "connected-components dedup clusters (pointer jumping; oracle via recursive CTE)"),
+
     "q_corpus_curation" -> QueryDef(
       (s, dir) => {
         // the flagship curation pipeline, oracle-checked end to end:

@@ -90,6 +90,63 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected candidate-pair edge list —
+    * the cluster step of corpus dedup: near-dup PAIRS don't dedup a
+    * corpus, components do (keep one representative per cluster, even
+    * when similarity is only transitive A~B~C).
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * (a) lowers every node's label to the min label in its neighborhood,
+    * (b) shortcuts label chains by joining labels onto themselves
+    * (label := label(label)). Shortcutting makes chains collapse in
+    * O(log n) rounds instead of O(n) — a 10⁹-node graph at 100 TB
+    * converges in ~30 join rounds, each a plain shuffled equi join. The
+    * driver loop carries only the convergence flag, never data.
+    *
+    * @param edges (id_a, id_b) pairs, any orientation, dups fine
+    * @return (id, component) — component = min node id reachable
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val nodes = sym.select(col("src").as("id")).distinct()
+    // localCheckpoint (not persist): the loop self-joins labels, so the
+    // lineage doubles per round — without truncation the logical plan
+    // grows 2^rounds and planning itself OOMs. On a cluster prefer
+    // reliable checkpoint() with a checkpoint dir for fault tolerance.
+    var labels = nodes.withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // (a) neighborhood min
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("__nmin"))
+      val lowered = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nmin"), col("component")))
+            .as("component"))
+      // (b) pointer jumping: component := component(component)
+      val jump = lowered.select(col("id").as("__lid"),
+        col("component").as("__lcomp"))
+      val next = lowered
+        .join(jump, lowered("component") === jump("__lid"), "left")
+        .select(col("id"),
+          coalesce(col("__lcomp"), col("component")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "__old"),
+        Seq("id"))
+        .filter(col("component") =!= col("__old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash of a text column, fully declarative (64 codegen'd
     * sum-aggregates over exploded token hashes — no UDF, no driver loop).
     */
