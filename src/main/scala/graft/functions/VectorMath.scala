@@ -25,9 +25,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `list_dot_product` on double lists — which keeps cosine queries
   * oracle-checkable (QueryDef determinism contract).
   *
-  * Semantics: null if either input is null; NaN if lengths differ or
-  * either norm is zero (null array *elements* are not supported — embedding
-  * columns are dense).
+  * Semantics: null if either input is null; NaN if lengths differ, a
+  * null element is encountered, or either norm is zero. (The HOF
+  * formulation propagates element nulls to a null result; this
+  * expression signals the same degenerate cases through NaN so the
+  * result stays non-nullable — the bit-identical claim holds for dense
+  * arrays, asserted in VectorMathSpec.)
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -81,6 +84,7 @@ object VectorMath {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y

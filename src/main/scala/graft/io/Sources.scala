@@ -30,20 +30,23 @@ object Sources {
       "iso-8859-1"
     else e
 
+  /** The two halves of a dead-letter CSV read; call [[BadRecordSplit.release]]
+    * once both frames are consumed to free the backing cache (the scan
+    * must be persisted — Spark disallows filtering a lazy scan on only
+    * its corrupt-record column, and the halves would otherwise re-read
+    * and re-parse the file twice).
+    */
+  final case class BadRecordSplit(good: DataFrame, bad: DataFrame,
+      release: () => Unit)
+
   /** S1 variant — malformed-row routing: PERMISSIVE read with the corrupt
-    * raw line captured, split into (valid rows, corrupt raw lines). The
+    * raw line captured, split into valid rows + corrupt raw lines. The
     * messy-CSV defense the reference handles by pandas' tolerant parser;
     * here every malformed line is preserved for a dead-letter sink instead
     * of being silently coerced.
-    *
-    * The frame is persisted before splitting: Spark disallows filtering on
-    * the corrupt-record column of a lazy scan (the raw line is only
-    * available while parsing), and the two halves would otherwise re-read
-    * the file twice anyway.
     */
   def csvWithBadRecords(spark: SparkSession, path: String,
-      schema: StructType, encoding: String = "latin1")
-      : (DataFrame, DataFrame) = {
+      schema: StructType, encoding: String = "latin1"): BadRecordSplit = {
     val corruptCol = "_corrupt_record"
     val df = spark.read
       .option("header", "true")
@@ -55,10 +58,12 @@ object Sources {
           org.apache.spark.sql.types.StringType)))
       .csv(path)
       .persist()
-    (Preprocess.trimHeaders(
+    BadRecordSplit(
+      Preprocess.trimHeaders(
         df.filter(col(corruptCol).isNull).drop(corruptCol)),
       df.filter(col(corruptCol).isNotNull)
-        .select(col(corruptCol).as("raw_line")))
+        .select(col(corruptCol).as("raw_line")),
+      () => { df.unpersist(); () })
   }
 
   /** S1 variant — untyped read for schema discovery on small samples only. */

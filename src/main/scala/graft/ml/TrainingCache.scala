@@ -35,9 +35,14 @@ object TrainingCache {
 
   /** Get-or-build the prepared matrix for `labeled` (must be a
     * deterministic function of `key` — the caller's input path).
+    *
+    * Builds run under a coarse lock: TrieMap.getOrElseUpdate may invoke
+    * the builder concurrently under a race, and the losing thread's
+    * persisted frames would leak unreferenced in executor memory.
+    * Builds are rare and heavyweight, so serializing them costs nothing.
     */
   def entry(spark: SparkSession, key: String, featureCols: Seq[String])
-      (labeled: => DataFrame): Entry =
+      (labeled: => DataFrame): Entry = synchronized {
     cache.getOrElseUpdate(
       (spark.sparkContext.applicationId, key, featureCols), {
       val base = labeled.persist()
@@ -59,6 +64,7 @@ object TrainingCache {
         Entry(prep, prepped, smoted, preppedTest, tr.count(), te.count())
       } finally base.unpersist()
     })
+  }
 
   /** Drop and unpersist every cached matrix (tests / memory pressure). */
   def clear(): Unit = {

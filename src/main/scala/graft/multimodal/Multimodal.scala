@@ -81,9 +81,12 @@ object Multimodal {
   def decode(media: DataFrame): DataFrame =
     media.withColumn("decoded", decodeStub(col("content")))
 
-  /** One decoded batch row (see [[decodeBatched]]). */
+  /** One decoded batch row (see [[decodeBatched]]); stats are None for a
+    * null payload, matching the scalar path's null decoded struct.
+    */
   final case class DecodedRow(media_id: Long, media_type: String,
-      n_bytes: Int, mean_byte: Double, checksum01: Double)
+      n_bytes: Option[Int], mean_byte: Option[Double],
+      checksum01: Option[Double])
 
   /** Batched decode via `mapPartitions` — the Scala analogue of the
     * `mapInPandas` batch shape: the codec sees an iterator of items per
@@ -102,9 +105,12 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           // per-batch context would be created here (codec, model, ...)
           batch.iterator.map { case (id, tpe, content) =>
-            val s = foldStats(
-              if (content == null) Array.empty[Byte] else content)
-            DecodedRow(id, tpe, s.n_bytes, s.mean_byte, s.checksum01)
+            if (content == null) DecodedRow(id, tpe, None, None, None)
+            else {
+              val s = foldStats(content)
+              DecodedRow(id, tpe, Some(s.n_bytes), Some(s.mean_byte),
+                Some(s.checksum01))
+            }
           }
         }
       }.toDF()

@@ -27,12 +27,20 @@ object RangeJoin {
       bin: Long): DataFrame = {
     require(bin > 0 && lower >= 0 && upper >= 0,
       "bin must be positive; lower/upper are non-negative offsets")
-    val lo = (col(leftTime) - lower) cast "long"
-    val hi = (col(leftTime) + upper) cast "long"
-    val l = left.withColumn("__bin",
-      explode(sequence(floor(lo / bin), floor(hi / bin))))
-    val r = right.withColumn("__bin",
-      floor(col(rightTime).cast("long") / bin))
+    // integral `div`, never `/`: double division loses ULPs at
+    // epoch-nano magnitudes (~1.7e18 ≫ 2^53) and can misbin boundary
+    // rows — a silent false negative the exact filter cannot recover.
+    // `div` truncates toward zero (≠ floor for negatives) but is
+    // monotonic and identical on both sides, which is all binning needs.
+    val l = left
+      .withColumn("__lo", col(leftTime).cast("long") - lower)
+      .withColumn("__hi", col(leftTime).cast("long") + upper)
+      .withColumn("__bin",
+        explode(sequence(expr(s"__lo div ${bin}L"), expr(s"__hi div ${bin}L"))))
+      .drop("__lo", "__hi")
+    val r = right.withColumn("__rt", col(rightTime).cast("long"))
+      .withColumn("__bin", expr(s"__rt div ${bin}L"))
+      .drop("__rt")
     l.join(r, keys :+ "__bin")
       .filter(col(rightTime) >= col(leftTime) - lower &&
         col(rightTime) <= col(leftTime) + upper)

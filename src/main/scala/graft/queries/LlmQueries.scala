@@ -438,7 +438,11 @@ object LlmQueries extends QueryModule {
           .withColumn("cosine",
             graft.functions.VectorMath.cosine_sim(col("__ea"), col("__eb")))
           .select(col("vec_id"), col("cosine"),
-            (col("cosine") > 0.95).as("is_dup"))
+            // NOT isnan guard: Spark evaluates NaN > x as false but
+            // DuckDB orders NaN greater-than-all — make both sides
+            // explicit so a degenerate (zero-norm) vector can't split
+            // the oracle
+            (col("cosine") > 0.95 && !isnan(col("cosine"))).as("is_dup"))
           .orderBy(col("vec_id"))
       },
       Some("""WITH d AS (SELECT vec_id,
@@ -450,7 +454,10 @@ object LlmQueries extends QueryModule {
              |      * sqrt(list_dot_product(b.v, b.v))) AS cosine,
              |   list_dot_product(a.v, b.v)
              |     / (sqrt(list_dot_product(a.v, a.v))
-             |      * sqrt(list_dot_product(b.v, b.v))) > 0.95 AS is_dup
+             |      * sqrt(list_dot_product(b.v, b.v))) > 0.95
+             |   AND NOT isnan(list_dot_product(a.v, b.v)
+             |     / (sqrt(list_dot_product(a.v, a.v))
+             |      * sqrt(list_dot_product(b.v, b.v)))) AS is_dup
              | FROM d a JOIN d b ON b.vec_id = a.vec_id + 1
              | ORDER BY a.vec_id""".stripMargin),
       "native codegen'd cosine over adjacent embedding pairs (oracle)"),

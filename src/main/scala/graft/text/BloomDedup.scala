@@ -50,8 +50,16 @@ object BloomDedup {
       XxHash64(Seq(GraftColumnBridge.expression(col("__k"))), 42L)))
     val candidates = batch.withColumn("__k", key)
       .filter(mightContain)
-    // AQE picks the physical side ordering: post-bloom candidates are
-    // tiny, so the exact confirm is a cheap join either way
-    candidates.join(ck, Seq("__k"), "left_semi").drop("__k")
+    // exact confirm without ever shuffling the corpus: the post-bloom
+    // candidate KEYS are tiny, so broadcast them against the corpus scan
+    // (map-side semi join) to get the confirmed key set — also tiny —
+    // and broadcast that back against the candidates. A direct
+    // candidates-semi-corpus join would build/shuffle all corpus keys.
+    val confirmedKeys = ck
+      .join(broadcast(candidates.select(col("__k")).distinct()),
+        Seq("__k"), "left_semi")
+      .distinct()
+    candidates.join(broadcast(confirmedKeys), Seq("__k"), "left_semi")
+      .drop("__k")
   }
 }

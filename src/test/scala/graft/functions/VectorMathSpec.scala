@@ -59,12 +59,16 @@ class VectorMathSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
-  test("null input → null; length mismatch → NaN") {
+  test("null input → null; length mismatch → NaN; null element → NaN") {
     val df = Seq((Some(Array(1.0, 2.0)), None: Option[Array[Double]]))
       .toDF("a", "b")
     assert(df.select(Ann.cosine(col("a"), col("b"))).head().isNullAt(0))
     val mm = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
     assert(mm.select(Ann.cosine(col("a"), col("b"))).head()
+      .getDouble(0).isNaN)
+    val ne = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
+      .toDF("a", "b")
+    assert(ne.select(Ann.cosine(col("a"), col("b"))).head()
       .getDouble(0).isNaN)
   }
 

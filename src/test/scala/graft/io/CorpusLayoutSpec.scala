@@ -43,12 +43,14 @@ class CorpusLayoutSpec extends SparkSpec {
       "3,7.25"))
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("score", DoubleType)))
-    val (good, bad) =
+    val split =
       Sources.csvWithBadRecords(spark, f.toString, schema, "utf-8")
-    assert(good.count() === 2)
-    assert(good.select(sum("id")).head().getLong(0) === 4L) // rows 1 and 3
-    val badLines = bad.collect().map(_.getString(0))
-    assert(badLines.length === 1)
-    assert(badLines.head.contains("not_a_number"))
+    try {
+      assert(split.good.count() === 2)
+      assert(split.good.select(sum("id")).head().getLong(0) === 4L)
+      val badLines = split.bad.collect().map(_.getString(0))
+      assert(badLines.length === 1)
+      assert(badLines.head.contains("not_a_number"))
+    } finally split.release()
   }
 }

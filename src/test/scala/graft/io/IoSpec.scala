@@ -185,7 +185,9 @@ class IoSpec extends SparkSpec {
   }
 
   test("multimodal: batched decode matches the scalar decode") {
-    val docs = (1L to 200L).map(i => (i, s"payload-$i" * (i % 7 + 1).toInt))
+    val docs = (1L to 200L).map(i =>
+        (i, if (i % 50 == 0) null // null payloads must agree too
+            else s"payload-$i" * (i % 7 + 1).toInt))
       .toDF("id", "payload")
       .withColumn("payload", col("payload").cast("binary"))
     val media = Multimodal.asMedia(docs, "id", "payload", "image")

@@ -77,7 +77,8 @@ class EventStreamSpec extends SparkSpec {
     val batch = Tables.load(spark, sf0001, "documents")
     val distinctTexts = batch.select("text").distinct().count()
     assert(spark.table("dedup_docs").count() === distinctTexts)
-    assert(batch.count() * 2 > distinctTexts) // input really had dups
+    // dedup really dropped rows: output strictly below the staged 2N
+    assert(spark.table("dedup_docs").count() < batch.count() * 2)
   }
 
   test("stream-stream interval join matches the batch equivalent") {
