@@ -21,6 +21,14 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       buckets: Int = 8, joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    // the small side is exploded ×buckets, so join types that emit
+    // UNMATCHED small-side rows (right/full outer) would duplicate each
+    // such row `buckets` times — reject them rather than return a wrong
+    // multiset
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "cross")(jt),
+      s"saltedJoin supports inner/left/left_semi joins, not $joinType " +
+        "(the exploded small side breaks right/full-outer multiplicity)")
     // deterministic salt: hash of the whole row spreads a hot key's rows
     // uniformly without an RNG (re-runs produce identical plans/results)
     val saltedBig = big.withColumn("__salt",

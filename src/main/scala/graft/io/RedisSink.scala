@@ -51,7 +51,12 @@ class RedisClient(host: String, port: Int, timeoutMs: Int = 5000)
       else {
         val buf = new Array[Byte](n)
         var off = 0
-        while (off < n) off += in.read(buf, off, n - off)
+        while (off < n) {
+          val r = in.read(buf, off, n - off)
+          if (r < 0) throw new java.io.EOFException(
+            s"redis connection closed mid-reply ($off/$n bytes)")
+          off += r
+        }
         in.read(); in.read() // trailing \r\n
         new String(buf, StandardCharsets.UTF_8)
       }

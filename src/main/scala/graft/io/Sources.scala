@@ -82,11 +82,16 @@ object Sources {
     */
   def jsonDocs(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("multiLine", "true").json(path)
-    val x = raw.select(posexplode(col("X")).as(Seq("idx", "row")))
-      .select(col("idx"), col("row.*"))
     if (raw.columns.contains("y")) {
-      val y = raw.select(posexplode(col("y")).as(Seq("idx", "label")))
-      x.join(y, Seq("idx"))
-    } else x
+      // zip X and y WITHIN each document before exploding: a join on a
+      // bare posexplode index would cross-match rows and labels across
+      // documents when the path holds more than one scoring doc
+      raw.select(posexplode(arrays_zip(col("X"), col("y")))
+          .as(Seq("idx", "__z")))
+        .select("idx", "__z.X.*", "__z.y")
+        .withColumnRenamed("y", "label")
+    } else
+      raw.select(posexplode(col("X")).as(Seq("idx", "row")))
+        .select(col("idx"), col("row.*"))
   }
 }

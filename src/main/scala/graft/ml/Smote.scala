@@ -120,8 +120,11 @@ class Smote(override val uid: String) extends Transformer
     // skip shipping k extra vectors per row through the window there
     val ranked = ($(strategy) match {
       case "smote" =>
+        // exactly k candidates: alternate lag/lead then truncate (odd k
+        // would otherwise yield k+1 — one farther neighbor than asked)
         val neighborCols = (1 to (kk + 1) / 2).flatMap(i =>
           Seq(lag(col(fc), i).over(w), lead(col(fc), i).over(w)))
+          .take(kk)
         indexed.withColumn("__nbs",
           filter(array(neighborCols: _*), x => x.isNotNull))
       case _ => indexed

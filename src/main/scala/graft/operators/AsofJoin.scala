@@ -33,21 +33,24 @@ object AsofJoin {
     val l = left
       .withColumn("__asof_t", col(leftTs))
       .withColumn("__side", lit(0))
+    // carry ONE struct per right row, not per-column values: a struct is
+    // non-null for every right row even when carried FIELDS are null, so
+    // last(_, ignoreNulls) selects the most recent right ROW — per-column
+    // carries would walk past a legitimately-null current value and
+    // resurrect a stale older one (diverging from native ASOF semantics)
     val r = right.select(
-      (on.map(col) :+ col(rightTs).as("__asof_t")) ++
-        rightVals.map(c => col(c).as(s"__rv_$c")): _*)
+      (on.map(col) :+ col(rightTs).as("__asof_t")) :+
+        struct(rightVals.map(c => col(c).as(c)): _*).as("__rv"): _*)
       .withColumn("__side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows sort before left rows at equal timestamps → ties match
     val w = Window.partitionBy(on.map(col): _*)
       .orderBy(col("__asof_t").asc, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightVals.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__rv_$c",
-        last(col(s"__rv_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn("__rv",
+      last(col("__rv"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 0)
       .select(leftCols.map(col) ++
-        rightVals.map(c => col(s"__rv_$c").as(c)): _*)
+        rightVals.map(c => col(s"__rv.$c").as(c)): _*)
   }
 }

@@ -44,6 +44,9 @@ class GraftServer(
   private val registry = new ModelRegistry(s"$modelDir/registry.jsonl")
   private val localCache = new ConcurrentHashMap[String, String]()
   @volatile private var lastModelName: Option[String] = None
+  // bumped on every successful /train/: entries keyed under older
+  // generations become unreachable in BOTH caches (local + Redis)
+  @volatile private var cacheGeneration: Long = 0L
 
   // the reference rebuilds this per request; we prepare once and reuse
   private lazy val prepared: (DataFrame, DataFrame) = {
@@ -98,7 +101,8 @@ class GraftServer(
         val name = p.getOrElse("name", modelType.toLowerCase)
         MultiModel.save(t, modelDir, registry, name)
         lastModelName = Some(name)
-        localCache.clear() // new model invalidates cached predictions
+        cacheGeneration += 1 // orphans stale entries in local AND Redis
+        localCache.clear()
         respond(ex, 200, Map(
           "model_trained" -> true,
           "model_type" -> modelType,
@@ -114,14 +118,27 @@ class GraftServer(
     try {
       val p = queryParams(ex)
       val mode = p.getOrElse("mode", "smoke")
-      val cacheKey = s"predict:$mode"
+      val name = p.get("name").orElse(lastModelName)
+        .getOrElse(throw new IllegalStateException("no trained model"))
+      // upload bodies can only be read once — read before the cache probe
+      val uploadBody =
+        if (mode == "upload")
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        else ""
+      // the key carries everything the answer depends on: mode, resolved
+      // model name, request body digest, and a generation bumped on every
+      // /train/ — so a retrain can never serve a stale hit from either
+      // the local or the Redis cache, and different models/bodies never
+      // collide
+      val cacheKey = s"predict:$mode:$name:g$cacheGeneration:" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(uploadBody.getBytes(StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
       cacheGet(cacheKey) match {
         case Some(hit) =>
           val parsed = mapper.readValue(hit, classOf[Map[String, Any]])
           respond(ex, 200, parsed + ("from_cache" -> true))
         case None =>
-          val name = p.get("name").orElse(lastModelName)
-            .getOrElse(throw new IllegalStateException("no trained model"))
           val entry = registry.latest(name)
             .getOrElse(throw new IllegalStateException(s"unknown model $name"))
           val model = MultiModel.load(entry.path)
@@ -140,10 +157,9 @@ class GraftServer(
                 "sink" -> redis.map(_ => "redis").getOrElse("none"))
             case "upload" =>
               // the mode the reference 500s on (app.py:124): accept CSV
-              // feature rows in the body, conform, score
-              val body = new String(
-                ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-              val lines = body.split("\n").filter(_.trim.nonEmpty).toSeq
+              // feature rows in the body (pre-read above), conform, score
+              val lines =
+                uploadBody.split("\n").filter(_.trim.nonEmpty).toSeq
               import spark.implicits._
               val header = lines.head.split(",").map(_.trim)
               val data = spark.createDataset(lines.tail).toDF("line")

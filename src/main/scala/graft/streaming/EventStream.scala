@@ -79,20 +79,42 @@ object EventStream {
             Iterator(SessionUpdate(userId, s.n, s.start, s.end,
               closed = true))
           } else {
-            val times = rows.map(_._2.getTime).toVector
+            val times = rows.map(_._2.getTime).toVector.sorted
             if (times.isEmpty) Iterator.empty
             else {
-              val merged = state.getOption match {
-                case Some(s) if times.min <= s.end + gapMs =>
-                  SessionState(math.min(s.start, times.min),
-                    math.max(s.end, times.max), s.n + times.size)
-                case _ =>
-                  SessionState(times.min, times.max, times.size.toLong)
+              // split the batch itself on inactivity gaps (one big batch
+              // can span many sessions), merge the first segment into the
+              // carried state when contiguous, CLOSE every session that a
+              // later one supersedes — sessions must never be silently
+              // replaced
+              val segments = times.foldLeft(Vector.empty[SessionState]) {
+                (acc, t) =>
+                  acc.lastOption match {
+                    case Some(s) if t <= s.end + gapMs =>
+                      acc.init :+ SessionState(s.start,
+                        math.max(s.end, t), s.n + 1)
+                    case _ => acc :+ SessionState(t, t, 1L)
+                  }
               }
-              state.update(merged)
-              state.setTimeoutTimestamp(merged.end + gapMs)
-              Iterator(SessionUpdate(userId, merged.n, merged.start,
-                merged.end, closed = false))
+              val (closedPrior, sessions) = state.getOption match {
+                case Some(s) if segments.head.start <= s.end + gapMs =>
+                  (Iterator.empty, SessionState(
+                    math.min(s.start, segments.head.start),
+                    math.max(s.end, segments.head.end),
+                    s.n + segments.head.n) +: segments.tail)
+                case Some(s) =>
+                  (Iterator.single(SessionUpdate(userId, s.n, s.start,
+                    s.end, closed = true)), segments)
+                case None => (Iterator.empty, segments)
+              }
+              val closedMid = sessions.init.map(s =>
+                SessionUpdate(userId, s.n, s.start, s.end, closed = true))
+              val live = sessions.last
+              state.update(live)
+              state.setTimeoutTimestamp(live.end + gapMs)
+              closedPrior ++ closedMid.iterator ++ Iterator.single(
+                SessionUpdate(userId, live.n, live.start, live.end,
+                  closed = false))
             }
           }
       }

@@ -58,7 +58,7 @@ object NearDup {
         col("datasetB.__shingles").as("__sb"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
+    val out = cand
       .withColumn("__inter",
         size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
       .withColumn("jaccard",
@@ -66,6 +66,12 @@ object NearDup {
           (size(col("__sa")) + size(col("__sb")) - col("__inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // materialize the (small) verified pair set, then release the TF
+    // cache — returning a lazy frame over `vecs` would leak the cached
+    // blocks for the session lifetime, one copy per call
+    val snapshot = out.localCheckpoint(true)
+    vecs.unpersist()
+    snapshot
   }
 
   /** Exact n-gram Jaccard for given candidate pairs (ids joined back to
