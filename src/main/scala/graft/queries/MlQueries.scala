@@ -118,6 +118,21 @@ object MlQueries extends QueryModule {
       }, None,
       "M1: 70/30 randomSplit seed 42 (notebook cell 46)"),
 
+    "q_m4_stratified_sample" -> QueryDef(
+      (s, dir) => {
+        // M-family extension: class-stratified sampling (sampleBy) — the
+        // imbalance-aware DOWNsampling counterpart to SMOTE's
+        // oversampling: keep all minority rows, thin the majority.
+        // Per-class Bernoulli at the scan, no shuffle; seeded but not
+        // ANSI-SQL-reproducible → rows-only (fractions asserted in spec).
+        val labeled = labeledLineitem(s, dir)
+        labeled.stat.sampleBy("label",
+            Map(0.0 -> 0.1, 1.0 -> 1.0), seed = 42L)
+          .groupBy(col("label")).agg(count(lit(1)).as("n"))
+          .orderBy(col("label"))
+      }, None,
+      "M4: class-stratified sample (majority thinning, seed 42)"),
+
     "q_m2_smote" -> QueryDef(
       (s, dir) => {
         // SMOTE balance invariant IS oracle-checkable: post-transform both
