@@ -129,12 +129,17 @@ object EtlQueries extends QueryModule {
 
     "q_p9_limit" -> QueryDef(
       (s, dir) =>
+        // ORDER BY every output column: (l_orderkey, l_linenumber) is
+        // NOT unique at sf0.1+, and a limit over a partial order picks
+        // engine-dependent ties; over the full projection, boundary ties
+        // are identical rows, so the output multiset is deterministic
         T(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
           .limit(5),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-             | ORDER BY l_orderkey, l_linenumber LIMIT 5""".stripMargin),
+             | ORDER BY l_orderkey, l_linenumber, l_quantity
+             | LIMIT 5""".stripMargin),
       "P9/O2: deterministic head(5)"),
 
     // ----- §2.4 unions / dedup --------------------------------------------
