@@ -565,6 +565,42 @@ object EtlQueries extends QueryModule {
              | ORDER BY p.event_id""".stripMargin),
       "as-of join composed from union + carry-forward window (no native op)"),
 
+    "q_a15_pivot" -> QueryDef(
+      (s, dir) =>
+        // pivot with EXPLICIT values (never inferred — inference costs a
+        // distinct scan and makes the schema data-dependent): per-priority
+        // order counts spread across status columns
+        T(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("F", "O", "P"))
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             | COUNT(*) FILTER (o_orderstatus = 'F') AS F,
+             | COUNT(*) FILTER (o_orderstatus = 'O') AS O,
+             | COUNT(*) FILTER (o_orderstatus = 'P') AS P
+             | FROM orders GROUP BY o_orderpriority
+             | ORDER BY o_orderpriority""".stripMargin),
+      "pivot (explicit values) == conditional aggregation (oracle)"),
+
+    "q_a16_cube" -> QueryDef(
+      (s, dir) =>
+        // full cube over two dims: all four grouping sets in one pass
+        T(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             | FROM lineitem
+             | GROUP BY CUBE (l_returnflag, l_linestatus)
+             | ORDER BY l_returnflag ASC NULLS FIRST,
+             |   l_linestatus ASC NULLS FIRST""".stripMargin),
+      "CUBE hierarchy aggregation (oracle)"),
+
     "q_a14_approx_stats" -> QueryDef(
       (s, dir) =>
         // the documented scale path for per-column profiling when
