@@ -201,6 +201,55 @@ object EtlQueries extends QueryModule {
              | GROUP BY lang, source ORDER BY lang, source""".stripMargin),
       "set op: exceptAll duplicate-copy inspection (notebook cell 5 idiom)"),
 
+    "q_u5_intersect_all" -> QueryDef(
+      (s, dir) => {
+        // multiset intersection of the (lang, source) profiles of two
+        // corpus halves — which profile combinations appear in both, with
+        // min-multiplicity semantics
+        // range split (NOT parity: source cycles with doc_id, so modulo
+        // splits have disjoint profiles and an empty — vacuous — result)
+        val d = T(s, dir, "documents")
+        val a = d.filter(col("doc_id") < 250)
+          .select(col("lang"), col("source"))
+        val b = d.filter(col("doc_id") >= 250)
+          .select(col("lang"), col("source"))
+        a.intersectAll(b)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""SELECT lang, source, COUNT(*) AS n FROM (
+             |   SELECT lang, source FROM documents WHERE doc_id < 250
+             |   INTERSECT ALL
+             |   SELECT lang, source FROM documents WHERE doc_id >= 250) t
+             | GROUP BY lang, source ORDER BY lang, source""".stripMargin),
+      "set op: INTERSECT ALL with min-multiplicity semantics (oracle)"),
+
+    "q_f10_string_funcs" -> QueryDef(
+      (s, dir) =>
+        // the codegen'd string-builtin battery over one scan: case map,
+        // substring, length, concat, regexp replace/extract, trim/pad
+        T(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("uname"),
+            substring(col("p_name"), 1, 8).as("prefix8"),
+            length(col("p_name")).as("len"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+            regexp_replace(col("p_name"), "[aeiou]", "").as("novowels"),
+            regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+            lpad(trim(col("p_brand")), 12, "#").as("padded"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, UPPER(p_name) AS uname,
+             | substr(p_name, 1, 8) AS prefix8,
+             | LENGTH(p_name) AS len,
+             | concat_ws('|', p_brand, p_type) AS brand_type,
+             | regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels,
+             | regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+             | lpad(trim(p_brand), 12, '#') AS padded
+             | FROM part ORDER BY p_partkey""".stripMargin),
+      "F10: string-builtin battery in one codegen'd scan (oracle)"),
+
     "q_u3_dedup_distinct" -> QueryDef(
       (s, dir) =>
         T(s, dir, "lineitem")
