@@ -46,6 +46,10 @@ object TrainingCache {
     cache.getOrElseUpdate(
       (spark.sparkContext.applicationId, key, featureCols), {
       val base = labeled.persist()
+      // track per-build persists so a partial failure (OOM mid-SMOTE,
+      // bad input at materialization) releases everything it pinned —
+      // an un-inserted Entry is unreachable by clear()
+      val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
       try {
         val (tr, te) = MultiModel.split(base)
         val prep = PrepPipeline.fit(tr, featureCols)
@@ -53,15 +57,22 @@ object TrainingCache {
           .select(col("label").cast("double").as("label"),
             col(PrepPipeline.FeaturesCol))
           .persist()
+        pinned += prepped
         val smoted = new Smote().setStrategy("oversample")
           .transform(prepped).persist()
+        pinned += smoted
         val preppedTest = prep.transform(te)
           .select(col("label").cast("double").as("label"),
             col(PrepPipeline.FeaturesCol))
           .persist()
+        pinned += preppedTest
         // materialize every cache while base is pinned
         smoted.count(); preppedTest.count()
         Entry(prep, prepped, smoted, preppedTest, tr.count(), te.count())
+      } catch {
+        case e: Throwable =>
+          pinned.foreach(_.unpersist())
+          throw e
       } finally base.unpersist()
     })
   }

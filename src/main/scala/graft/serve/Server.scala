@@ -45,8 +45,10 @@ class GraftServer(
   private val localCache = new ConcurrentHashMap[String, String]()
   @volatile private var lastModelName: Option[String] = None
   // bumped on every successful /train/: entries keyed under older
-  // generations become unreachable in BOTH caches (local + Redis)
-  @volatile private var cacheGeneration: Long = 0L
+  // generations become unreachable in BOTH caches (local + Redis).
+  // AtomicLong: += on a volatile is a lost-update race under the
+  // 4-thread handler pool
+  private val cacheGeneration = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // the reference rebuilds this per request; we prepare once and reuse
   private lazy val prepared: (DataFrame, DataFrame) = {
@@ -101,7 +103,7 @@ class GraftServer(
         val name = p.getOrElse("name", modelType.toLowerCase)
         MultiModel.save(t, modelDir, registry, name)
         lastModelName = Some(name)
-        cacheGeneration += 1 // orphans stale entries in local AND Redis
+        cacheGeneration.incrementAndGet() // orphans stale cache entries
         localCache.clear()
         respond(ex, 200, Map(
           "model_trained" -> true,
@@ -130,7 +132,7 @@ class GraftServer(
       // /train/ — so a retrain can never serve a stale hit from either
       // the local or the Redis cache, and different models/bodies never
       // collide
-      val cacheKey = s"predict:$mode:$name:g$cacheGeneration:" +
+      val cacheKey = s"predict:$mode:$name:g${cacheGeneration.get()}:" +
         java.security.MessageDigest.getInstance("MD5")
           .digest(uploadBody.getBytes(StandardCharsets.UTF_8))
           .map("%02x".format(_)).mkString

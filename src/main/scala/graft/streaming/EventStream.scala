@@ -82,37 +82,29 @@ object EventStream {
             val times = rows.map(_._2.getTime).toVector.sorted
             if (times.isEmpty) Iterator.empty
             else {
-              // split the batch itself on inactivity gaps (one big batch
-              // can span many sessions), merge the first segment into the
-              // carried state when contiguous, CLOSE every session that a
-              // later one supersedes — sessions must never be silently
-              // replaced
-              val segments = times.foldLeft(Vector.empty[SessionState]) {
+              // split on inactivity gaps with the carried state folded in
+              // as the seed segment: each event merges if it lies within
+              // gap of the CURRENT (possibly state-extended) session end,
+              // so a batch mixing late and fresh events cannot spuriously
+              // split a session that the late event just extended. Events
+              // older than the session interval merge too — the watermark
+              // bounds their lateness below the gap. Every superseded
+              // session is emitted closed=true, never silently replaced.
+              val sessions = times.foldLeft(state.getOption.toVector) {
                 (acc, t) =>
                   acc.lastOption match {
                     case Some(s) if t <= s.end + gapMs =>
-                      acc.init :+ SessionState(s.start,
+                      acc.init :+ SessionState(math.min(s.start, t),
                         math.max(s.end, t), s.n + 1)
                     case _ => acc :+ SessionState(t, t, 1L)
                   }
-              }
-              val (closedPrior, sessions) = state.getOption match {
-                case Some(s) if segments.head.start <= s.end + gapMs =>
-                  (Iterator.empty, SessionState(
-                    math.min(s.start, segments.head.start),
-                    math.max(s.end, segments.head.end),
-                    s.n + segments.head.n) +: segments.tail)
-                case Some(s) =>
-                  (Iterator.single(SessionUpdate(userId, s.n, s.start,
-                    s.end, closed = true)), segments)
-                case None => (Iterator.empty, segments)
               }
               val closedMid = sessions.init.map(s =>
                 SessionUpdate(userId, s.n, s.start, s.end, closed = true))
               val live = sessions.last
               state.update(live)
               state.setTimeoutTimestamp(live.end + gapMs)
-              closedPrior ++ closedMid.iterator ++ Iterator.single(
+              closedMid.iterator ++ Iterator.single(
                 SessionUpdate(userId, live.n, live.start, live.end,
                   closed = false))
             }

@@ -48,18 +48,20 @@ object BloomDedup {
     val mightContain = GraftColumnBridge.column(BloomFilterMightContain(
       Literal(sketch, org.apache.spark.sql.types.BinaryType),
       XxHash64(Seq(GraftColumnBridge.expression(col("__k"))), 42L)))
-    val candidates = batch.withColumn("__k", key)
-      .filter(mightContain)
-    // exact confirm without ever shuffling the corpus: the post-bloom
-    // candidate KEYS are tiny, so broadcast them against the corpus scan
-    // (map-side semi join) to get the confirmed key set — also tiny —
-    // and broadcast that back against the candidates. A direct
+    // exact confirm without ever shuffling the corpus: pass 1 evaluates
+    // the bloom predicate once and reduces the batch to its distinct
+    // candidate KEYS (tiny); these broadcast against the corpus scan
+    // (map-side semi join) to yield the confirmed key set — also tiny.
+    // Pass 2 over the batch then needs only the broadcast EXACT key set,
+    // no bloom re-evaluation and no sketch literal in its plan. A direct
     // candidates-semi-corpus join would build/shuffle all corpus keys.
+    val candidateKeys = batch.select(key.as("__k"))
+      .filter(mightContain).distinct()
     val confirmedKeys = ck
-      .join(broadcast(candidates.select(col("__k")).distinct()),
-        Seq("__k"), "left_semi")
+      .join(broadcast(candidateKeys), Seq("__k"), "left_semi")
       .distinct()
-    candidates.join(broadcast(confirmedKeys), Seq("__k"), "left_semi")
+    batch.withColumn("__k", key)
+      .join(broadcast(confirmedKeys), Seq("__k"), "left_semi")
       .drop("__k")
   }
 }

@@ -58,7 +58,7 @@ object NearDup {
         col("datasetB.__shingles").as("__sb"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val out = cand
+    cand
       .withColumn("__inter",
         size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
       .withColumn("jaccard",
@@ -66,12 +66,13 @@ object NearDup {
           (size(col("__sa")) + size(col("__sb")) - col("__inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    // materialize the (small) verified pair set, then release the TF
-    // cache — returning a lazy frame over `vecs` would leak the cached
-    // blocks for the session lifetime, one copy per call
-    val snapshot = out.localCheckpoint(true)
-    vecs.unpersist()
-    snapshot
+    // NOTE on the cache lifecycle: the returned frame is lazy over the
+    // persisted `vecs` (Spark's LSH requires the cache for acceptable
+    // self-join cost), so the TF cache lives until the session drops it.
+    // Callers doing many invocations in one session should
+    // spark.catalog.clearCache() between bulk runs. (An eager
+    // localCheckpoint+unpersist variant was tried and rejected: it hides
+    // the join from plan audits and pins checkpoint blocks instead.)
   }
 
   /** Exact n-gram Jaccard for given candidate pairs (ids joined back to
