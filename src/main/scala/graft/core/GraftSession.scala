@@ -32,6 +32,23 @@ object GraftSession {
     .config("spark.sql.warehouse.dir",
       s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse")
 
+  /** Cluster-profile configs on top of [[configure]] — what we'd ship
+    * for a multi-hundred-executor deployment. Local runs don't need
+    * these; they document (as code) how the engine expects to scale:
+    * shuffle parallelism is a ceiling AQE coalesces down from, skew
+    * joins split at runtime, scan partitions stay memory-sized, and
+    * shuffle/cache payloads use Kryo.
+    */
+  def clusterDefaults(b: SparkSession.Builder): SparkSession.Builder =
+    configure(b)
+      .config("spark.sql.shuffle.partitions", "2000")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "268435456") // 256 MiB
+      .config("spark.serializer",
+        "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.autoBroadcastJoinThreshold", "67108864") // 64 MiB
+
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = configure(
       SparkSession.builder().master(s"local[$cores]").appName(appName))
