@@ -201,6 +201,29 @@ object EtlQueries extends QueryModule {
              | GROUP BY lang, source ORDER BY lang, source""".stripMargin),
       "set op: exceptAll duplicate-copy inspection (notebook cell 5 idiom)"),
 
+    "q_join_anti" -> QueryDef(
+      (s, dir) => {
+        // left-anti join (NOT EXISTS): customers with no 1995 orders,
+        // summarized per market segment (date-bounded so the result is
+        // non-vacuous — every customer orders eventually in the fixture).
+        // The anti side builds/broadcasts like any equi join.
+        val c = T(s, dir, "customer")
+        val o = T(s, dir, "orders")
+          .filter(col("o_orderdate") <
+            lit("1996-01-01 00:00:00").cast(TimestampNTZType))
+          .select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_never_ordered"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_never_ordered
+             | FROM customer c WHERE NOT EXISTS (
+             |   SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+             |     AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+             | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      "left-anti join (NOT EXISTS shape) per segment (oracle)"),
+
     "q_u5_intersect_all" -> QueryDef(
       (s, dir) => {
         // multiset intersection of the (lang, source) profiles of two
