@@ -273,6 +273,62 @@ object EtlQueries extends QueryModule {
              | FROM part ORDER BY p_partkey""".stripMargin),
       "F10: string-builtin battery in one codegen'd scan (oracle)"),
 
+    "q_f11_datetime_funcs" -> QueryDef(
+      (s, dir) =>
+        // datetime builtin battery over NTZ timestamps: truncation,
+        // field extraction, day arithmetic — all integral/exact
+        T(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            date_trunc("month", col("o_orderdate")).cast(DateType)
+              .as("order_month"),
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"),
+            dayofweek(col("o_orderdate")).as("dow"),
+            datediff(lit("1999-01-01").cast(DateType),
+              col("o_orderdate").cast(DateType)).as("days_to_1999"),
+            date_add(col("o_orderdate").cast(DateType), 30)
+              .as("due_date"))
+          .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             | CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+             | CAST(year(o_orderdate) AS INT) AS yr,
+             | CAST(month(o_orderdate) AS INT) AS mo,
+             | CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+             | CAST(datediff('day', CAST(o_orderdate AS DATE),
+             |   DATE '1999-01-01') AS INT) AS days_to_1999,
+             | CAST(o_orderdate AS DATE) + 30 AS due_date
+             | FROM orders ORDER BY o_orderkey""".stripMargin),
+      "F11: datetime builtin battery (trunc/extract/arithmetic, oracle)"),
+
+    "q_f12_conditional_funcs" -> QueryDef(
+      (s, dir) =>
+        // conditional/exact-math battery: coalesce, nullif, least/
+        // greatest, sign, abs, integral round — all ops with exact
+        // cross-engine semantics (no transcendentals: ln/pow rounding
+        // is not guaranteed identical between engines)
+        T(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")),
+              lit("OTHER")).as("seg_or_other"),
+            greatest(col("c_acctbal"), lit(0.0)).as("bal_floor0"),
+            least(col("c_acctbal"), lit(5000.0)).as("bal_cap5k"),
+            signum(col("c_acctbal")).as("bal_sign"),
+            abs(col("c_acctbal")).as("bal_abs"),
+            floor(col("c_acctbal")).cast("long").as("bal_floor"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+             | coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER')
+             |   AS seg_or_other,
+             | greatest(c_acctbal, 0.0) AS bal_floor0,
+             | least(c_acctbal, 5000.0) AS bal_cap5k,
+             | CAST(sign(c_acctbal) AS DOUBLE) AS bal_sign,
+             | abs(c_acctbal) AS bal_abs,
+             | CAST(floor(c_acctbal) AS BIGINT) AS bal_floor
+             | FROM customer ORDER BY c_custkey""".stripMargin),
+      "F12: conditional + exact-math battery (oracle)"),
+
     "q_u3_dedup_distinct" -> QueryDef(
       (s, dir) =>
         T(s, dir, "lineitem")
