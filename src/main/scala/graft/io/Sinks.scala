@@ -1,8 +1,8 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** S2/S4 — file sinks matching the reference's persisted artifacts. */
 object Sinks {
@@ -13,15 +13,20 @@ object Sinks {
     * §2.3): deterministic dense row numbers ordered by the given key
     * columns.
     *
-    * Scale note: a dense global index forces a total sort; at 100 TB
-    * prefer a composite natural key. This sink exists for reference
-    * parity of the split-file workflow.
+    * The dense index is minted by a per-partition-count prefix sum
+    * (`zipWithIndex`: one lightweight count pass over the sorted shuffle
+    * output, then local offsets) — every partition numbers its rows in
+    * parallel. No single-task global window; the only global step is the
+    * range-partitioned sort itself.
     */
   def csvWithIndex(df: DataFrame, path: String, orderCols: Seq[String])
       : Unit = {
-    val w = Window.orderBy(orderCols.map(col): _*)
-    df.withColumn("idx", row_number().over(w) - 1)
-      .select(col("idx") +: df.columns.map(col): _*)
+    val sorted = df.orderBy(orderCols.map(col): _*)
+    val schema = StructType(
+      StructField("idx", LongType, nullable = false) +: sorted.schema.fields)
+    val indexed = sorted.rdd.zipWithIndex()
+      .map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
+    df.sparkSession.createDataFrame(indexed, schema)
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
   }
 

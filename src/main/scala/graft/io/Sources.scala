@@ -85,8 +85,15 @@ object Sources {
     if (raw.columns.contains("y")) {
       // zip X and y WITHIN each document before exploding: a join on a
       // bare posexplode index would cross-match rows and labels across
-      // documents when the path holds more than one scoring doc
-      raw.select(posexplode(arrays_zip(col("X"), col("y")))
+      // documents when the path holds more than one scoring doc. The
+      // lengths must agree first — arrays_zip null-pads the short side,
+      // which would silently emit partially-null training rows; a
+      // malformed document fails loudly instead (the filter shape keeps
+      // the assert from being pruned as an unused projection).
+      raw.filter(assert_true(size(col("X")) === size(col("y")),
+          format_string("jsonDocs: X/y length mismatch (%d vs %d)",
+            size(col("X")), size(col("y")))).isNull)
+        .select(posexplode(arrays_zip(col("X"), col("y")))
           .as(Seq("idx", "__z")))
         .select("idx", "__z.X.*", "__z.y")
         .withColumnRenamed("y", "label")

@@ -43,6 +43,11 @@ object TrainingCache {
     */
   def entry(spark: SparkSession, key: String, featureCols: Seq[String])
       (labeled: => DataFrame): Entry = synchronized {
+    // entries bound to a stopped SparkContext are dead weight (their
+    // persisted frames died with the context): drop them so JVMs that
+    // recreate sessions (tests, notebooks) don't accumulate them
+    cache.filterInPlace((_, e) =>
+      !e.preppedTrain.sparkSession.sparkContext.isStopped)
     cache.getOrElseUpdate(
       (spark.sparkContext.applicationId, key, featureCols), {
       val base = labeled.persist()
@@ -77,11 +82,16 @@ object TrainingCache {
     })
   }
 
-  /** Drop and unpersist every cached matrix (tests / memory pressure). */
-  def clear(): Unit = {
+  /** Drop and unpersist every cached matrix (tests / memory pressure).
+    * Entries whose session already stopped are just dropped — their
+    * persisted blocks died with the context, and unpersist would throw.
+    */
+  def clear(): Unit = synchronized {
     cache.values.foreach { e =>
-      e.preppedTrain.unpersist(); e.smotedTrain.unpersist()
-      e.preppedTest.unpersist()
+      if (!e.preppedTrain.sparkSession.sparkContext.isStopped) {
+        e.preppedTrain.unpersist(); e.smotedTrain.unpersist()
+        e.preppedTest.unpersist()
+      }
     }
     cache.clear()
   }

@@ -44,11 +44,6 @@ class GraftServer(
   private val registry = new ModelRegistry(s"$modelDir/registry.jsonl")
   private val localCache = new ConcurrentHashMap[String, String]()
   @volatile private var lastModelName: Option[String] = None
-  // bumped on every successful /train/: entries keyed under older
-  // generations become unreachable in BOTH caches (local + Redis).
-  // AtomicLong: += on a volatile is a lost-update race under the
-  // 4-thread handler pool
-  private val cacheGeneration = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // the reference rebuilds this per request; we prepare once and reuse
   private lazy val prepared: (DataFrame, DataFrame) = {
@@ -103,7 +98,6 @@ class GraftServer(
         val name = p.getOrElse("name", modelType.toLowerCase)
         MultiModel.save(t, modelDir, registry, name)
         lastModelName = Some(name)
-        cacheGeneration.incrementAndGet() // orphans stale cache entries
         localCache.clear()
         respond(ex, 200, Map(
           "model_trained" -> true,
@@ -127,22 +121,25 @@ class GraftServer(
         if (mode == "upload")
           new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         else ""
-      // the key carries everything the answer depends on: mode, resolved
-      // model name, request body digest, and a generation bumped on every
-      // /train/ — so a retrain can never serve a stale hit from either
-      // the local or the Redis cache, and different models/bodies never
-      // collide
-      val cacheKey = s"predict:$mode:$name:g${cacheGeneration.get()}:" +
+      // resolve the model BEFORE the cache probe: the key carries
+      // everything the answer depends on — mode, resolved model name,
+      // request body digest, and the registry entry's durable identity
+      // (path + created_at). A retrain appends a new registry entry, so
+      // its key can never alias a pre-retrain hit — and unlike a
+      // process-local generation counter, this survives server restarts
+      // against a persistent Redis cache.
+      val entry = registry.latest(name)
+        .getOrElse(throw new IllegalStateException(s"unknown model $name"))
+      val cacheKey = s"predict:$mode:$name:" +
         java.security.MessageDigest.getInstance("MD5")
-          .digest(uploadBody.getBytes(StandardCharsets.UTF_8))
+          .digest(s"${entry.path}@${entry.createdAtMs}\n$uploadBody"
+            .getBytes(StandardCharsets.UTF_8))
           .map("%02x".format(_)).mkString
       cacheGet(cacheKey) match {
         case Some(hit) =>
           val parsed = mapper.readValue(hit, classOf[Map[String, Any]])
           respond(ex, 200, parsed + ("from_cache" -> true))
         case None =>
-          val entry = registry.latest(name)
-            .getOrElse(throw new IllegalStateException(s"unknown model $name"))
           val model = MultiModel.load(entry.path)
           val result: Map[String, Any] = mode match {
             case "smoke" =>

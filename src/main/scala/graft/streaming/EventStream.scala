@@ -84,15 +84,20 @@ object EventStream {
             else {
               // split on inactivity gaps with the carried state folded in
               // as the seed segment: each event merges if it lies within
-              // gap of the CURRENT (possibly state-extended) session end,
-              // so a batch mixing late and fresh events cannot spuriously
-              // split a session that the late event just extended. Events
-              // older than the session interval merge too — the watermark
-              // bounds their lateness below the gap. Every superseded
-              // session is emitted closed=true, never silently replaced.
+              // gap of the CURRENT (possibly state-extended) session
+              // interval, so a batch mixing late and fresh events cannot
+              // spuriously split a session that the late event just
+              // extended. A late event older than the open session by
+              // MORE than the gap (possible whenever the watermark
+              // duration exceeds the gap) becomes its own closed session
+              // ordered before the live one — merging it would silently
+              // bridge a real inactivity gap. Every superseded session is
+              // emitted closed=true, never silently replaced.
               val sessions = times.foldLeft(state.getOption.toVector) {
                 (acc, t) =>
                   acc.lastOption match {
+                    case Some(s) if t < s.start - gapMs =>
+                      acc.init ++ Vector(SessionState(t, t, 1L), s)
                     case Some(s) if t <= s.end + gapMs =>
                       acc.init :+ SessionState(math.min(s.start, t),
                         math.max(s.end, t), s.n + 1)

@@ -48,6 +48,17 @@ class IoSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("label") === 0L)
   }
 
+  test("S3 jsonDocs fails loudly on X/y length mismatch") {
+    val dir = Files.createTempDirectory("graft-json-bad").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/doc.json"),
+      """{"X": [{"f1": 1.0, "f2": 2.0}, {"f1": 3.0, "f2": 4.0}],
+        | "y": [1]}""".stripMargin)
+    val e = intercept[Exception] {
+      Sources.jsonDocs(spark, s"$dir/doc.json").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("S2 csvWithIndex writes a dense 0-based index usable as rejoin key") {
     val dir = Files.createTempDirectory("graft-csvidx").toString + "/out"
     val df = Seq((30L, "c"), (10L, "a"), (20L, "b")).toDF("k", "v")
