@@ -733,17 +733,34 @@ object EtlQueries extends QueryModule {
       (s, dir) =>
         // the documented scale path for per-column profiling when
         // exactness isn't required: HLL distinct (mergeable, one pass) +
-        // approximate quantiles. Deterministic for a fixed input but not
-        // ANSI-SQL-reproducible → rows-only gate; error bounds vs the
-        // exact values are asserted in ApproxStatsSpec.
+        // approximate quantiles. The sketch values are deterministic but
+        // not ANSI-SQL-reproducible, so the gate carries the EXACT stats
+        // (DuckDB recomputes them) plus relative-error flags for the
+        // sketches — a broken sketch breaks the hash.
         T(s, dir, "lineitem")
           .agg(
-            approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+            approx_count_distinct(col("l_partkey")).as("__ap"),
+            approx_count_distinct(col("l_suppkey")).as("__as"),
             percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-              .as("approx_median_price")),
-      None,
-      "approximate profiling: HLL distinct + approx quantile (scale path)"),
+              .as("__am"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_suppkey")).as("exact_supps"),
+            expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+          .select(col("exact_parts"), col("exact_supps"),
+            col("exact_median"),
+            (abs(col("__ap") - col("exact_parts")) / col("exact_parts")
+              <= 0.10).as("parts_ok"),
+            (abs(col("__as") - col("exact_supps")) / col("exact_supps")
+              <= 0.10).as("supps_ok"),
+            (abs(col("__am") - col("exact_median")) / col("exact_median")
+              <= 0.01).as("median_ok")),
+      Some("""SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+             | COUNT(DISTINCT l_suppkey) AS exact_supps,
+             | quantile_cont(l_extendedprice, 0.5) AS exact_median,
+             | TRUE AS parts_ok, TRUE AS supps_ok, TRUE AS median_ok
+             | FROM lineitem""".stripMargin),
+      "approximate profiling: HLL distinct + approx quantile, " +
+        "error-bound-gated vs exact (scale path)"),
 
     "q_range_join" -> QueryDef(
       (s, dir) => {

