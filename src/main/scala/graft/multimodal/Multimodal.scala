@@ -1,7 +1,10 @@
 package graft.multimodal
 
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,12 +12,14 @@ import org.apache.spark.sql.types._
   * video payloads ride as opaque `binary` columns next to typed metadata,
   * and per-item decode/feature ops run as partition-local batch functions.
   *
-  * The actual codec step is STUBBED (this environment ships no image/audio
-  * libraries): `decodeStub` derives deterministic fake pixel stats from the
-  * bytes. Everything around it — schema, batching, partition-local
-  * execution, frame sampling, metadata propagation — is the real Spark
-  * plumbing a production decode would use; swapping the stub for a JNI/
-  * library call changes only the function body.
+  * The IMAGE codec is real: `decodeBatched` decodes PNG/BMP/GIF/JPEG
+  * payloads through the JDK's `javax.imageio` and reports codec-derived
+  * dimensions (payloads that aren't decodable images fall back to
+  * byte-stats only). Audio/video decoding remains STUBBED (no media
+  * libraries in this environment): deterministic byte stats stand in for
+  * sample/frame features. The surrounding plumbing — schema, batching,
+  * partition-local execution, frame sampling, metadata propagation — is
+  * the production Spark shape either way.
   *
   * Scale: all ops are narrow (mapPartitions-shaped, no shuffle); payloads
   * never pass through a wide transformation, so 100 TB of media shards
@@ -51,17 +56,14 @@ object Multimodal {
           .cast(IntegerType).as("n_frames"),
         lit(16000).as("sample_rate")))
 
-  /** STUB decode: deterministic per-item "pixel statistics" from payload
-    * bytes — a real implementation would decode via an image library here;
-    * the signature (bytes in, fixed-width numeric features out, executed
-    * per partition batch) is what production code keeps.
+  /** Deterministic per-item byte statistics of a payload — computed for
+    * every media type (for images they sit alongside the codec output;
+    * for the still-stubbed audio/video they stand in for decoded
+    * features).
     */
   final case class DecodedStats(
       n_bytes: Int, mean_byte: Double, checksum01: Double)
 
-  /** The deterministic fake "pixel statistics" fold shared by the scalar
-    * UDF and the batched decoder.
-    */
   private def foldStats(content: Array[Byte]): DecodedStats = {
     var h = 1125899906842597L // FNV-ish deterministic fold
     var sum = 0L; var i = 0
@@ -73,28 +75,23 @@ object Multimodal {
       (h & Long.MaxValue).toDouble / Long.MaxValue)
   }
 
-  val decodeStub: UserDefinedFunction =
-    udf((content: Array[Byte]) =>
-      if (content == null) null else foldStats(content))
-
-  /** "Decode" every item: adds a `decoded` struct (stubbed stats). */
-  def decode(media: DataFrame): DataFrame =
-    media.withColumn("decoded", decodeStub(col("content")))
-
   /** One decoded batch row (see [[decodeBatched]]); stats are None for a
-    * null payload, matching the scalar path's null decoded struct.
+    * null payload, width/height are Some only when the image codec
+    * actually decoded the bytes.
     */
   final case class DecodedRow(media_id: Long, media_type: String,
       n_bytes: Option[Int], mean_byte: Option[Double],
-      checksum01: Option[Double])
+      checksum01: Option[Double], width: Option[Int], height: Option[Int])
 
   /** Batched decode via `mapPartitions` — the Scala analogue of the
     * `mapInPandas` batch shape: the codec sees an iterator of items per
-    * partition and amortizes per-batch setup (model load, codec context)
-    * across `batchSize` items instead of paying it per row. The stub's
-    * "setup" is a no-op, but the batching skeleton (grouped iterator,
+    * partition and amortizes per-batch setup (codec context, model load)
+    * across `batchSize` items instead of paying it per row. Image rows go
+    * through the real JDK codec (`javax.imageio`: PNG/BMP/GIF/JPEG);
+    * bytes that no installed reader accepts — and all audio/video rows —
+    * keep byte stats only. The batching skeleton (grouped iterator,
     * per-batch context, streaming output — never materializing a whole
-    * partition) is exactly what a production decoder keeps.
+    * partition) is exactly what a heavier production decoder keeps.
     */
   def decodeBatched(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
@@ -102,18 +99,50 @@ object Multimodal {
     media.select(col("media_id"), col("media_type"), col("content"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
+        // per-batch codec context: no temp-file caching for byte streams
+        ImageIO.setUseCache(false)
         rows.grouped(batchSize).flatMap { batch =>
-          // per-batch context would be created here (codec, model, ...)
           batch.iterator.map { case (id, tpe, content) =>
-            if (content == null) DecodedRow(id, tpe, None, None, None)
+            if (content == null)
+              DecodedRow(id, tpe, None, None, None, None, None)
             else {
               val s = foldStats(content)
+              val img =
+                if (tpe == "image")
+                  Option(
+                    try ImageIO.read(new ByteArrayInputStream(content))
+                    catch { case _: Exception => null })
+                else None
               DecodedRow(id, tpe, Some(s.n_bytes), Some(s.mean_byte),
-                Some(s.checksum01))
+                Some(s.checksum01), img.map(_.getWidth),
+                img.map(_.getHeight))
             }
           }
         }
       }.toDF()
+  }
+
+  /** Deterministic synthetic PNG: REAL encoded bytes (graylevel gradient
+    * derived from the seed) so decode paths exercise an actual codec
+    * round-trip. Executor-safe — used to mint demo/test payloads
+    * distributed, not on the driver.
+    */
+  def synthPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = (x * 31 + y * 17 + seed).toInt & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Deterministic fake embedding from the payload (stand-in for a model

@@ -570,6 +570,32 @@ object LlmQueries extends QueryModule {
       "multimodal: binary payload + batched partition-local decode " +
         "(byte stats hash-checked)"),
 
+    "q_mm_image_decode" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        // real-codec round-trip: deterministic PNGs are ENCODED on
+        // executors (synthPng), then DECODED by the javax.imageio batch
+        // path — the emitted width/height come from the codec reading
+        // actual PNG bytes, and the oracle recomputes the expected
+        // dimensions from the seed formula
+        val ids = T(s, dir, "documents").filter(col("doc_id") < 64)
+          .select(col("doc_id")).as[Long]
+        val media = ids.map { id =>
+          val w = 16 + (id % 32).toInt
+          val h = 12 + (id % 24).toInt
+          (id, "image", Multimodal.synthPng(w, h, id))
+        }.toDF("media_id", "media_type", "content")
+        Multimodal.decodeBatched(media)
+          .select(col("media_id"), col("width"), col("height"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             | CAST(16 + doc_id % 32 AS INTEGER) AS width,
+             | CAST(12 + doc_id % 24 AS INTEGER) AS height
+             | FROM documents WHERE doc_id < 64 ORDER BY media_id""".stripMargin),
+      "multimodal: real PNG decode via javax.imageio — codec round-trip " +
+        "with dimensions hash-checked"),
+
     "q_mm_frame_sample" -> QueryDef(
       (s, dir) => {
         // frame sampling with metadata-driven frame counts (n_frames from

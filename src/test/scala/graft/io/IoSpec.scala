@@ -171,16 +171,19 @@ class IoSpec extends SparkSpec {
     }
   }
 
-  test("multimodal: media schema, stub decode, resize, frame sampling") {
+  test("multimodal: media schema, batched decode, resize, frame sampling") {
     val docs = Seq((1L, "abcdef"), (2L, "xyz")).toDF("id", "payload")
       .withColumn("payload", col("payload").cast("binary"))
     val media = Multimodal.asMedia(docs, "id", "payload", "video")
     assert(media.schema.fieldNames.toSeq ===
       Seq("media_id", "media_type", "content", "meta"))
-    val decoded = Multimodal.decode(media).select("decoded.*").collect()
-    assert(decoded.map(_.getInt(0)).toSet === Set(6, 3))
+    val decoded = Multimodal.decodeBatched(media).collect()
+    assert(decoded.map(_.getAs[Int]("n_bytes")).toSet === Set(6, 3))
+    // non-image media types never get codec dimensions
+    assert(decoded.forall(r =>
+      r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("height"))))
     // decode is deterministic
-    val d2 = Multimodal.decode(media).select("decoded.*").collect()
+    val d2 = Multimodal.decodeBatched(media).collect()
     assert(decoded.map(_.toString).toSeq === d2.map(_.toString).toSeq)
     val resized = Multimodal.resize(media, 64, 64)
       .select("meta.width", "meta.height").collect()
@@ -195,21 +198,46 @@ class IoSpec extends SparkSpec {
     }
   }
 
-  test("multimodal: batched decode matches the scalar decode") {
+  test("multimodal: batched decode handles nulls and batch boundaries") {
     val docs = (1L to 200L).map(i =>
-        (i, if (i % 50 == 0) null // null payloads must agree too
+        (i, if (i % 50 == 0) null // null payloads must yield null stats
             else s"payload-$i" * (i % 7 + 1).toInt))
       .toDF("id", "payload")
       .withColumn("payload", col("payload").cast("binary"))
     val media = Multimodal.asMedia(docs, "id", "payload", "image")
-    val scalar = Multimodal.decode(media)
-      .select(col("media_id"), col("decoded.n_bytes"),
-        col("decoded.mean_byte"), col("decoded.checksum01"))
-      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
     val batched = Multimodal.decodeBatched(media, batchSize = 16)
-      .select(col("media_id"), col("n_bytes"), col("mean_byte"),
-        col("checksum01"))
-      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
-    assert(scalar.toSeq === batched.toSeq)
+      .collect().sortBy(_.getAs[Long]("media_id"))
+    assert(batched.length === 200)
+    batched.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      if (id % 50 == 0) assert(r.isNullAt(r.fieldIndex("n_bytes")))
+      else {
+        val expected = s"payload-$id".length * (id % 7 + 1).toInt
+        assert(r.getAs[Int]("n_bytes") === expected)
+        // text bytes are not a decodable image — codec must decline,
+        // not throw or fabricate dimensions
+        assert(r.isNullAt(r.fieldIndex("width")))
+      }
+    }
+  }
+
+  test("multimodal: real PNG decode via javax.imageio") {
+    val media = Seq(
+        (1L, "image", Multimodal.synthPng(20, 10, seed = 7L)),
+        (2L, "image", Multimodal.synthPng(33, 47, seed = 2L)),
+        (3L, "image", "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "content")
+    val rows = Multimodal.decodeBatched(media)
+      .collect().sortBy(_.getAs[Long]("media_id"))
+    // width/height come from the codec reading actual PNG bytes
+    assert(rows(0).getAs[Int]("width") === 20)
+    assert(rows(0).getAs[Int]("height") === 10)
+    assert(rows(1).getAs[Int]("width") === 33)
+    assert(rows(1).getAs[Int]("height") === 47)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("width")))
+    // the synthetic PNG itself is deterministic (stable bytes → stable
+    // downstream fingerprints)
+    assert(Multimodal.synthPng(20, 10, 7L).toSeq ===
+      Multimodal.synthPng(20, 10, 7L).toSeq)
   }
 }
