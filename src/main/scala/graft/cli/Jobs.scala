@@ -21,9 +21,10 @@ object Jobs {
       .getOrCreate()
 
   /** The modeling view over the synthetic corpus (stands in for the
-    * reference's preprocessed CICIDS matrix).
+    * reference's preprocessed CICIDS matrix). Public: the serving entry
+    * point (ServeMain) and the CLI jobs must train on the SAME frame.
     */
-  private[cli] def labeled(spark: SparkSession, sfDir: String): DataFrame =
+  def labeled(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "lineitem").select(
       when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"),
       col("l_quantity"), col("l_extendedprice"), col("l_discount"),

@@ -107,12 +107,7 @@ object Multimodal {
               DecodedRow(id, tpe, None, None, None, None, None)
             else {
               val s = foldStats(content)
-              val img =
-                if (tpe == "image")
-                  Option(
-                    try ImageIO.read(new ByteArrayInputStream(content))
-                    catch { case _: Exception => null })
-                else None
+              val img = if (tpe == "image") readImageSafe(content) else None
               DecodedRow(id, tpe, Some(s.n_bytes), Some(s.mean_byte),
                 Some(s.checksum01), img.map(_.getWidth),
                 img.map(_.getHeight))
@@ -120,6 +115,38 @@ object Multimodal {
           }
         }
       }.toDF()
+  }
+
+  /** Decode cap: 64M pixels (~256 MB ARGB). A poison payload whose
+    * header declares absurd dimensions must fall back to byte stats, not
+    * OOM the executor.
+    */
+  private val MaxDecodePixels = 64L << 20
+
+  /** Decode an image payload defensively: probe the HEADER first (reader
+    * discovery + declared dimensions — no pixel allocation), refuse
+    * anything over [[MaxDecodePixels]], and treat every decode failure as
+    * "not an image" rather than a task failure. One corrupt or crafted
+    * record must never kill a 100 TB decode job.
+    */
+  private def readImageSafe(content: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(content))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val w = r.getWidth(0).toLong
+          val h = r.getHeight(0).toLong
+          if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) None
+          else Option(r.read(0))
+        } finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (iis != null) iis.close()
   }
 
   /** Deterministic synthetic PNG: REAL encoded bytes (graylevel gradient

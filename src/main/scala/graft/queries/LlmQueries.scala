@@ -277,9 +277,13 @@ object LlmQueries extends QueryModule {
         // pair count; recall_ok asserts the banding recovered >=90% of
         // it (measured: 25/25 at sf0.01, 255/256 at sf0.1 — the one miss
         // is a hamming-12 pair outside any banding guarantee).
+        // hamming <= 16 pre-cut: bit_count on the banded join output is
+        // nearly free and discards the bulk of coincidental bucket
+        // collisions BEFORE the expensive exact shingle-intersect verify
+        // (true near-dup pairs measure hamming <= 12 at both gate scales)
         val docs = T(s, dir, "documents")
         val cand = NearDup.simHashPairs(docs, "doc_id", "text",
-            maxHamming = 63, numBands = 8)
+            maxHamming = 16, numBands = 8)
           .select(col("id_a"), col("id_b"))
         val found = NearDup.ngramJaccard(docs, "doc_id", "text", cand,
             n = 3)
@@ -549,10 +553,14 @@ object LlmQueries extends QueryModule {
         // decoder computes (length, mean byte value) ARE
         // oracle-expressible — the gate hash-checks the whole decode path
         // end to end, not just that it ran.
+        // typed "audio" (stub feature path): text bytes are not images,
+        // so typing them "image" would only buy a guaranteed-failing
+        // codec probe per row; the real-codec path is gated separately
+        // by q_mm_image_decode
         val media = Multimodal.asMedia(
           T(s, dir, "documents").withColumn("payload",
             col("text").cast("binary")),
-          "doc_id", "payload", "image")
+          "doc_id", "payload", "audio")
         Multimodal.decodeBatched(media)
           .groupBy(col("media_type"))
           .agg(count(lit(1)).as("n"),
@@ -560,7 +568,7 @@ object LlmQueries extends QueryModule {
             sum(floor(col("mean_byte") * 1000)).as("mean_byte_milli"))
           .orderBy(col("media_type"))
       },
-      Some("""SELECT 'image' AS media_type, COUNT(*) AS n,
+      Some("""SELECT 'audio' AS media_type, COUNT(*) AS n,
              | CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
              | CAST(SUM(CAST(floor(
              |   (list_aggregate(list_transform(range(1, length(text)+1),

@@ -1,9 +1,9 @@
 package graft.serve
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-import graft.core.{GraftSession, Tables}
+import graft.cli.Jobs
+import graft.core.GraftSession
 
 /** Container entry point for the serving layer — the engine's analogue of
   * the reference's web service in its two-service compose stack
@@ -33,13 +33,10 @@ object ServeMain {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val featureCols =
-      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    def trainData() = Tables.load(spark, sfDir, "lineitem").select(
-      when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"),
-      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-      col("l_tax"))
-    val server = new GraftServer(spark, () => trainData(), featureCols,
+    // same modeling frame as the CLI jobs and gated queries — one
+    // definition (Jobs.labeled), three consumers
+    val server = new GraftServer(spark,
+      () => Jobs.labeled(spark, sfDir), Jobs.FeatureCols,
       modelDir, port, redis)
     server.start()
     println(s"graft-serve listening on :${server.boundPort} " +

@@ -240,4 +240,27 @@ class IoSpec extends SparkSpec {
     assert(Multimodal.synthPng(20, 10, 7L).toSeq ===
       Multimodal.synthPng(20, 10, 7L).toSeq)
   }
+
+  test("multimodal: decode-bomb payload falls back instead of OOMing") {
+    // a tiny payload whose PNG header declares 50000x50000 (~7.5 GB
+    // decoded) — the defensive header probe must refuse it, not allocate
+    val bomb = {
+      val real = Multimodal.synthPng(4, 4, 1L)
+      // IHDR width/height live at byte offsets 16-23; splice in huge dims
+      val b = real.clone()
+      val w = 50000; val h = 50000
+      b(16) = (w >> 24).toByte; b(17) = (w >> 16).toByte
+      b(18) = (w >> 8).toByte; b(19) = w.toByte
+      b(20) = (h >> 24).toByte; b(21) = (h >> 16).toByte
+      b(22) = (h >> 8).toByte; b(23) = h.toByte
+      b
+    }
+    val media = Seq((1L, "image", bomb)).toDF(
+      "media_id", "media_type", "content")
+    val rows = Multimodal.decodeBatched(media).collect()
+    assert(rows.length === 1)
+    // byte stats still computed; codec dimensions refused
+    assert(rows(0).getAs[Int]("n_bytes") === bomb.length)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("width")))
+  }
 }
