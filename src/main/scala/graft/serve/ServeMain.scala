@@ -39,7 +39,8 @@ object ServeMain {
       () => Jobs.labeled(spark, sfDir), Jobs.FeatureCols,
       modelDir, port, redis)
     server.start()
-    println(s"graft-serve listening on :${server.boundPort} " +
+    val log = graft.core.Log.logger("graft.serve", show = true)
+    log.info(s"graft-serve listening on :${server.boundPort} " +
       s"(data=$sfDir, models=$modelDir, redis=${redis.getOrElse("off")})")
     // block until the JVM is signalled; HttpServer threads are non-daemon
     // but parking the main thread keeps lifecycle explicit

@@ -58,6 +58,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("md5"))
   }
 
+  test("q_ann_brute_topk: probes broadcast, corpus side never shuffled") {
+    val p = planOf("q_ann_brute_topk")
+    // the probe side is tiny and carries a non-equi condition
+    // (probe_id != neighbor_id), so the right shape is a broadcast
+    // nested-loop over the corpus scan — one map-side pass, no corpus
+    // shuffle, never a sort-merge join
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"))
+  }
+
+  test("near-dup candidate joins are banded equi-joins, never cartesian") {
+    // MinHash bands and SimHash chunks must join bucket-locally; a
+    // cartesian product here is the all-pairs blowup the whole design
+    // exists to avoid
+    assert(!planOf("q_minhash_neardup").contains("CartesianProduct"))
+    assert(!planOf("q_simhash_neardup").contains("CartesianProduct"))
+    assert(!planOf("q_dedup_embedding").contains("CartesianProduct"))
+  }
+
   test("q_cosine_adjacent: native cosine inside whole-stage codegen") {
     val df = SparkEntry.queries("q_cosine_adjacent")(spark, sf001)
     df.collect() // AQE: codegen spans only exist in the executed final plan
