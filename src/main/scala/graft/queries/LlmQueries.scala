@@ -271,19 +271,20 @@ object LlmQueries extends QueryModule {
       (s, dir) => {
         // SimHash as candidate generator + exact n-gram Jaccard verify —
         // the production near-dup shape for the simhash path. 8×8-bit
-        // banding (complete for hamming<=7; measured true-pair hammings
-        // cluster at 0-8 with a tail to 12) + no hamming cut: the exact
-        // Jaccard verify decides. Gate: DuckDB recomputes the exact true
-        // pair count; recall_ok asserts the banding recovered >=90% of
-        // it (measured: 25/25 at sf0.01, 255/256 at sf0.1 — the one miss
-        // is a hamming-12 pair outside any banding guarantee).
-        // hamming <= 16 pre-cut: bit_count on the banded join output is
-        // nearly free and discards the bulk of coincidental bucket
-        // collisions BEFORE the expensive exact shingle-intersect verify
-        // (true near-dup pairs measure hamming <= 12 at both gate scales)
+        // banding is pigeonhole-complete for hamming <= 7; measured
+        // true-pair hammings reach 11, and pairs at 8-11 still share a
+        // chunk in practice. Gate: DuckDB recomputes the exact true pair
+        // count; recall_ok asserts the banded+verified pipeline recovered
+        // >= 90% of it.
+        // simhash over 3-gram shingles (the Jaccard feature set) — unigram
+        // simhash collapses on this template-heavy corpus (68% of sf0.1
+        // pairs within hamming 16, half the corpus in one band bucket);
+        // shingle simhash puts unrelated docs ~32 bits apart and ALL true
+        // pairs at <= 11, so the hamming <= 16 pre-cut leaves a tiny exact
+        // verify set (~900 pairs at sf0.1 vs 4M with unigrams)
         val docs = T(s, dir, "documents")
         val cand = NearDup.simHashPairs(docs, "doc_id", "text",
-            maxHamming = 16, numBands = 8)
+            maxHamming = 16, numBands = 8, shingleN = 3)
           .select(col("id_a"), col("id_b"))
         val found = NearDup.ngramJaccard(docs, "doc_id", "text", cand,
             n = 3)

@@ -156,12 +156,27 @@ object NearDup {
 
   /** 64-bit SimHash of a text column, fully declarative (64 codegen'd
     * sum-aggregates over exploded token hashes — no UDF, no driver loop).
+    *
+    * @param shingleN 0 = hash distinct unigram tokens; >=2 = hash distinct
+    *   token n-gram shingles. Unigram simhash collapses on template-heavy
+    *   corpora (documents sharing most vocabulary get near-equal hashes:
+    *   measured 68% of ALL sf0.1 pairs within hamming 16, band buckets
+    *   holding half the corpus). Shingles restore entropy — hash the same
+    *   feature set the near-dup Jaccard is defined over and unrelated
+    *   documents land ~32 bits apart while true near-dups stay <= 11.
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("__id"),
-        explode(array_distinct(split(trim(lower(col(textCol))), "\\s+")))
-          .as("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 0): DataFrame = {
+    val toks0 =
+      if (shingleN >= 2)
+        shingles(df, textCol, shingleN)
+          .select(col(idCol).as("__id"),
+            explode(col("__shingles")).as("__tok"))
+      else
+        df.select(col(idCol).as("__id"),
+          explode(array_distinct(split(trim(lower(col(textCol))), "\\s+")))
+            .as("__tok"))
+    val toks = toks0.withColumn("__h", xxhash64(col("__tok")))
     // per bit: +1 if set, -1 if not; sign of the sum is the simhash bit
     val bitSums = (0 until 64).map(i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1L) === 1L, 1)
@@ -182,11 +197,12 @@ object NearDup {
     * recall up to hamming 7 must be certain.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, numBands: Int = 4): DataFrame = {
+      maxHamming: Int = 3, numBands: Int = 4, shingleN: Int = 0)
+      : DataFrame = {
     require(64 % numBands == 0, s"numBands must divide 64, got $numBands")
     val width = 64 / numBands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val sh = simHash(df, idCol, textCol)
+    val sh = simHash(df, idCol, textCol, shingleN)
     val banded = sh.select(col("__id"), col("simhash"),
       explode(array((0 until numBands).map(i =>
         struct(lit(i).as("band"),
