@@ -895,6 +895,80 @@ object EtlQueries extends QueryModule {
              | ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
       "headline: shipping-priority 3-table join + top-k (TPC-H Q3 shape)"),
 
+    "q_q17_small_quantity" -> QueryDef(
+      (s, dir) => {
+        // correlated scalar subquery (avg per part), decorrelated
+        // Spark-first: the per-part aggregate is a grouped frame joined
+        // back — exactly what Catalyst rewrites the subquery to. The
+        // 0.2·avg threshold is evaluated in exact decimal×long arithmetic
+        // (qty·5·cnt < sum_qty) so both engines agree on every row; only
+        // the final sum is cast to double.
+        val l = T(s, dir, "lineitem").select(col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"))
+        val p = T(s, dir, "part").filter(col("p_brand") === "Brand#4")
+          .select(col("p_partkey"))
+        val perPart = l.groupBy(col("l_partkey").as("__pk"))
+          .agg(sum(col("l_quantity").cast(D2)).as("__sum_qty"),
+            count(lit(1)).as("__cnt"))
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .join(perPart, col("l_partkey") === col("__pk"))
+          .filter(col("l_quantity").cast(D2) * lit(5) * col("__cnt")
+            < col("__sum_qty"))
+          .agg((sum(col("l_extendedprice").cast(D2)).cast(DoubleType)
+            / 7.0).as("avg_yearly"))
+      },
+      Some("""WITH pp AS (SELECT l_partkey AS pk,
+             |   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             |   COUNT(*) AS cnt
+             |   FROM lineitem GROUP BY 1)
+             | SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |   AS DOUBLE) / 7.0 AS avg_yearly
+             | FROM lineitem l
+             | JOIN part p ON p.p_partkey = l.l_partkey
+             | JOIN pp ON pp.pk = l.l_partkey
+             | WHERE p.p_brand = 'Brand#4'
+             |   AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pp.cnt
+             |     < pp.sum_qty""".stripMargin),
+      "headline: correlated scalar subquery decorrelated to a grouped " +
+        "self-join (TPC-H Q17 shape)"),
+
+    "q_q18_large_orders" -> QueryDef(
+      (s, dir) => {
+        // HAVING-filtered aggregate as a semi-join gate on the fact
+        // table, then dim joins and exact-decimal re-aggregation; top-k
+        // via TakeOrderedAndProject with a unique tiebreak
+        val l = T(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_quantity"))
+        val big = l.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast(D2)).as("__q"))
+          .filter(col("__q") > lit(250).cast(D2))
+          .select(col("l_orderkey"))
+        val o = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"))
+        val c = T(s, dir, "customer").select(col("c_custkey"),
+          col("c_name"))
+        l.join(big, Seq("l_orderkey"), "left_semi")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_name"), col("o_orderkey"))
+          .agg(sum(col("l_quantity").cast(D2)).cast(DoubleType)
+            .as("total_qty"))
+          .orderBy(desc("total_qty"), col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT c_name, o_orderkey,
+             | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |   AS total_qty
+             | FROM lineitem
+             | JOIN orders ON o_orderkey = l_orderkey
+             | JOIN customer ON c_custkey = o_custkey
+             | WHERE l_orderkey IN (
+             |   SELECT l_orderkey FROM lineitem GROUP BY 1
+             |   HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+             | GROUP BY c_name, o_orderkey
+             | ORDER BY total_qty DESC, o_orderkey LIMIT 10""".stripMargin),
+      "headline: HAVING aggregate gating a semi-join (TPC-H Q18 shape)"),
+
     "q_m3_class_ratio" -> QueryDef(
       (s, dir) =>
         T(s, dir, "orders")

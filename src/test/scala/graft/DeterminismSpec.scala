@@ -15,7 +15,11 @@ class DeterminismSpec extends SparkSpec {
   private val Sampled = Seq(
     "q_q1_pricing_summary", "q_dedup_exact_keep", "q_vocab_topk",
     "q_range_join", "q_sessionize_batch", "q_corpus_curation",
-    "q_a4a5_mean_std", "q_cosine_adjacent")
+    "q_a4a5_mean_std", "q_cosine_adjacent",
+    // the in-query quality gates: their boolean/count invariants must
+    // not flip with physical partitioning (seeded LSH/KMeans/banding)
+    "q_simhash_neardup", "q_fingerprint_rolling", "q_ann_brute_topk",
+    "q_ann_lsh_topk", "q_dedup_exact_stats", "q_mm_image_decode")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
