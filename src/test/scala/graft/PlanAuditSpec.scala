@@ -78,6 +78,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!planOf("q_dedup_embedding").contains("CartesianProduct"))
   }
 
+  test("q_q17: filtered part dim broadcasts; per-part agg is partial+final") {
+    val p = planOf("q_q17_small_quantity")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("partial_sum"))
+    assert(p.contains("EqualTo(p_brand,Brand#4)")) // pushed to the scan
+  }
+
+  test("q_q18: HAVING gate joins as a real semi-join, no cartesian") {
+    val p = planOf("q_q18_large_orders")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_cosine_adjacent: native cosine inside whole-stage codegen") {
     val df = SparkEntry.queries("q_cosine_adjacent")(spark, sf001)
     df.collect() // AQE: codegen spans only exist in the executed final plan
