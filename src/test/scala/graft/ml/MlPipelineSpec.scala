@@ -42,6 +42,31 @@ class MlPipelineSpec extends SparkSpec {
       assert(t.trainAccuracy >= 0.0 && t.trainAccuracy <= 1.0)
     }
 
+  test("L2/L5 model fingerprints are deterministic under seed") {
+    // two independent end-to-end fits must produce bit-identical models:
+    // LR coefficients and the DT structure serve as the model
+    // fingerprint (the gate queries assert oracle-expressible invariants;
+    // this pins the stronger full-determinism property)
+    val (tr, _) = MultiModel.split(labeled)
+    def lrFp(): Seq[Double] = {
+      val t = MultiModel.train(tr, featureCols, "LOG_REG",
+        Map("max_iter" -> "10"), useSmote = true,
+        smoteStrategy = "oversample")
+      val lr = t.pipeline.stages.last
+        .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+      lr.coefficients.toArray.toSeq :+ lr.intercept
+    }
+    def dtFp(): String = {
+      val t = MultiModel.train(tr, featureCols, "D_TREE",
+        Map("max_depth" -> "5"), useSmote = false)
+      t.pipeline.stages.last
+        .asInstanceOf[org.apache.spark.ml.classification.DecisionTreeClassificationModel]
+        .toDebugString
+    }
+    assert(lrFp() === lrFp())
+    assert(dtFp() === dtFp())
+  }
+
   test("S7 save/load round-trip preserves predictions; registry records") {
     val dir = Files.createTempDirectory("graft-models").toString
     val reg = new ModelRegistry(s"$dir/registry.jsonl")
