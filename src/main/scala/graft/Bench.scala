@@ -60,10 +60,43 @@ object Bench {
         }
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Full per-query medians go to a file: the driver's log capture keeps
+    // only a ~2000-char tail of stdout, and an 80-query JSON line (~4 KB)
+    // overflows it — which is why BENCH_r01..r03 all recorded parsed:null.
+    val fmt = new java.text.DecimalFormat("0.###",
+      java.text.DecimalFormatSymbols.getInstance(java.util.Locale.ROOT))
+    def ent(k: String, v: Double) = "\"" + k + "\":" + fmt.format(v)
+    val fullJson = results.map { case (k, v) => ent(k, v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":$warmup}""")
+    val failed = results.count(_._2 < 0)
+    val fullLine =
+      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$fullJson,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"failed":$failed}"""
+    val fullPath = java.nio.file.Paths.get("bench_full.json")
+    java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
+    println(fullLine) // complete data, for humans reading the whole log
+
+    // Final stdout line: compact enough (<1500 chars) to survive the tail
+    // window intact. Lists failures first, then the costliest queries,
+    // until the budget is spent; the rest are summarized.
+    val byCost = results.filter(_._2 < 0) ++ results.filter(_._2 >= 0).sortBy(-_._2)
+    val budget = 1400
+    val head =
+      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"warmup":$warmup,"n_queries":${results.size},"failed":$failed,"full":"bench_full.json","queries":{"""
+    val tail0 = "}}"
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var len = head.length + tail0.length + 40 // slack for omitted_* fields
+    byCost.foreach { case (k, v) =>
+      val e = ent(k, v)
+      if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
+    }
+    val omitted = results.size - kept.size
+    val omittedSec = total - byCost.take(kept.size).collect {
+      case (_, v) if v >= 0 => v
+    }.sum
+    if (omitted > 0)
+      kept += ent("omitted_" + omitted + "_queries_sec", omittedSec)
+    println(head + kept.mkString(",") + tail0)
     spark.stop()
   }
 }
