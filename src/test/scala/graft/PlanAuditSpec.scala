@@ -91,6 +91,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_q4: EXISTS runs as a left-semi join with the date filter pushed") {
+    val p = planOf("q_q4_order_priority")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"))
+    assert(p.contains("EqualTo(l_returnflag,R)"))
+  }
+
+  test("q_q5: all five dimension/gate joins hash, none cartesian") {
+    val p = planOf("q_q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // region gate pushed into the region scan
+    assert(p.contains("EqualTo(r_name,ASIA)"))
+  }
+
+  test("q_q10: return-flag filter pushed to the fact scan; top-k take-ordered") {
+    val p = planOf("q_q10_returned_items")
+    assert(p.contains("EqualTo(l_returnflag,R)"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q_q16: exclusion is a broadcast anti-join") {
+    val p = planOf("q_q16_supplier_count")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q_q19: disjunction stays one join; quantity envelope pushed") {
+    val p = planOf("q_q19_disjunctive_join")
+    // one broadcast hash join — the OR-of-ANDs must not expand into a
+    // union of scans or degrade to a nested loop
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LessThanOrEqual(l_quantity,30.0)"))
+  }
+
   test("q_cosine_adjacent: native cosine inside whole-stage codegen") {
     val df = SparkEntry.queries("q_cosine_adjacent")(spark, sf001)
     df.collect() // AQE: codegen spans only exist in the executed final plan
