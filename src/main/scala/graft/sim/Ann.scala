@@ -73,13 +73,21 @@ object Ann {
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxTrainVectors: Long = 65536L): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("__cv"),
       array_to_vector(asDouble(col(vecCol))).as("__v"))
     val km = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("__v").setPredictionCol("__cell")
-    val model = km.fit(c)
+    // the coarse quantizer trains on a bounded sample (standard IVF
+    // practice: cell quality saturates far below 64k points for small
+    // nCells) — at 100 TB the iterative k-means passes touch only the
+    // sample; the full corpus pays exactly one assignment pass
+    val n = c.count()
+    val train = if (n <= maxTrainVectors) c
+      else c.sample(withReplacement = false,
+        maxTrainVectors.toDouble / n, seed)
+    val model = km.fit(train)
     val assigned = model.transform(c).select(
       col("neighbor_id"), col("__cv"), col("__cell"))
     // each probe's nProbe nearest centroids (centroid set is tiny —
