@@ -244,8 +244,8 @@ object TpchQueries extends QueryModule {
              | FROM ps
              | JOIN part ON p_partkey = l_partkey
              | WHERE p_brand <> 'Brand#4' AND p_size <= 20
-             |   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-             |     WHERE s_acctbal < 0)
+             |   AND NOT EXISTS (SELECT 1 FROM supplier
+             |     WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
              | GROUP BY p_brand, p_type, p_size
              | ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
       "headline: anti-join exclusion + distinct agg (TPC-H Q16 shape)"),

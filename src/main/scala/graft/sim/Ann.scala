@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * Scale design: the probe set is always the small side — it is broadcast,
   * so brute force is one map-side pass over the corpus (no shuffle of
   * corpus vectors) followed by a per-probe top-k. The LSH path replaces
-  * the full corpus pass with bucket-local candidate joins
-  * (BucketedRandomProjectionLSH on L2-normalized vectors, where euclidean
-  * rank order == cosine rank order).
+  * the full corpus pass with bucket-local candidate joins (declarative
+  * random projection over L2-normalized vectors — see [[lshTopK]]); the
+  * IVF path partitions the corpus by quantizer cell and scans nProbe
+  * cells per query.
   */
 object Ann {
 
@@ -82,11 +83,18 @@ object Ann {
     // the coarse quantizer trains on a bounded sample (standard IVF
     // practice: cell quality saturates far below 64k points for small
     // nCells) — at 100 TB the iterative k-means passes touch only the
-    // sample; the full corpus pays exactly one assignment pass
+    // sample; the full corpus pays exactly one assignment pass. The
+    // sample is selected by a hash of the row id, NOT df.sample(): the
+    // per-partition RNG draw would make the trained centroids (and so
+    // the approximate results) depend on file-split layout, breaking
+    // the cross-scale determinism contract
     val n = c.count()
     val train = if (n <= maxTrainVectors) c
-      else c.sample(withReplacement = false,
-        maxTrainVectors.toDouble / n, seed)
+      else {
+        val every = math.max(1L, n / maxTrainVectors)
+        c.filter(pmod(xxhash64(col("neighbor_id"), lit(seed)), lit(every))
+          === 0L)
+      }
     val model = km.fit(train)
     val assigned = model.transform(c).select(
       col("neighbor_id"), col("__cv"), col("__cell"))
@@ -139,9 +147,18 @@ object Ann {
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int = 10, bucketLength: Double = 1.0,
       numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
-    // dimensionality from one corpus row (one-row action — the ML fit
-    // this replaces did the same internally)
-    val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    // dimensionality from one corpus row with a usable vector (one-row
+    // action — the ML fit this replaces did the same internally); an
+    // empty/all-null corpus yields an empty result of the right schema
+    val dimRow = corpus
+      .select(size(col(vecCol)).as("d")).filter(col("d") > 0).take(1)
+    if (dimRow.isEmpty) {
+      return probes.select(col(idCol).as("probe_id"),
+          col(idCol).as("neighbor_id"), lit(0.0d).as("cosine"),
+          lit(0).as("rank"))
+        .limit(0)
+    }
+    val dim = dimRow.head.getInt(0)
     val rng = new scala.util.Random(seed)
     val projs: Seq[Seq[Double]] = Seq.fill(numHashTables) {
       val g = Array.fill(dim)(rng.nextGaussian())
@@ -156,11 +173,20 @@ object Ann {
         (acc, x) => acc + x.cast("double") * x.cast("double")))
     def banded(df: DataFrame, id: String): DataFrame = {
       val vec = s"__v_$id"
+      // zero-norm or ragged vectors would hash to a null/NaN bucket and
+      // silently vanish from the equi-join — pin them to bucket 0 so
+      // they still reach the exact-cosine stage (matching the removed
+      // Normalizer path, which left zero vectors in bucket 0)
+      def bucket(p: Seq[Double]): Column = coalesce(
+        when(l2norm(col(vec)) === 0.0d, lit(0L))
+          .otherwise(
+            floor(dotProj(col(vec), p) / (l2norm(col(vec)) * bucketLength))
+              .cast("long")),
+        lit(0L))
       df.select(col(idCol).as(id), col(vecCol).as(vec))
         .select(col(id), col(vec),
-          posexplode(array(projs.map(p =>
-            floor(dotProj(col(vec), p) / (l2norm(col(vec)) * bucketLength))
-              .cast("long")): _*)).as(Seq("__table", "__bucket")))
+          posexplode(array(projs.map(bucket): _*))
+            .as(Seq("__table", "__bucket")))
     }
     val c = banded(corpus, "neighbor_id")
     val p = broadcast(banded(probes, "probe_id"))

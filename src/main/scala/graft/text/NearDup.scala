@@ -91,7 +91,7 @@ object NearDup {
     * @return (id_a, id_b, jaccard) with id_a < id_b and jaccard >= minJaccard
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashTables: Int = 8, numFeatures: Int = 1 << 18,
+      n: Int = 3, numHashTables: Int = 8,
       minJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
     val sigs = minHashSignatures(df, idCol, textCol, n, numHashTables, seed)
     val banded = sigs.select(col("__id"),

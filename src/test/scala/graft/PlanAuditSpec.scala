@@ -98,9 +98,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("EqualTo(l_returnflag,R)"))
   }
 
-  test("q_q5: all five dimension/gate joins hash, none cartesian") {
+  test("q_q5: the three hinted dims broadcast; no cartesian/nested loop") {
     val p = planOf("q_q5_local_supplier")
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // region→nation→supplier carry explicit broadcast() hints, so at
+    // least three BroadcastHashJoins must survive planning at ANY data
+    // size; the orders/customer legs are fact-sized and legitimately
+    // shuffle at scale (auto-broadcast at toy scale is not asserted)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
     // region gate pushed into the region scan
