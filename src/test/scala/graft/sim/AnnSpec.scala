@@ -57,4 +57,45 @@ class AnnSpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall too low")
   }
+
+  test("LSH top-k on an empty corpus returns an empty, well-typed frame") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val empty = emb.filter(col("vec_id") < 0)
+    val probes = emb.orderBy(col("vec_id")).limit(2)
+    val out = Ann.lshTopK(empty, probes, "vec_id", "embedding", k = 5)
+    assert(out.columns.toSeq ===
+      Seq("probe_id", "neighbor_id", "cosine", "rank"))
+    assert(out.count() === 0)
+  }
+
+  test("LSH top-k keeps zero-norm vectors reachable (bucket 0, not null)") {
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f)), // zero vector: must not vanish
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") === 2L)
+    val out = Ann.lshTopK(emb, probes, "vec_id", "embedding", k = 4,
+      bucketLength = 2.0, numHashTables = 4)
+    val neighbors = out.collect().map(_.getLong(1)).toSet
+    // the zero vector surfaces as a candidate (cosine NaN ranks last,
+    // but it is present, not silently dropped by a null bucket)
+    assert(neighbors.contains(1L), s"zero vector dropped: $neighbors")
+    assert(neighbors.contains(3L))
+  }
+
+  test("IVF hash-based training sample is bounded and deterministic") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val probes = emb.orderBy(col("vec_id")).limit(3)
+    def run(): Set[(Long, Long)] =
+      Ann.ivfTopK(emb, probes, "vec_id", "embedding", 5,
+          nCells = 4, nProbe = 2, maxTrainVectors = 100L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capped training (500 vectors, cap 100) must still produce a valid
+    // quantizer, and two runs must agree exactly (layout-independent
+    // hash sampling, seeded k-means)
+    val a = run()
+    assert(a.nonEmpty)
+    assert(a === run())
+  }
 }
