@@ -282,6 +282,263 @@ object TpchQueries extends QueryModule {
              |     AND l_quantity BETWEEN 10 AND 20)
              |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15
              |     AND l_quantity BETWEEN 20 AND 30))""".stripMargin),
-      "headline: disjunctive multi-predicate join (TPC-H Q19 shape)")
+      "headline: disjunctive multi-predicate join (TPC-H Q19 shape)"),
+
+    "q_q7_volume_shipping" -> QueryDef(
+      (s, dir) => {
+        // bidirectional two-nation trade flow: both nation dims broadcast,
+        // the (supp, cust) pair disjunction is a post-join filter on ONE
+        // join spine (never a union of two mirrored plans), yearly rollup
+        val n1 = T(s, dir, "nation")
+          .select(col("n_nationkey").as("__sn_key"),
+            col("n_name").as("supp_nation"))
+        val n2 = T(s, dir, "nation")
+          .select(col("n_nationkey").as("__cn_key"),
+            col("n_name").as("cust_nation"))
+        val sup = T(s, dir, "supplier")
+          .join(broadcast(n1), col("s_nationkey") === col("__sn_key"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val c = T(s, dir, "customer")
+          .join(broadcast(n2), col("c_nationkey") === col("__cn_key"))
+          .select(col("c_custkey"), col("cust_nation"))
+        val o = T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = T(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+            col("l_shipdate") < ts("1998-01-01 00:00:00"))
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+            col("l_extendedprice"), col("l_discount"))
+        l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .filter(
+            (col("supp_nation") === "NATION_1" &&
+              col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" &&
+              col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(revTerm).cast(DoubleType).as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some(s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             |   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             |   CAST(SUM($revTermSql) AS DOUBLE) AS revenue
+             | FROM lineitem
+             | JOIN supplier ON s_suppkey = l_suppkey
+             | JOIN orders ON o_orderkey = l_orderkey
+             | JOIN customer ON c_custkey = o_custkey
+             | JOIN nation sn ON sn.n_nationkey = s_nationkey
+             | JOIN nation cn ON cn.n_nationkey = c_nationkey
+             | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |   AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+             |     OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+             | GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+             | ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+      "headline: bidirectional nation-pair trade flow (TPC-H Q7 shape)"),
+
+    "q_q8_market_share" -> QueryDef(
+      (s, dir) => {
+        // market share: one nation's fraction of regional revenue per
+        // year — numerator is a conditional sum over the SAME exact
+        // decimal term as the denominator (the q_q14 ratio pattern on a
+        // 6-table spine)
+        val r = T(s, dir, "region").filter(col("r_name") === "ASIA")
+          .select(col("r_regionkey"))
+        val n2 = T(s, dir, "nation")
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("__cn_key"))
+        val c = T(s, dir, "customer")
+          .join(broadcast(n2), col("c_nationkey") === col("__cn_key"))
+          .select(col("c_custkey"))
+        val n1 = T(s, dir, "nation")
+          .select(col("n_nationkey").as("__sn_key"),
+            col("n_name").as("__supp_nation"))
+        val sup = T(s, dir, "supplier")
+          .join(broadcast(n1), col("s_nationkey") === col("__sn_key"))
+          .select(col("s_suppkey"), col("__supp_nation"))
+        val p = T(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))
+        val o = T(s, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1998-01-01 00:00:00"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val l = T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"))
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            (sum(when(col("__supp_nation") === "NATION_5", revTerm))
+              .cast(DoubleType) /
+              sum(revTerm).cast(DoubleType)).as("mkt_share"))
+          .orderBy(col("o_year"))
+      },
+      Some(s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |   CAST(SUM(CASE WHEN n1.n_name = 'NATION_5'
+             |       THEN $revTermSql END) AS DOUBLE)
+             |     / CAST(SUM($revTermSql) AS DOUBLE) AS mkt_share
+             | FROM lineitem
+             | JOIN part ON p_partkey = l_partkey
+             | JOIN supplier ON s_suppkey = l_suppkey
+             | JOIN orders ON o_orderkey = l_orderkey
+             | JOIN customer ON c_custkey = o_custkey
+             | JOIN nation n1 ON n1.n_nationkey = s_nationkey
+             | JOIN nation n2 ON n2.n_nationkey = c_nationkey
+             | JOIN region ON r_regionkey = n2.n_regionkey
+             | WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+             |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             | GROUP BY year(o_orderdate) ORDER BY o_year""".stripMargin),
+      "headline: per-year national market share ratio (TPC-H Q8 shape)"),
+
+    "q_q13_customer_distribution" -> QueryDef(
+      (s, dir) => {
+        // order-count distribution: LEFT OUTER join keeps zero-order
+        // customers (count(o_orderkey) skips their nulls — the
+        // null-preserving outer-join + null-skipping count pair), then a
+        // second aggregation over the counts
+        val c = T(s, dir, "customer").select(col("c_custkey"))
+        val o = T(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_orderkey"), col("o_custkey"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist
+             | FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |   FROM customer LEFT OUTER JOIN orders
+             |     ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |   GROUP BY c_custkey) t
+             | GROUP BY c_count
+             | ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      "headline: zero-preserving order-count distribution (TPC-H Q13 shape)"),
+
+    "q_q15_top_supplier" -> QueryDef(
+      (s, dir) => {
+        // top supplier(s) by quarterly revenue: the scalar-max subquery
+        // joins the aggregated view against its own 1-row max — the
+        // equality is on the EXACT decimal total (safe), cast to double
+        // only in the output
+        val l = T(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+            col("l_shipdate") < ts("1996-04-01 00:00:00"))
+          .select(col("l_suppkey"), col("l_extendedprice"),
+            col("l_discount"))
+        val rev = l.groupBy(col("l_suppkey"))
+          .agg(sum(revTerm).as("__total"))
+        val top = rev.agg(max(col("__total")).as("__max_total"))
+        val sup = T(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))
+        rev.join(broadcast(top), col("__total") === col("__max_total"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("__total").cast(DoubleType).as("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(s"""WITH rev AS (SELECT l_suppkey,
+             |     SUM($revTermSql) AS total
+             |   FROM lineitem
+             |   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+             |   GROUP BY l_suppkey)
+             | SELECT s_suppkey, s_name,
+             |   CAST(total AS DOUBLE) AS total_revenue
+             | FROM rev JOIN supplier ON s_suppkey = l_suppkey
+             | WHERE total = (SELECT MAX(total) FROM rev)
+             | ORDER BY s_suppkey""".stripMargin),
+      "headline: scalar-max subquery over an aggregated view (TPC-H Q15 shape)"),
+
+    "q_q21_waiting_supplier" -> QueryDef(
+      (s, dir) => {
+        // correlated EXISTS + NOT EXISTS on the same fact table
+        // (l_returnflag='R' stands in for the late-delivery predicate the
+        // testdata lacks): suppliers whose returned lines sit in
+        // multi-supplier orders where NO other supplier returned — the
+        // semi and anti joins carry a composite equi (orderkey) +
+        // non-equi (suppkey <>) condition
+        val li = T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+        val l1 = li.filter(col("l_returnflag") === "R")
+        val l2 = li.select(col("l_orderkey").as("__o2"),
+          col("l_suppkey").as("__s2"))
+        val l3 = l1.select(col("l_orderkey").as("__o3"),
+          col("l_suppkey").as("__s3"))
+        val waiting = l1
+          .join(l2, col("l_orderkey") === col("__o2") &&
+            col("l_suppkey") =!= col("__s2"), "left_semi")
+          .join(l3, col("l_orderkey") === col("__o3") &&
+            col("l_suppkey") =!= col("__s3"), "left_anti")
+        val sup = T(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))
+        waiting
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), col("s_name"))
+          .limit(10)
+      },
+      Some("""SELECT s_name, COUNT(*) AS numwait
+             | FROM lineitem l1
+             | JOIN supplier ON s_suppkey = l1.l_suppkey
+             | WHERE l1.l_returnflag = 'R'
+             |   AND EXISTS (SELECT 1 FROM lineitem l2
+             |     WHERE l2.l_orderkey = l1.l_orderkey
+             |       AND l2.l_suppkey <> l1.l_suppkey)
+             |   AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |     WHERE l3.l_orderkey = l1.l_orderkey
+             |       AND l3.l_suppkey <> l1.l_suppkey
+             |       AND l3.l_returnflag = 'R')
+             | GROUP BY s_name
+             | ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin),
+      "headline: EXISTS + NOT EXISTS pair on one fact table (TPC-H Q21 shape)"),
+
+    "q_q22_global_sales" -> QueryDef(
+      (s, dir) => {
+        // dormant high-balance customers (c_nationkey%5 stands in for the
+        // phone country code): scalar-avg threshold broadcast into the
+        // filter, anti join against orders, per-code accounting. The
+        // threshold divides an EXACT decimal sum by an exact count, so
+        // both engines compute the identical double
+        val code = pmod(col("c_nationkey"), lit(5)).cast(IntegerType)
+        val c = T(s, dir, "customer")
+          .select(code.as("cntrycode"), col("c_custkey"),
+            col("c_acctbal"))
+          .filter(col("cntrycode").isin(0, 1, 2))
+        val thr = c.filter(col("c_acctbal") > 0.0)
+          .agg((sum(col("c_acctbal").cast(D2)).cast(DoubleType) /
+            count(lit(1))).as("__avg_bal"))
+        val o = T(s, dir, "orders").select(col("o_custkey"))
+        c.crossJoin(broadcast(thr))
+          .filter(col("c_acctbal") > col("__avg_bal"))
+          .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("cntrycode"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("c_acctbal").cast(D2)).cast(DoubleType).as("totacctbal"))
+          .orderBy(col("cntrycode"))
+      },
+      Some("""SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrycode,
+             |   COUNT(*) AS numcust,
+             |   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             |     AS totacctbal
+             | FROM customer
+             | WHERE c_nationkey % 5 IN (0, 1, 2)
+             |   AND c_acctbal > (
+             |     SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             |         / COUNT(*)
+             |     FROM customer
+             |     WHERE c_acctbal > 0.0 AND c_nationkey % 5 IN (0, 1, 2))
+             |   AND NOT EXISTS (SELECT 1 FROM orders
+             |     WHERE o_custkey = c_custkey)
+             | GROUP BY 1 ORDER BY cntrycode""".stripMargin),
+      "headline: scalar-avg threshold + anti join + accounting (TPC-H Q22 shape)")
   )
 }

@@ -132,6 +132,55 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LessThanOrEqual(l_quantity,30.0)"))
   }
 
+  test("q_q7: nation-pair disjunction stays one spine; date filter pushed") {
+    val p = planOf("q_q7_volume_shipping")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Union"), p.take(2000)) // never two mirrored plans
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q_q8: part-type gate pushed; share ratio needs no extra pass") {
+    val p = planOf("q_q8_market_share")
+    assert(p.contains("EqualTo(p_type,PROMO)"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // numerator and denominator are one partial+final aggregation
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q_q13: outer join preserved; priority filter pushed to orders scan") {
+    val p = planOf("q_q13_customer_distribution")
+    assert(p.contains("LeftOuter"), p.take(2000))
+    // the o_orderpriority gate belongs to the orders side only — pushing
+    // it below the outer join keeps zero-order customers intact
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_q15: scalar-max joins broadcast on the exact decimal total") {
+    val p = planOf("q_q15_top_supplier")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_q21: EXISTS/NOT-EXISTS pair is a semi + anti join, no cartesian") {
+    val p = planOf("q_q21_waiting_supplier")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("EqualTo(l_returnflag,R)")) // pushed to the l1 scan
+  }
+
+  test("q_q22: dormant-customer exclusion is an anti join; threshold broadcasts") {
+    val p = planOf("q_q22_global_sales")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    // the 1-row scalar threshold rides a broadcast (nested-loop over a
+    // single row is the right plan); a CartesianProduct would mean the
+    // broadcast was lost
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_cosine_adjacent: native cosine inside whole-stage codegen") {
     val df = SparkEntry.queries("q_cosine_adjacent")(spark, sf001)
     df.collect() // AQE: codegen spans only exist in the executed final plan
