@@ -539,6 +539,210 @@ object TpchQueries extends QueryModule {
              |   AND NOT EXISTS (SELECT 1 FROM orders
              |     WHERE o_custkey = c_custkey)
              | GROUP BY 1 ORDER BY cntrycode""".stripMargin),
-      "headline: scalar-avg threshold + anti join + accounting (TPC-H Q22 shape)")
+      "headline: scalar-avg threshold + anti join + accounting (TPC-H Q22 shape)"),
+
+    "q_q2_min_cost_supplier" -> QueryDef(
+      (s, dir) => {
+        // per-part minimum-cost regional supplier: TPC-H Q2's correlated
+        // MIN subquery decorrelated into a per-group min + exact-decimal
+        // equality rejoin. The part-supplier cost relation is derived
+        // from lineitem (the testdata has no partsupp): cost = cheapest
+        // line price that supplier ever quoted for that part. The
+        // regional supplier dim is broadcast into the big grouped frame
+        // BEFORE the min, because the correlated subquery is
+        // region-scoped — filtering after the min would change results.
+        val cost = T(s, dir, "lineitem")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(col("l_extendedprice").cast(D2)).as("__cost"))
+        val r = T(s, dir, "region").filter(col("r_name") === "EUROPE")
+          .select(col("r_regionkey"))
+        val n = T(s, dir, "nation")
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val sup = T(s, dir, "supplier")
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+            col("n_name"))
+        val regional = cost
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        val minPer = regional.groupBy(col("l_partkey").as("__mp_key"))
+          .agg(min(col("__cost")).as("__min_cost"))
+        val p = T(s, dir, "part")
+          .filter(col("p_size") <= 10 && col("p_type") === "PROMO")
+          .select(col("p_partkey"), col("p_name"))
+        regional
+          .join(minPer, col("l_partkey") === col("__mp_key") &&
+            col("__cost") === col("__min_cost"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"),
+            col("s_acctbal"), col("n_name"),
+            col("__cost").cast(DoubleType).as("cost"))
+          .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH cost AS (SELECT l_partkey, l_suppkey,
+             |     MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS c
+             |   FROM lineitem GROUP BY 1, 2),
+             | rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+             |   FROM supplier
+             |   JOIN nation ON n_nationkey = s_nationkey
+             |   JOIN region ON r_regionkey = n_regionkey
+             |   WHERE r_name = 'EUROPE'),
+             | rc AS (SELECT cost.*, s_name, s_acctbal, n_name
+             |   FROM cost JOIN rs ON s_suppkey = l_suppkey)
+             | SELECT p_partkey, p_name, s_name, s_acctbal, n_name,
+             |   CAST(c AS DOUBLE) AS cost
+             | FROM rc JOIN part ON p_partkey = l_partkey
+             | WHERE p_size <= 10 AND p_type = 'PROMO'
+             |   AND c = (SELECT MIN(c) FROM rc rc2
+             |     WHERE rc2.l_partkey = rc.l_partkey)
+             | ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+             | LIMIT 100""".stripMargin),
+      "headline: correlated per-group MIN decorrelated to min+rejoin " +
+        "(TPC-H Q2 shape)"),
+
+    "q_q9_product_profit" -> QueryDef(
+      (s, dir) => {
+        // profit by supplier nation and order year over a name-filtered
+        // part set: revenue minus retail cost in ONE exact decimal
+        // expression per line (p_retailprice stands in for
+        // ps_supplycost). Both dims broadcast; the only shuffles are the
+        // orders equi-join and the final small rollup.
+        val p = T(s, dir, "part")
+          .filter(col("p_name").contains("red"))
+          .select(col("p_partkey"), col("p_retailprice"))
+        val sup = T(s, dir, "supplier")
+          .join(broadcast(T(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))
+        val o = T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val amount = revTerm -
+          col("p_retailprice").cast(D2) * col("l_quantity").cast(D2)
+        T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).as("o_year"))
+          .agg(sum(amount).cast(DoubleType).as("sum_profit"))
+          .orderBy(col("nation"), desc("o_year"))
+      },
+      Some(s"""SELECT n_name AS nation,
+             |   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |   CAST(SUM($revTermSql
+             |     - CAST(p_retailprice AS DECIMAL(18,2))
+             |       * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |     AS sum_profit
+             | FROM lineitem
+             | JOIN part ON p_partkey = l_partkey
+             | JOIN supplier ON s_suppkey = l_suppkey
+             | JOIN orders ON o_orderkey = l_orderkey
+             | JOIN nation ON n_nationkey = s_nationkey
+             | WHERE p_name LIKE '%red%'
+             | GROUP BY n_name, year(o_orderdate)
+             | ORDER BY nation, o_year DESC""".stripMargin),
+      "headline: nation x year profit rollup, exact-decimal amount " +
+        "(TPC-H Q9 shape)"),
+
+    "q_q11_important_stock" -> QueryDef(
+      (s, dir) => {
+        // value-concentration scan: per-part value from a
+        // nation-filtered supplier set, kept when above a fraction of
+        // the TOTAL value — the group aggregate compared against a
+        // broadcast scalar re-aggregate of itself (TPC-H Q11's scalar
+        // subquery). Both sides derive the threshold from the same
+        // exact decimal sum, cast to double once.
+        val sup = T(s, dir, "supplier")
+          .filter(col("s_nationkey").isin(1, 2, 3, 4, 5))
+          .select(col("s_suppkey"))
+        val value = T(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast(D2)).as("__val"))
+        val total = value.agg(sum(col("__val")).as("__total"))
+        value.crossJoin(broadcast(total))
+          .filter(col("__val").cast(DoubleType) >
+            col("__total").cast(DoubleType) * lit(0.001))
+          .select(col("l_partkey"),
+            col("__val").cast(DoubleType).as("value"))
+          .orderBy(desc("value"), col("l_partkey"))
+      },
+      Some("""WITH v AS (SELECT l_partkey,
+             |     SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+             |   FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+             |   WHERE s_nationkey IN (1, 2, 3, 4, 5)
+             |   GROUP BY 1)
+             | SELECT l_partkey, CAST(val AS DOUBLE) AS value
+             | FROM v
+             | WHERE CAST(val AS DOUBLE) >
+             |   (SELECT CAST(SUM(val) AS DOUBLE) FROM v) * 0.001
+             | ORDER BY value DESC, l_partkey""".stripMargin),
+      "headline: group value vs scalar total-share threshold " +
+        "(TPC-H Q11 shape)"),
+
+    "q_q20_part_promotion" -> QueryDef(
+      (s, dir) => {
+        // supplier shortlist via a chained-semi-join shape (TPC-H Q20's
+        // nested INs): (part, supplier) movement totals over a
+        // name-filtered part set, pairs kept when MOST of the movement
+        // (recent*2 > total — exact decimal, no 0.5 float) happened in
+        // 1996, suppliers semi-joined through the surviving pairs. No
+        // distinct materialization: left-semi deduplicates for free.
+        val pid = T(s, dir, "part")
+          .filter(col("p_name").startsWith("small"))
+          .select(col("p_partkey"))
+        val inYear = col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00")
+        val qty = T(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+            col("l_shipdate"))
+          .join(broadcast(pid), col("l_partkey") === col("p_partkey"),
+            "left_semi")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(
+            sum(col("l_quantity").cast(D2)).as("__total"),
+            sum(when(inYear, col("l_quantity").cast(D2))
+              .otherwise(lit(0).cast(D2))).as("__recent"))
+        val hot = qty
+          .filter(col("__recent") * lit(2) > col("__total"))
+          .select(col("l_suppkey"))
+        val n = T(s, dir, "nation")
+          .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3",
+            "NATION_4", "NATION_5"))
+          .select(col("n_nationkey"))
+        T(s, dir, "supplier")
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"),
+            "left_semi")
+          .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH pid AS (SELECT p_partkey FROM part
+             |     WHERE p_name LIKE 'small%'),
+             | q AS (SELECT l_partkey, l_suppkey,
+             |     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total,
+             |     SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |       THEN CAST(l_quantity AS DECIMAL(18,2))
+             |       ELSE CAST(0 AS DECIMAL(18,2)) END) AS recent
+             |   FROM lineitem
+             |   WHERE l_partkey IN (SELECT p_partkey FROM pid)
+             |   GROUP BY 1, 2)
+             | SELECT s_suppkey, s_name
+             | FROM supplier
+             | JOIN nation ON n_nationkey = s_nationkey
+             | WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3',
+             |     'NATION_4', 'NATION_5')
+             |   AND s_suppkey IN (SELECT l_suppkey FROM q
+             |     WHERE recent * 2 > total)
+             | ORDER BY s_suppkey""".stripMargin),
+      "headline: chained semi-join shortlist with exact-decimal " +
+        "majority threshold (TPC-H Q20 shape)")
   )
 }

@@ -181,6 +181,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_q2: regional dim broadcasts into the grouped cost frame") {
+    val p = planOf("q_q2_min_cost_supplier")
+    // the supplier/nation/region spine and the size/type-filtered part
+    // dim must broadcast; the per-(part,supp) cost agg partial-aggregates
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_min"))
+  }
+
+  test("q_q9: name-filtered part dim broadcasts; fact scans 6 columns") {
+    val p = planOf("q_q9_product_profit")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("Contains(p_name,red)"), p.take(2000))
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," +
+        "l_suppkey:bigint,l_quantity:double,l_extendedprice:double," +
+        "l_discount:double>"))
+  }
+
+  test("q_q11: scalar total broadcasts back over the group aggregate") {
+    val p = planOf("q_q11_important_stock")
+    // supplier shortlist broadcasts; the 1-row total joins the per-part
+    // aggregate via a broadcast nested loop over one row (correct) —
+    // never a shuffled cartesian
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q_q20: both shortlist gates are semi joins; part ids broadcast") {
+    val p = planOf("q_q20_part_promotion")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // the name prefix filter evaluates on the part scan side
+    assert(p.contains("StartsWith(p_name,small)"))
+  }
+
   test("q_cosine_adjacent: native cosine inside whole-stage codegen") {
     val df = SparkEntry.queries("q_cosine_adjacent")(spark, sf001)
     df.collect() // AQE: codegen spans only exist in the executed final plan
