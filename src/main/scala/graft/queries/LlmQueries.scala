@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, QueryModule, Tables}
 import graft.multimodal.Multimodal
 import graft.sim.Ann
-import graft.text.{BloomDedup, NearDup, TextStats}
+import graft.text.{BloomDedup, Decontaminate, NearDup, TextStats}
 
 /** LLM training-data pipeline queries over `documents` / `embeddings`:
   * exact dedup, text statistics, quality scoring, fingerprinting. The
@@ -677,6 +677,124 @@ object LlmQueries extends QueryModule {
       Some("""SELECT lang, source, COUNT(*) AS docs,
              | CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents
              | GROUP BY lang, source ORDER BY lang, source""".stripMargin),
-      "language/source histogram over corpus metadata")
+      "language/source histogram over corpus metadata"),
+
+    "q_decontaminate" -> QueryDef(
+      (s, dir) => {
+        // benchmark decontamination (the GPT-3/PaLM 13-gram protocol):
+        // the "benchmark" is derived in-query as 16-token spans (tokens
+        // 5..20) of every 20th doc — eval items quoted verbatim from the
+        // corpus, the realistic contamination scenario. Benchmark
+        // 13-grams broadcast; the corpus explodes its 13-grams once and
+        // semi-joins map-side. Flags the span sources AND any near-dups
+        // sharing a 13-token window.
+        val docs = T(s, dir, "documents")
+        val toks = split(trim(lower(col("text"))), "\\s+")
+        val bench = docs
+          .filter(col("doc_id") % 20 === 0 && size(toks) >= 20)
+          .select(concat_ws(" ", slice(toks, 5, 16)).as("bench_text"))
+        val bg = Decontaminate.benchmarkNgrams(bench, "bench_text", n = 13)
+        Decontaminate.contaminated(docs, bg, "doc_id", "text", n = 13)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |     regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |   FROM documents),
+             | bench AS (SELECT array_to_string(ts[5:20], ' ') AS btext
+             |   FROM t WHERE doc_id % 20 = 0 AND len(ts) >= 20),
+             | bt AS (SELECT regexp_split_to_array(btext, '\s+') AS bts
+             |   FROM bench),
+             | bg AS (SELECT DISTINCT
+             |     unnest(list_transform(range(1, greatest(len(bts)-12,1)+1),
+             |       i -> array_to_string(bts[i:least(i+12, len(bts))], ' ')))
+             |     AS ng
+             |   FROM bt),
+             | tg AS (SELECT doc_id,
+             |     unnest(list_distinct(
+             |       list_transform(range(1, greatest(len(ts)-12,1)+1),
+             |         i -> array_to_string(ts[i:least(i+12, len(ts))], ' '))))
+             |     AS ng
+             |   FROM t)
+             | SELECT doc_id, COUNT(*) AS n_overlap
+             | FROM tg WHERE ng IN (SELECT ng FROM bg)
+             | GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "benchmark decontamination: 13-gram overlap vs a broadcast " +
+        "benchmark n-gram set"),
+
+    "q_repetition_filter" -> QueryDef(
+      (s, dir) => {
+        // Gopher-style repetition quality gate at word level: duplicate-
+        // token fraction and top-token fraction, thresholded. Both
+        // metrics are pure array expressions (no explode, no shuffle) —
+        // a map-only pass over the corpus scan; the exact integer
+        // counts divide once in double on both sides
+        val docs = T(s, dir, "documents")
+        docs.select(
+            col("doc_id"),
+            TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+            TextStats.dupTokenFrac(col("text")).as("dup_token_frac"),
+            TextStats.topTokenFrac(col("text")).as("top_token_frac"))
+          .withColumn("keep",
+            col("dup_token_frac") <= 0.55 && col("top_token_frac") <= 0.15)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |     regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |   FROM documents),
+             | m AS (SELECT doc_id,
+             |     CAST(len(ts) AS BIGINT) AS n_tokens,
+             |     1.0 - CAST(len(list_distinct(ts)) AS DOUBLE)
+             |       / CAST(len(ts) AS DOUBLE) AS dup_token_frac,
+             |     CAST((SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt
+             |         FROM unnest(ts) AS u(tok) GROUP BY tok)) AS DOUBLE)
+             |       / CAST(len(ts) AS DOUBLE) AS top_token_frac
+             |   FROM t)
+             | SELECT doc_id, n_tokens, dup_token_frac, top_token_frac,
+             |   dup_token_frac <= 0.55 AND top_token_frac <= 0.15 AS keep
+             | FROM m ORDER BY doc_id""".stripMargin),
+      "word-level repetition quality gate (duplicate-token + top-token " +
+        "fractions), map-only"),
+
+    "q_pii_scrub" -> QueryDef(
+      (s, dir) => {
+        // PII redaction over the corpus: emails/phones replaced with
+        // typed tags, per-doc counts kept for audit. The corpus has no
+        // organic PII, so every 10th doc is seeded in-query with a
+        // deterministic email+phone (both engines build the identical
+        // string); the gate hash-checks counts AND the scrubbed text
+        // (via md5). Map-only regexp_replace at any scale.
+        val docs = T(s, dir, "documents")
+        val seeded = when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text"))
+        docs.select(col("doc_id"), seeded.as("__t"))
+          .select(
+            col("doc_id"),
+            TextStats.emailCount(col("__t")).cast("long").as("n_emails"),
+            TextStats.phoneCount(col("__t")).cast("long").as("n_phones"),
+            md5(TextStats.scrubPii(col("__t")).cast("binary"))
+              .as("scrub_digest"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH seeded AS (SELECT doc_id,
+             |     CASE WHEN doc_id % 10 = 0 THEN text || ' contact user'
+             |         || doc_id || '@example.com or call +1-555-'
+             |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |       ELSE text END AS t
+             |   FROM documents)
+             | SELECT doc_id,
+             |   CAST(len(regexp_extract_all(t,
+             |     '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+             |     AS n_emails,
+             |   CAST(len(regexp_extract_all(t,
+             |     '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+             |   md5(regexp_replace(regexp_replace(t,
+             |     '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             |     '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS scrub_digest
+             | FROM seeded ORDER BY doc_id""".stripMargin),
+      "PII scrubbing with typed tags + per-doc audit counts " +
+        "(self-seeded, scrub output hash-checked)")
   )
 }

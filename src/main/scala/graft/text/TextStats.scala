@@ -77,6 +77,53 @@ object TextStats {
       .otherwise(best.getField("lang"))
   }
 
+  /** Token-repetition metrics for quality filtering (the word-level
+    * analog of Gopher-style repetition rules): the duplicate-token
+    * fraction 1 - |distinct|/|tokens| and the most-frequent-token
+    * fraction max_count/|tokens|. High values mean degenerate,
+    * boilerplate, or loop-generated text.
+    *
+    * Pure array expressions over one tokenization — codegen'd, no
+    * explode, no shuffle: repetition scoring at 100 TB is a map-only
+    * pass over the scan.
+    */
+  def dupTokenFrac(text: Column): Column = {
+    val toks = tokens(lower(text))
+    lit(1.0) - size(array_distinct(toks)).cast(DoubleType) /
+      size(toks).cast(DoubleType)
+  }
+
+  /** Fraction of tokens taken by the single most frequent token.
+    * aggregate() over the distinct tokens, counting occurrences of each
+    * in the full array via size(filter(...)) — O(distinct·tokens) per
+    * doc, still map-only.
+    */
+  def topTokenFrac(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val top = aggregate(
+      array_distinct(toks), lit(0),
+      (acc, t) => greatest(acc, size(filter(toks, x => x === t))))
+    top.cast(DoubleType) / size(toks).cast(DoubleType)
+  }
+
+  /** PII scrubbing patterns (email addresses and NANP-style phone
+    * numbers) — deliberately simple, RE2/Java-regex-portable patterns so
+    * the scrub is reproducible across engines.
+    */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePattern = "\\+1-555-[0-9]{4}"
+
+  /** Replace email/phone PII with typed placeholder tags. Codegen'd
+    * regexp_replace — map-only at any scale. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(emailPattern))
+
+  def phoneCount(text: Column): Column = regexp_count(text, lit(phonePattern))
+
   /** Exact content fingerprint (hex md5) — the dedup key. */
   def fingerprintMd5(text: Column): Column = md5(text.cast(BinaryType))
 
