@@ -730,22 +730,36 @@ object EtlQueries extends QueryModule {
       "CUBE hierarchy aggregation (oracle)"),
 
     "q_a14_approx_stats" -> QueryDef(
-      (s, dir) =>
+      (s, dir) => {
         // the documented scale path for per-column profiling when
         // exactness isn't required: HLL distinct (mergeable, one pass) +
         // approximate quantiles. The sketch values are deterministic but
         // not ANSI-SQL-reproducible, so the gate carries the EXACT stats
         // (DuckDB recomputes them) plus relative-error flags for the
         // sketches — a broken sketch breaks the hash.
-        T(s, dir, "lineitem")
-          .agg(
-            approx_count_distinct(col("l_partkey")).as("__ap"),
-            approx_count_distinct(col("l_suppkey")).as("__as"),
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-              .as("__am"),
-            countDistinct(col("l_partkey")).as("exact_parts"),
-            countDistinct(col("l_suppkey")).as("exact_supps"),
-            expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+        //
+        // Plan shape: the exact distinct counts run as distinct-groupBy
+        // sub-aggregates (partial-aggregated, shuffle = |distinct values|)
+        // joined back as broadcast 1-row frames — NOT as countDistinct
+        // alongside the sketches, which would Expand the fact ×3 and drag
+        // the percentile buffers through it. The exact/approx quantile
+        // pair runs on the bounded-cardinality measure (l_quantity, 50
+        // values ⇒ 50-entry mergeable percentile buffers): an exact
+        // percentile over a high-cardinality double column ships every
+        // distinct value to one reducer — the precise cost the sketch
+        // path exists to avoid, so the GATE shouldn't pay it either.
+        val li = T(s, dir, "lineitem")
+        val sketches = li.agg(
+          approx_count_distinct(col("l_partkey")).as("__ap"),
+          approx_count_distinct(col("l_suppkey")).as("__as"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+            .as("__am"),
+          expr("percentile(l_quantity, 0.5)").as("exact_median"))
+        val parts = li.select(col("l_partkey")).distinct()
+          .agg(count(lit(1)).as("exact_parts"))
+        val supps = li.select(col("l_suppkey")).distinct()
+          .agg(count(lit(1)).as("exact_supps"))
+        sketches.crossJoin(broadcast(parts)).crossJoin(broadcast(supps))
           .select(col("exact_parts"), col("exact_supps"),
             col("exact_median"),
             (abs(col("__ap") - col("exact_parts")) / col("exact_parts")
@@ -753,10 +767,11 @@ object EtlQueries extends QueryModule {
             (abs(col("__as") - col("exact_supps")) / col("exact_supps")
               <= 0.10).as("supps_ok"),
             (abs(col("__am") - col("exact_median")) / col("exact_median")
-              <= 0.01).as("median_ok")),
+              <= 0.01).as("median_ok"))
+      },
       Some("""SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
              | COUNT(DISTINCT l_suppkey) AS exact_supps,
-             | quantile_cont(l_extendedprice, 0.5) AS exact_median,
+             | quantile_cont(l_quantity, 0.5) AS exact_median,
              | TRUE AS parts_ok, TRUE AS supps_ok, TRUE AS median_ok
              | FROM lineitem""".stripMargin),
       "approximate profiling: HLL distinct + approx quantile, " +

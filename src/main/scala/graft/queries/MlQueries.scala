@@ -38,12 +38,6 @@ object MlQueries extends QueryModule {
     * of them derive from this one frame. Safe to unpersist on exit —
     * every query below returns a small driver-built result frame.
     */
-  private def withLabeled[A](s: SparkSession, dir: String)
-      (body: DataFrame => A): A = {
-    val labeled = labeledLineitem(s, dir).persist()
-    try body(labeled) finally labeled.unpersist()
-  }
-
   /** The shared prepared-matrix cache entry for a testdata dir (split +
     * prep fit + SMOTE paid once per session per dir — SURVEY §7.4.6's
     * cached-prepared-data requirement; every stage is deterministic so
@@ -216,29 +210,27 @@ object MlQueries extends QueryModule {
       "M2: SMOTE rebalance — exact class-balance invariant (train.py:70-71)"),
 
     "q_a10_importance" -> QueryDef(
-      (s, dir) => withLabeled(s, dir) { df =>
-        val prep = PrepPipeline.fit(df, FeatureCols)
-        // RF's findSplits + per-depth passes each re-read the input;
-        // persist the prepped matrix so impute/assemble/scale run once
-        val prepped = prep.transform(df)
-          .select(col("label"), col(PrepPipeline.FeaturesCol))
-          .persist()
-        try {
-          val rf = Trainers.randomForest(nEstimators = 20).fit(prepped)
-          // gate on the distribution invariants (every feature present
-          // with a valid weight; weights sum to 1); raw importances stay
-          // spec-asserted (ImportanceSpec)
-          Importance.ranked(s, rf, FeatureCols)
-            .withColumn("__sum",
-              sum(col("importance")).over(
-                org.apache.spark.sql.expressions.Window
-                  .partitionBy(lit(1))))
-            .select(col("feature"),
-              (col("importance") >= 0.0 && col("importance") <= 1.0)
-                .as("imp_ok"),
-              (abs(col("__sum") - 1.0) <= 1e-6).as("sum_ok"))
-            .orderBy(col("feature"))
-        } finally prepped.unpersist()
+      (s, dir) => {
+        // importances come from the cached prepared TRAIN matrix (the
+        // split+prep+persist is shared with the trainer family via
+        // TrainingCache — one fit per session per dir, and importances
+        // never see the test rows, matching the trainer protocol)
+        val e = prepared(s, dir)
+        val rf = Trainers.randomForest(nEstimators = 20)
+          .fit(e.preppedTrain)
+        // gate on the distribution invariants (every feature present
+        // with a valid weight; weights sum to 1); raw importances stay
+        // spec-asserted (ImportanceSpec)
+        Importance.ranked(s, rf, FeatureCols)
+          .withColumn("__sum",
+            sum(col("importance")).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(lit(1))))
+          .select(col("feature"),
+            (col("importance") >= 0.0 && col("importance") <= 1.0)
+              .as("imp_ok"),
+            (abs(col("__sum") - 1.0) <= 1e-6).as("sum_ok"))
+          .orderBy(col("feature"))
       },
       Some("""SELECT f AS feature, TRUE AS imp_ok, TRUE AS sum_ok
              | FROM (VALUES ('l_discount'), ('l_extendedprice'),

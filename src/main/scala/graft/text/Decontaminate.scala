@@ -18,16 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Distinct n-grams of the benchmark texts (the broadcast set).
-    * Uses the same linear-time shingle construction as the near-dup
-    * path so both sides of a decontamination run agree on tokenization.
+  /** Distinct n-gram hashes of the benchmark texts (the broadcast
+    * set). Shingles are 64-bit rolling hashes, not strings
+    * (`NearDup.shingleHashes`): only identity matters here, and the
+    * hash form skips the O(n²)-char gram construction. Both sides of a
+    * decontamination run use the same tokenization + hash, so equality
+    * structure is preserved.
     *
-    * @return single-column frame (__bench_ngram)
+    * @return single-column frame (__bench_ngram: long)
     */
   def benchmarkNgrams(bench: DataFrame, textCol: String,
       n: Int = 13): DataFrame =
-    NearDup.shingles(bench, textCol, n)
-      .select(explode(col("__shingles")).as("__bench_ngram"))
+    NearDup.shingleHashes(bench, textCol, n)
+      .select(explode(col("__shingle_hashes")).as("__bench_ngram"))
       .distinct()
 
   /** Contaminated training docs: any doc sharing >= 1 n-gram with the
@@ -37,8 +40,8 @@ object Decontaminate {
     */
   def contaminated(train: DataFrame, benchNgrams: DataFrame,
       idCol: String, textCol: String, n: Int = 13): DataFrame = {
-    val tg = NearDup.shingles(train, textCol, n)
-      .select(col(idCol), explode(col("__shingles")).as("__ngram"))
+    val tg = NearDup.shingleHashes(train, textCol, n)
+      .select(col(idCol), explode(col("__shingle_hashes")).as("__ngram"))
     // inner join against the deduplicated broadcast set: each (doc,
     // shared-ngram) survives exactly once because both sides are
     // distinct (shingles() array_distincts per doc), so the count is
