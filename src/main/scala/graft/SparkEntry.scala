@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{GraftSession, QueryDef, QueryModule, Tables}
 import graft.etl.Preprocess
-import graft.queries.{EtlQueries, LlmQueries, MlQueries, TpchQueries}
+import graft.queries.{CorpusQueries, EtlQueries, LlmQueries, MlQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,8 @@ object SparkEntry {
   /** All query modules; each contributes oracle-checked and rows-only
     * queries. Extend here as modules land.
     */
-  def modules: Seq[QueryModule] = Seq(EtlQueries, MlQueries, LlmQueries, TpchQueries)
+  def modules: Seq[QueryModule] =
+    Seq(EtlQueries, MlQueries, LlmQueries, TpchQueries, CorpusQueries)
 
   lazy val registry: Map[String, QueryDef] =
     modules.flatMap(_.defs).toMap

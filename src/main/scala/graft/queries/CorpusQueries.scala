@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import graft.text.TextStats
+
+/** Training-batch assembly and retrieval operators over the corpus tables:
+  * sequence packing into fixed token-budget context windows, curriculum
+  * bucketing, deterministic mixture resampling, BM25 keyword retrieval,
+  * and embedding centroid/quantization audits.
+  *
+  * These extend the reference's ETL surface (preprocess.py:60-90 feeding a
+  * trainer) with the batch-assembly steps a pretraining data pipeline runs
+  * after curation. Scale notes per query; the common theme is that every
+  * operator here is either map-only or a partial+final aggregation — no
+  * global windows, no all-pairs work, nothing driver-side.
+  */
+object CorpusQueries extends QueryModule {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** BM25 parameters (standard Robertson defaults). */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** One BM25 term contribution from pre-aggregated exact components.
+    * All inputs are exact (integer counts cast to double), the expression
+    * shape is identical on the oracle side, and the final score is rounded
+    * once — the QueryDef determinism contract.
+    */
+  private def bm25Term(tf: Column, df: Column, nDocs: Column, dl: Column,
+      avgdl: Column): Column = {
+    val idf = log((nDocs - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+    idf * (tf * lit(K1 + 1.0)) /
+      (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / avgdl))
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    "q_seq_packing" -> QueryDef(
+      (s, dir) => {
+        // Sequence packing: concatenate each shard's token stream in
+        // doc_id order and slice it into 512-token context windows; a doc
+        // belongs to the window where its first token lands. Per-shard
+        // window + cumulative sum — the shard count (8 here) is the
+        // parallelism knob, so at 100 TB this is thousands of independent
+        // sequential packs, each a single sorted partition pass, never a
+        // global order.
+        val ctx = 512.0
+        val t = T(s, dir, "documents").select(
+          col("doc_id"),
+          pmod(col("doc_id"), lit(8)).as("shard"),
+          TextStats.tokenCount(col("text")).cast("long").as("toks"))
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        t.withColumn("cum", sum(col("toks")).over(w))
+          .withColumn("bin",
+            floor((col("cum") - col("toks")).cast(DoubleType) / lit(ctx))
+              .cast("long"))
+          .groupBy(col("shard"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("shard"), col("bin"))
+      },
+      Some("""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+             |   len(regexp_split_to_array(trim(text), '\s+')) AS toks
+             |   FROM documents),
+             | c AS (SELECT doc_id, shard, toks,
+             |   SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+             |   FROM t)
+             | SELECT shard, CAST(FLOOR((cum - toks) / 512.0) AS BIGINT) AS bin,
+             |   COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens,
+             |   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             | FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin),
+      "sequence packing: shard-parallel token-stream slicing into " +
+        "512-token context windows"),
+
+    "q_curriculum_buckets" -> QueryDef(
+      (s, dir) => {
+        // Curriculum bucketing by quality score band. Fixed-width bands
+        // (not ntile) deliberately: band assignment is map-only and needs
+        // no global sort, so the bucketing cost at 100 TB is zero on top
+        // of the scoring scan. quality is bit-stable across engines
+        // (proven by q_quality_score's hash match).
+        val d = T(s, dir, "documents").select(
+          col("doc_id"),
+          TextStats.tokenCount(col("text")).cast("long").as("toks"),
+          TextStats.qualityScore(col("text")).as("quality"))
+        d.withColumn("bucket",
+            least(floor(col("quality") * 10).cast("int"), lit(9)))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("tokens"),
+            min(col("quality")).as("q_min"),
+            max(col("quality")).as("q_max"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |   len(regexp_split_to_array(trim(text), '\s+')) AS toks,
+             |   0.5 * (len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |       x -> x IN ('the','a','of','and','to','in','is','it')))
+             |     / len(regexp_split_to_array(trim(text), '\s+')))
+             |   + 0.3 * (CASE WHEN len(regexp_split_to_array(trim(text), '\s+'))
+             |       BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+             |   + 0.2 * (1.0 - LENGTH(regexp_replace(text, '[a-z0-9\s]', '', 'g'))
+             |     / LENGTH(text)) AS quality
+             |   FROM documents)
+             | SELECT LEAST(CAST(FLOOR(quality * 10) AS INT), 9) AS bucket,
+             |   COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tokens,
+             |   MIN(quality) AS q_min, MAX(quality) AS q_max
+             | FROM d GROUP BY bucket ORDER BY bucket""".stripMargin),
+      "curriculum bucketing: map-only fixed-width quality bands " +
+        "(no global sort)"),
+
+    "q_mixture_resample" -> QueryDef(
+      (s, dir) => {
+        // Deterministic mixture resampling to per-source target rates
+        // (100/50/25/10 % by source index mod 4): keep a doc iff
+        // doc_id % 100 < rate. Hash-mod selection instead of rand() makes
+        // the sample exactly reproducible across engines, runs, and
+        // partitionings — the property a training-data pipeline needs for
+        // auditable mixtures. Map-only + partial agg; no shuffle of the
+        // kept rows themselves.
+        val d = T(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          TextStats.tokenCount(col("text")).cast("long").as("toks"))
+        val rate = element_at(
+          array(lit(100), lit(50), lit(25), lit(10)),
+          (pmod(substring(col("source"), 4, 10).cast("int"), lit(4)) +
+            lit(1)).cast("int"))
+        d.withColumn("rate", rate)
+          .withColumn("kept",
+            (pmod(col("doc_id"), lit(100)) < col("rate")).cast("int"))
+          .groupBy(col("source"), col("rate"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("kept")).as("kept_docs"),
+            sum(col("kept") * col("toks")).as("kept_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |   len(regexp_split_to_array(trim(text), '\s+')) AS toks,
+             |   ([100, 50, 25, 10])[(CAST(substr(source, 4) AS INT) % 4) + 1]
+             |     AS rate
+             |   FROM documents)
+             | SELECT source, rate, COUNT(*) AS n_docs,
+             |   CAST(SUM(CASE WHEN doc_id % 100 < rate THEN 1 ELSE 0 END)
+             |     AS BIGINT) AS kept_docs,
+             |   CAST(SUM(CASE WHEN doc_id % 100 < rate THEN toks ELSE 0 END)
+             |     AS BIGINT) AS kept_tokens
+             | FROM d GROUP BY source, rate ORDER BY source""".stripMargin),
+      "deterministic mixture resampling: hash-mod per-source rates, " +
+        "exactly reproducible (no RNG)"),
+
+    "q_bm25_search" -> QueryDef(
+      (s, dir) => {
+        // BM25 keyword retrieval for a fixed 3-term query. Shape at
+        // scale: one tokenize+explode scan filtered to query terms (the
+        // filter prunes the explode output to ~|terms| rows per doc),
+        // partial+final agg to per-doc tfs, and a 1-row global stats
+        // frame cross-joined (broadcast) back — the fact table never
+        // shuffles twice. Per-term scores are summed in fixed expression
+        // order (not an agg over term rows), keeping the double exact-
+        // reproducible; score rounded once, then ranked.
+        val docs = T(s, dir, "documents")
+        val terms = Seq("spark", "join", "window")
+        val withDl = docs.select(col("doc_id"),
+          TextStats.tokenCount(col("text")).cast("long").as("dl"),
+          TextStats.tokens(lower(col("text"))).as("ts"))
+        val perDoc = withDl.select(
+          col("doc_id"), col("dl"),
+          explode(col("ts")).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+          .groupBy(col("doc_id"), col("dl"))
+          .agg(
+            sum(when(col("tok") === terms.head, 1L).otherwise(0L))
+              .as(s"tf_${terms.head}"),
+            terms.tail.map(t =>
+              sum(when(col("tok") === t, 1L).otherwise(0L))
+                .as(s"tf_$t")): _*)
+        val globals = withDl.agg(
+          count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        // per-term document frequencies: a second 1-row aggregate over the
+        // (small) matched set, broadcast back — never a global window
+        val dfs = perDoc.agg(
+          sum(when(col(s"tf_${terms.head}") > 0, 1L).otherwise(0L))
+            .as(s"df_${terms.head}"),
+          terms.tail.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+              .as(s"df_$t")): _*)
+        val joined = perDoc.crossJoin(broadcast(globals))
+          .crossJoin(broadcast(dfs))
+          .withColumn("avgdl",
+            col("sum_dl").cast(DoubleType) / col("n_docs"))
+        val score = terms.map { t =>
+          bm25Term(col(s"tf_$t").cast(DoubleType),
+            col(s"df_$t").cast(DoubleType),
+            col("n_docs").cast(DoubleType), col("dl").cast(DoubleType),
+            col("avgdl"))
+        }.reduce(_ + _)
+        joined
+          .withColumn("score", round(score, 4))
+          .select(col("doc_id"), col("dl"),
+            col("tf_spark"), col("tf_join"), col("tf_window"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |   len(regexp_split_to_array(trim(text), '\s+')) AS dl,
+             |   regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |   FROM documents),
+             | f AS (SELECT doc_id, dl,
+             |   len(list_filter(ts, x -> x = 'spark')) AS tf_spark,
+             |   len(list_filter(ts, x -> x = 'join')) AS tf_join,
+             |   len(list_filter(ts, x -> x = 'window')) AS tf_window
+             |   FROM t
+             |   WHERE len(list_filter(ts,
+             |     x -> x IN ('spark','join','window'))) > 0),
+             | g AS (SELECT COUNT(*) AS n_docs,
+             |   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             |   (SELECT COUNT(*) FROM f WHERE tf_spark > 0) AS df_spark,
+             |   (SELECT COUNT(*) FROM f WHERE tf_join > 0) AS df_join,
+             |   (SELECT COUNT(*) FROM f WHERE tf_window > 0) AS df_window
+             |   FROM t)
+             | SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+             |   CAST(tf_spark AS BIGINT) AS tf_spark,
+             |   CAST(tf_join AS BIGINT) AS tf_join,
+             |   CAST(tf_window AS BIGINT) AS tf_window,
+             |   ROUND(
+             |     ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+             |       * (tf_spark * 2.2)
+             |       / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |   + ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+             |       * (tf_join * 2.2)
+             |       / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |   + ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1.0)
+             |       * (tf_window * 2.2)
+             |       / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4)
+             |     AS score
+             | FROM f CROSS JOIN g
+             | ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+      "BM25 keyword retrieval: explode-filter-agg + broadcast globals, " +
+        "fixed-order term sum, ranked top-10"),
+
+    "q_embedding_centroid" -> QueryDef(
+      (s, dir) => {
+        // Per-label embedding centroid. Floats are fixed-pointed
+        // (floor(x * 1e8) as long) BEFORE aggregation so the sum is exact
+        // integer math — bit-identical at any partitioning and in any
+        // engine; the division to a double centroid happens once at the
+        // end. posexplode + partial+final agg: the shuffle carries
+        // |labels| x |dims| rows, independent of corpus size.
+        val e = T(s, dir, "embeddings")
+        e.select(col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy(col("label"), col("dim"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("v").cast(DoubleType) * lit(1e8)).cast("long"))
+              .as("sum_scaled"))
+          .select(col("label"), col("dim"), col("n"),
+            (col("sum_scaled").cast(DoubleType) / (col("n") * lit(1e8)))
+              .as("centroid"))
+          .orderBy(col("label"), col("dim"))
+      },
+      Some("""WITH x AS (SELECT label,
+             |   generate_subscripts(embedding, 1) - 1 AS dim,
+             |   unnest(embedding) AS v
+             |   FROM embeddings)
+             | SELECT label, dim, COUNT(*) AS n,
+             |   CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e8) AS BIGINT))
+             |       AS DOUBLE) / (COUNT(*) * 1e8) AS centroid
+             | FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin),
+      "per-label embedding centroids: fixed-point exact sums, " +
+        "|labels|x|dims| shuffle regardless of corpus size"),
+
+    "q_embedding_quantize" -> QueryDef(
+      (s, dir) => {
+        // Int8-style affine quantization audit, fully map-only: per-vector
+        // min/max range, code = round((x-min)/scale) in [0,255], plus the
+        // code-sum checksum. Array HOFs (transform/aggregate) keep the
+        // whole thing inside one codegen'd projection — no explode, no
+        // shuffle; quantizing 100 TB of vectors is a pure scan.
+        // round() on the non-negative normalized value is half-up in both
+        // engines (Spark HALF_UP; DuckDB half-away == half-up for x >= 0).
+        val e = T(s, dir, "embeddings")
+        val mn = array_min(col("embedding")).cast(DoubleType)
+        val mx = array_max(col("embedding")).cast(DoubleType)
+        val scale = (mx - mn) / lit(255.0)
+        val codes = transform(col("embedding"), x =>
+          when(mx === mn, lit(0))
+            .otherwise(
+              round((x.cast(DoubleType) - mn) / scale).cast("int")))
+        e.select(
+            col("vec_id"), size(col("embedding")).as("n_dims"),
+            round(mn, 6).as("v_min"), round(mx, 6).as("v_max"),
+            aggregate(codes, lit(0L), (acc, c) => acc + c).as("code_sum"),
+            array_min(codes).as("code_min"),
+            array_max(codes).as("code_max"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT vec_id, embedding,
+             |   CAST(list_min(embedding) AS DOUBLE) AS mn,
+             |   CAST(list_max(embedding) AS DOUBLE) AS mx
+             |   FROM embeddings),
+             | c AS (SELECT vec_id, embedding, mn, mx,
+             |   list_transform(embedding, x -> CASE WHEN mx = mn THEN 0
+             |     ELSE CAST(ROUND((CAST(x AS DOUBLE) - mn)
+             |       / ((mx - mn) / 255.0)) AS INT) END) AS codes
+             |   FROM q)
+             | SELECT vec_id, len(embedding) AS n_dims,
+             |   ROUND(mn, 6) AS v_min, ROUND(mx, 6) AS v_max,
+             |   CAST(list_sum(codes) AS BIGINT) AS code_sum,
+             |   list_min(codes) AS code_min, list_max(codes) AS code_max
+             | FROM c ORDER BY vec_id""".stripMargin),
+      "int8 affine quantization audit: map-only array HOFs, zero shuffle")
+  )
+}

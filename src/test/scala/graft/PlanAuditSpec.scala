@@ -218,6 +218,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("StartsWith(p_name,small)"))
   }
 
+  test("q_embedding_quantize: map-only — no join, no aggregate exchange") {
+    val p = planOf("q_embedding_quantize")
+    // the only exchange allowed is the final rangepartitioning for the
+    // oracle's total order; quantization itself is a pure projection
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q_embedding_centroid: partial+final agg, no join") {
+    val p = planOf("q_embedding_centroid")
+    assert(p.contains("partial_sum"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q_bm25_search: global stats broadcast; no shuffled cartesian") {
+    val p = planOf("q_bm25_search")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("partial_sum"), p.take(2000))
+  }
+
+  test("q_seq_packing: packing window is shard-partitioned, never global") {
+    val p = planOf("q_seq_packing")
+    assert(p.contains("Window"), p.take(2000))
+    // the window spec must carry the shard partition key — an empty
+    // partitionBy would funnel the corpus through one task
+    assert("""windowspecdefinition\(shard""".r.findFirstIn(p).isDefined,
+      p.take(2000))
+  }
+
   test("q_cosine_adjacent: native cosine inside whole-stage codegen") {
     val df = SparkEntry.queries("q_cosine_adjacent")(spark, sf001)
     df.collect() // AQE: codegen spans only exist in the executed final plan
