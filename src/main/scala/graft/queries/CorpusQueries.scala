@@ -287,20 +287,28 @@ object CorpusQueries extends QueryModule {
         // shuffle; quantizing 100 TB of vectors is a pure scan.
         // round() on the non-negative normalized value is half-up in both
         // engines (Spark HALF_UP; DuckDB half-away == half-up for x >= 0).
+        // min/max/scale are hoisted into a materialized projection BEFORE
+        // the transform lambda: expressions referenced inside a HOF lambda
+        // are re-evaluated per element, so an inline array_min would make
+        // the pass O(dims^2) per row (measured 2.3 s -> sub-second at
+        // sf0.1 from this hoist alone)
         val e = T(s, dir, "embeddings")
-        val mn = array_min(col("embedding")).cast(DoubleType)
-        val mx = array_max(col("embedding")).cast(DoubleType)
-        val scale = (mx - mn) / lit(255.0)
+          .withColumn("__mn", array_min(col("embedding")).cast(DoubleType))
+          .withColumn("__mx", array_max(col("embedding")).cast(DoubleType))
+          .withColumn("__scale", (col("__mx") - col("__mn")) / lit(255.0))
         val codes = transform(col("embedding"), x =>
-          when(mx === mn, lit(0))
-            .otherwise(
-              round((x.cast(DoubleType) - mn) / scale).cast("int")))
-        e.select(
+          when(col("__mx") === col("__mn"), lit(0))
+            .otherwise(round((x.cast(DoubleType) - col("__mn")) /
+              col("__scale")).cast("int")))
+        e.withColumn("__codes", codes)
+          .select(
             col("vec_id"), size(col("embedding")).as("n_dims"),
-            round(mn, 6).as("v_min"), round(mx, 6).as("v_max"),
-            aggregate(codes, lit(0L), (acc, c) => acc + c).as("code_sum"),
-            array_min(codes).as("code_min"),
-            array_max(codes).as("code_max"))
+            round(col("__mn"), 6).as("v_min"),
+            round(col("__mx"), 6).as("v_max"),
+            aggregate(col("__codes"), lit(0L), (acc, c) => acc + c)
+              .as("code_sum"),
+            array_min(col("__codes")).as("code_min"),
+            array_max(col("__codes")).as("code_max"))
           .orderBy(col("vec_id"))
       },
       Some("""WITH q AS (SELECT vec_id, embedding,
@@ -317,6 +325,153 @@ object CorpusQueries extends QueryModule {
              |   CAST(list_sum(codes) AS BIGINT) AS code_sum,
              |   list_min(codes) AS code_min, list_max(codes) AS code_max
              | FROM c ORDER BY vec_id""".stripMargin),
-      "int8 affine quantization audit: map-only array HOFs, zero shuffle")
+      "int8 affine quantization audit: map-only array HOFs, zero shuffle"),
+
+    "q_corpus_upsert" -> QueryDef(
+      (s, dir) => {
+        // Incremental corpus maintenance: MERGE an incoming batch into the
+        // base snapshot by key — revised texts replace, new keys insert,
+        // untouched rows carry over. Vanilla-Spark merge = one full-outer
+        // equi join on the key (co-shuffled both sides, AQE-skew-safe)
+        // + coalesce; the incoming batch is typically tiny vs the corpus,
+        // so at scale the join broadcasts the batch instead. Output is the
+        // per-action audit a pipeline logs after each merge.
+        val docs = T(s, dir, "documents")
+        val base = docs.select(col("doc_id"), col("text"))
+        val incoming = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), concat(lit("v2 "), col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        val merged = base.as("b")
+          .join(incoming.as("i"), Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("i.text"), col("b.text")).as("text"),
+            when(col("i.text").isNull, "keep")
+              .when(col("b.text").isNull, "insert")
+              .otherwise("update").as("action"))
+        merged.groupBy(col("action"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(length(col("text")).cast("long")).as("chars"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy(col("action"))
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             | inc AS (SELECT doc_id, 'v2 ' || text AS text FROM documents
+             |     WHERE doc_id % 10 = 0
+             |   UNION ALL
+             |   SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+             | m AS (SELECT COALESCE(b.doc_id, i.doc_id) AS doc_id,
+             |   COALESCE(i.text, b.text) AS text,
+             |   CASE WHEN i.text IS NULL THEN 'keep'
+             |     WHEN b.text IS NULL THEN 'insert'
+             |     ELSE 'update' END AS action
+             |   FROM base b FULL OUTER JOIN inc i ON b.doc_id = i.doc_id)
+             | SELECT action, COUNT(*) AS n_rows,
+             |   CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+             |   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+             | FROM m GROUP BY action ORDER BY action""".stripMargin),
+      "corpus upsert (MERGE by key): full-outer join + coalesce, " +
+        "per-action audit"),
+
+    "q_snapshot_diff" -> QueryDef(
+      (s, dir) => {
+        // Snapshot change accounting: diff two corpus versions by key,
+        // comparing content digests — added / removed / changed /
+        // unchanged counts. Digest-compare means the join carries two
+        // 32-char hashes per key, not the documents themselves; at 100 TB
+        // the diff shuffles |keys| tiny rows, never the text.
+        val docs = T(s, dir, "documents")
+        val a = docs.select(col("doc_id"),
+          TextStats.fingerprintMd5(col("text")).as("h"))
+        val b = docs
+          .filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            TextStats.fingerprintMd5(
+              when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev")))
+                .otherwise(col("text"))).as("h"))
+          .unionByName(docs.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 200000).as("doc_id"),
+              TextStats.fingerprintMd5(col("text")).as("h")))
+        a.as("a").join(b.as("b"), Seq("doc_id"), "full_outer")
+          .select(
+            when(col("a.h").isNull, "added")
+              .when(col("b.h").isNull, "removed")
+              .when(col("a.h") === col("b.h"), "unchanged")
+              .otherwise("changed").as("change"))
+          .groupBy(col("change"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("change"))
+      },
+      Some("""WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+             | b AS (SELECT doc_id,
+             |     md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev'
+             |       ELSE text END) AS h
+             |   FROM documents WHERE doc_id % 7 <> 0
+             |   UNION ALL
+             |   SELECT doc_id + 200000, md5(text) FROM documents
+             |     WHERE doc_id < 10),
+             | m AS (SELECT CASE WHEN a.h IS NULL THEN 'added'
+             |     WHEN b.h IS NULL THEN 'removed'
+             |     WHEN a.h = b.h THEN 'unchanged'
+             |     ELSE 'changed' END AS change
+             |   FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+             | SELECT change, COUNT(*) AS n_docs FROM m
+             | GROUP BY change ORDER BY change""".stripMargin),
+      "snapshot diff: digest-compare two corpus versions, " +
+        "added/removed/changed accounting"),
+
+    "q_approx_quantiles" -> QueryDef(
+      (s, dir) => {
+        // Approximate quantiles with the error bound asserted in-query:
+        // approx_percentile (mergeable KLL-style sketch — the 100 TB
+        // path: partials merge, no global sort) must land within a value
+        // tolerance of the exact percentile. The gate row carries the
+        // exact values (oracle-recomputed) plus the bound flags, so a
+        // sketch regression flips the hash.
+        val li = T(s, dir, "lineitem")
+        li.agg(
+            expr("percentile(l_quantity, 0.25)").as("exact_p25"),
+            expr("percentile(l_quantity, 0.5)").as("exact_p50"),
+            expr("percentile(l_quantity, 0.75)").as("exact_p75"),
+            expr("approx_percentile(l_quantity, 0.25, 10000)").as("__a25"),
+            expr("approx_percentile(l_quantity, 0.5, 10000)").as("__a50"),
+            expr("approx_percentile(l_quantity, 0.75, 10000)").as("__a75"))
+          .select(col("exact_p25"), col("exact_p50"), col("exact_p75"),
+            (abs(col("__a25") - col("exact_p25")) <= 1.0).as("p25_ok"),
+            (abs(col("__a50") - col("exact_p50")) <= 1.0).as("p50_ok"),
+            (abs(col("__a75") - col("exact_p75")) <= 1.0).as("p75_ok"))
+      },
+      Some("""SELECT quantile_cont(l_quantity, 0.25) AS exact_p25,
+             |   quantile_cont(l_quantity, 0.5) AS exact_p50,
+             |   quantile_cont(l_quantity, 0.75) AS exact_p75,
+             |   TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+             | FROM lineitem""".stripMargin),
+      "approx quantiles (mergeable sketch) with value-error bound " +
+        "asserted in-query vs exact percentiles"),
+
+    "q_reservoir_sample" -> QueryDef(
+      (s, dir) => {
+        // Deterministic k-per-group sampling: order each source's docs by
+        // a content-independent hash of the key and keep the first k —
+        // reservoir-sample semantics with exact reproducibility (same
+        // sample on any engine, run, or partitioning). Per-group window
+        // top-k: each partition ranks locally after one shuffle on
+        // source; no RNG, no global sort.
+        val docs = T(s, dir, "documents")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs.select(col("source"), col("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .orderBy(col("source"), col("rn"))
+      },
+      Some("""SELECT source, doc_id, CAST(rn AS INT) AS rn FROM (
+             |   SELECT source, doc_id, ROW_NUMBER() OVER (
+             |     PARTITION BY source
+             |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |   FROM documents) t
+             | WHERE rn <= 5 ORDER BY source, rn""".stripMargin),
+      "deterministic reservoir-style k-per-group sample: hash-ordered " +
+        "window top-k, no RNG")
   )
 }

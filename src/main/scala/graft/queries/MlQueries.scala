@@ -7,8 +7,8 @@ import org.apache.spark.sql.types._
 
 import graft.core.{QueryDef, QueryModule, Tables}
 import graft.eval.Metrics
-import graft.ml.{Importance, MultiModel, PrepPipeline, Smote, Trainers,
-  TrainingCache}
+import graft.ml.{Importance, ModelCache, MultiModel, PrepPipeline, Smote,
+  Trainers, TrainingCache}
 
 /** ML-pipeline queries (SURVEY §2.8-2.9). Queries whose semantics are
   * SQL-expressible carry a DuckDB oracle (label encoding); trainer/metric
@@ -60,8 +60,10 @@ object MlQueries extends QueryModule {
       params: Map[String, String]): (SparkSession, String) => DataFrame =
     (s, dir) => {
       val e = prepared(s, dir)
-      val clf = Trainers.byName(modelType, params).fit(e.smotedTrain)
-        .asInstanceOf[org.apache.spark.ml.Transformer]
+      val tag = s"$modelType:${params.toSeq.sorted.mkString(",")}:smoted"
+      val clf = ModelCache.fitted(s, dir, tag)(
+        Trainers.byName(modelType, params).fit(e.smotedTrain)
+          .asInstanceOf[org.apache.spark.ml.Transformer])
       def acc(df: DataFrame): Double =
         Metrics.accuracy(clf.transform(df)
           .select(col("label"), col("prediction"))).head().getDouble(0)
@@ -120,9 +122,10 @@ object MlQueries extends QueryModule {
         // floor, and both true classes appear. The raw cell counts stay
         // spec-asserted.
         val e = prepared(s, dir)
-        val clf = Trainers.byName("D_TREE", Map("max_depth" -> "5"))
-          .fit(e.preppedTrain)
-          .asInstanceOf[org.apache.spark.ml.Transformer]
+        val clf = ModelCache.fitted(s, dir, "D_TREE:max_depth=5:prepped")(
+          Trainers.byName("D_TREE", Map("max_depth" -> "5"))
+            .fit(e.preppedTrain)
+            .asInstanceOf[org.apache.spark.ml.Transformer])
         val conf = Metrics.confusion(
           clf.transform(e.preppedTest)
             .select(col("label"), col("prediction")))
@@ -216,8 +219,10 @@ object MlQueries extends QueryModule {
         // TrainingCache — one fit per session per dir, and importances
         // never see the test rows, matching the trainer protocol)
         val e = prepared(s, dir)
-        val rf = Trainers.randomForest(nEstimators = 20)
-          .fit(e.preppedTrain)
+        val rf = ModelCache.fitted(s, dir, "RAND_FOREST:n=20:prepped")(
+          Trainers.randomForest(nEstimators = 20).fit(e.preppedTrain))
+          .asInstanceOf[
+            org.apache.spark.ml.classification.RandomForestClassificationModel]
         // gate on the distribution invariants (every feature present
         // with a valid weight; weights sum to 1); raw importances stay
         // spec-asserted (ImportanceSpec)

@@ -69,6 +69,27 @@ class MlPipelineSpec extends SparkSpec {
     assert(dtFp() === dtFp())
   }
 
+  test("ModelCache: same tag hits cache; distinct tags fit fresh") {
+    import graft.ml.ModelCache
+    ModelCache.clear()
+    var fits = 0
+    val (tr, _) = MultiModel.split(labeled)
+    val prep = PrepPipeline.fit(tr, featureCols)
+    val prepped = prep.transform(tr)
+    def fitDt(): org.apache.spark.ml.Transformer = {
+      fits += 1
+      Trainers.decisionTree(maxDepth = 3).fit(prepped)
+        .asInstanceOf[org.apache.spark.ml.Transformer]
+    }
+    val a = ModelCache.fitted(spark, "k", "dt:3")(fitDt())
+    val b = ModelCache.fitted(spark, "k", "dt:3")(fitDt())
+    val c = ModelCache.fitted(spark, "k", "dt:3b")(fitDt())
+    assert(a eq b)           // cache hit returns the same fitted model
+    assert(!(a eq c))        // a different tag never false-shares
+    assert(fits === 2)
+    ModelCache.clear()
+  }
+
   test("S7 save/load round-trip preserves predictions; registry records") {
     val dir = Files.createTempDirectory("graft-models").toString
     val reg = new ModelRegistry(s"$dir/registry.jsonl")
