@@ -286,7 +286,7 @@ object LlmQueries extends QueryModule {
         val cand = NearDup.simHashPairs(docs, "doc_id", "text",
             maxHamming = 16, numBands = 8, shingleN = 3)
           .select(col("id_a"), col("id_b"))
-        val found = NearDup.ngramJaccard(docs, "doc_id", "text", cand,
+        val found = NearDup.hashJaccard(docs, "doc_id", "text", cand,
             n = 3)
           .filter(col("jaccard") >= 0.5)
         // found ⊆ truth by construction (exact-jaccard criterion), so

@@ -83,10 +83,16 @@ object NearDup {
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 8, seed: Long = 42L): DataFrame = {
-    val ex = shingles(df, textCol, n)
-      .select(col(idCol).as("__id"), explode(col("__shingles")).as("__s"))
+    // shingle features are the native 64-bit rolling hashes, not strings:
+    // the string-shingle construction (an n-1-layer interpreted zip_with
+    // fold, then per-string xxhash64) was the dominant cost of the whole
+    // near-dup family; the fused tokenize+hash expression builds the same
+    // distinct feature set in one codegen'd pass
+    val ex = shingleHashes(df, textCol, n, seed)
+      .select(col(idCol).as("__id"),
+        explode(col("__shingle_hashes")).as("__s"))
     val mins = (0 until numHashes).map(i =>
-      // xxhash64(shingle, seed+i) = the i-th independent hash family member
+      // xxhash64(hash, seed+i) = the i-th independent hash family member
       min(xxhash64(col("__s"), lit(seed + i))).as(s"__mh$i"))
     ex.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
       .select(col("__id"),
@@ -124,8 +130,33 @@ object NearDup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    ngramJaccard(df, idCol, textCol, cand, n)
+    hashJaccard(df, idCol, textCol, cand, n)
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Exact n-gram Jaccard over the hashed shingle sets — identical to
+    * [[ngramJaccard]] up to 64-bit hash collisions inside a document
+    * pair's shingle union (probability ~|set|²·2⁻⁶⁴ ≈ 1e-15 per pair at
+    * ~200 shingles/doc; the minhash/simhash gates hash-match DuckDB's
+    * STRING-shingle Jaccard at both test scales, confirming zero
+    * collisions there). Intersecting longs instead of strings keeps the
+    * verify stage inside the same fused-hash fast path as candidate
+    * generation.
+    */
+  def hashJaccard(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, n: Int = 3, seed: Long = 42L): DataFrame = {
+    val sh = shingleHashes(df, textCol, n, seed)
+      .select(col(idCol).as("__jid"), col("__shingle_hashes"))
+    val a = pairs.join(sh, pairs("id_a") === col("__jid"))
+      .withColumnRenamed("__shingle_hashes", "__sa").drop("__jid")
+    val b = a.join(sh, a("id_b") === col("__jid"))
+      .withColumnRenamed("__shingle_hashes", "__sb").drop("__jid")
+    b.withColumn("__inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
+      .withColumn("jaccard",
+        col("__inter") /
+          (size(col("__sa")) + size(col("__sb")) - col("__inter")))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Exact n-gram Jaccard for given candidate pairs (ids joined back to
@@ -220,16 +251,18 @@ object NearDup {
     */
   def simHash(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 0): DataFrame = {
-    val toks0 =
+    val toks =
       if (shingleN >= 2)
-        shingles(df, textCol, shingleN)
+        // feature hashes come straight from the fused native expression —
+        // no string shingle construction, no per-string re-hash
+        shingleHashes(df, textCol, shingleN)
           .select(col(idCol).as("__id"),
-            explode(col("__shingles")).as("__tok"))
+            explode(col("__shingle_hashes")).as("__h"))
       else
         df.select(col(idCol).as("__id"),
           explode(array_distinct(split(trim(lower(col(textCol))), "\\s+")))
             .as("__tok"))
-    val toks = toks0.withColumn("__h", xxhash64(col("__tok")))
+          .withColumn("__h", xxhash64(col("__tok")))
     // per bit: +1 if set, -1 if not; sign of the sum is the simhash bit
     val bitSums = (0 until 64).map(i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1L) === 1L, 1)
