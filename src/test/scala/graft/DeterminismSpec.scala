@@ -19,7 +19,12 @@ class DeterminismSpec extends SparkSpec {
     // the in-query quality gates: their boolean/count invariants must
     // not flip with physical partitioning (seeded LSH/KMeans/banding)
     "q_simhash_neardup", "q_fingerprint_rolling", "q_ann_brute_topk",
-    "q_ann_lsh_topk", "q_dedup_exact_stats", "q_mm_image_decode")
+    "q_ann_lsh_topk", "q_dedup_exact_stats", "q_mm_image_decode",
+    // round-4 batch-assembly ops: packing bins (window cumsum), BM25
+    // ranking (float-score order), fixed-point centroid sums, and the
+    // hash-ordered reservoir must all be partitioning-invariant
+    "q_seq_packing", "q_bm25_search", "q_embedding_centroid",
+    "q_reservoir_sample", "q_corpus_upsert", "q_approx_quantiles")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
