@@ -472,6 +472,119 @@ object CorpusQueries extends QueryModule {
              |   FROM documents) t
              | WHERE rn <= 5 ORDER BY source, rn""".stripMargin),
       "deterministic reservoir-style k-per-group sample: hash-ordered " +
-        "window top-k, no RNG")
+        "window top-k, no RNG"),
+
+    "q_unigram_logprob" -> QueryDef(
+      (s, dir) => {
+        // Statistical LM quality scoring (the CCNet-style filter,
+        // unigram-approximated): score each document by its tokens'
+        // corpus log-probabilities. Frequencies fixed-point the log
+        // (floor(1e6·ln p) as long) so per-doc sums are exact integer
+        // math — partitioning-independent and engine-identical. Shape at
+        // scale: one explode scan → token-frequency agg (vocab-sized),
+        // then a second explode scan joined to the frequency table on
+        // token (broadcast for a bounded vocab, shuffle otherwise) →
+        // per-doc partial+final sums.
+        val docs = T(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(TextStats.tokens(lower(col("text")))).as("tok"))
+        val freqs = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val totals = freqs.agg(sum(col("tf")).as("n_total"))
+        val scored = toks
+          .join(broadcast(freqs), Seq("tok"))
+          .crossJoin(broadcast(totals))
+          .withColumn("lp",
+            floor(lit(1e6) *
+              log(col("tf").cast(DoubleType) / col("n_total")))
+              .cast("long"))
+        scored.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("lp")).as("logprob_scaled"))
+          .withColumn("avg_logprob",
+            col("logprob_scaled").cast(DoubleType) /
+              (col("n_tokens") * lit(1e6)))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+             |   FROM documents),
+             | f AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+             | g AS (SELECT SUM(tf) AS n_total FROM f),
+             | s AS (SELECT t.doc_id,
+             |     CAST(FLOOR(1e6 * ln(CAST(f.tf AS DOUBLE) / g.n_total))
+             |       AS BIGINT) AS lp
+             |   FROM toks t JOIN f USING (tok) CROSS JOIN g)
+             | SELECT doc_id, COUNT(*) AS n_tokens,
+             |   CAST(SUM(lp) AS BIGINT) AS logprob_scaled,
+             |   CAST(SUM(lp) AS DOUBLE) / (COUNT(*) * 1e6) AS avg_logprob
+             | FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "unigram-LM quality scoring: fixed-point token log-probs, exact " +
+        "integer per-doc sums"),
+
+    "q_centroid_classify" -> QueryDef(
+      (s, dir) => {
+        // Nearest-centroid classification / semantic cluster purity: the
+        // k-means-style scoring pass of embedding curation. Centroids
+        // assemble in-plan from the fixed-point exact sums (never through
+        // the driver), broadcast (|labels| rows), and each vector picks
+        // its argmax-cosine centroid in one map pass + per-vec window —
+        // at 100 TB this is a map-only scan against a tiny broadcast.
+        // Output is the label x predicted confusion: integer counts, so
+        // the gate is immune to ulp-level cosine differences (ties
+        // broken by label asc).
+        val e = T(s, dir, "embeddings")
+        val cent = e.select(col("label").as("clabel"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy(col("clabel"), col("dim"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("v").cast(DoubleType) * lit(1e8)).cast("long"))
+              .as("s"))
+          .select(col("clabel"), col("dim"),
+            (col("s").cast(DoubleType) / (col("n") * lit(1e8))).as("cv"))
+          .groupBy(col("clabel"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("cv")))),
+            x => x.getField("cv")).as("centroid"))
+        val scored = e.select(col("vec_id"), col("label"), col("embedding"))
+          .crossJoin(broadcast(cent))
+          .withColumn("cos",
+            graft.functions.VectorMath.cosine_sim(
+              col("embedding"), col("centroid")))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("clabel"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("label"), col("clabel").as("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("label"), col("predicted"))
+      },
+      Some("""WITH x AS (SELECT label,
+             |     generate_subscripts(embedding, 1) - 1 AS dim,
+             |     unnest(embedding) AS v
+             |   FROM embeddings),
+             | c AS (SELECT label AS clabel, dim,
+             |     CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e8) AS BIGINT))
+             |       AS DOUBLE) / (COUNT(*) * 1e8) AS cv
+             |   FROM x GROUP BY 1, 2),
+             | ca AS (SELECT clabel, list(cv ORDER BY dim) AS centroid
+             |   FROM c GROUP BY clabel),
+             | s AS (SELECT e.vec_id, e.label, ca.clabel,
+             |     list_dot_product(list_transform(e.embedding,
+             |         x -> CAST(x AS DOUBLE)), ca.centroid)
+             |       / (sqrt(list_dot_product(list_transform(e.embedding,
+             |           x -> CAST(x AS DOUBLE)),
+             |           list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+             |         * sqrt(list_dot_product(ca.centroid, ca.centroid)))
+             |       AS cos
+             |   FROM embeddings e CROSS JOIN ca),
+             | b AS (SELECT vec_id, label, clabel, ROW_NUMBER() OVER (
+             |     PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+             |   FROM s)
+             | SELECT label, clabel AS predicted, COUNT(*) AS n FROM b
+             | WHERE rn = 1 GROUP BY label, predicted
+             | ORDER BY label, predicted""".stripMargin),
+      "nearest-centroid classification: in-plan centroids broadcast, " +
+        "map-only scoring, integer confusion gate")
   )
 }

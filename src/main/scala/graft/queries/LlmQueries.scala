@@ -456,6 +456,66 @@ object LlmQueries extends QueryModule {
              | FROM comp GROUP BY component ORDER BY component""".stripMargin),
       "connected-components dedup clusters (pointer jumping; oracle via recursive CTE)"),
 
+    "q_canonical_select" -> QueryDef(
+      (s, dir) => {
+        // the production dedup DECISION: per near-dup cluster, keep the
+        // highest-quality member (argmax quality, doc_id tiebreak) — not
+        // just the min id. Components come from the pointer-jumping
+        // clusterer; quality joins on (bounded-size) cluster membership;
+        // the argmax is a per-component window. Everything after
+        // clustering shuffles |clustered docs| rows only.
+        val d = T(s, dir, "documents")
+        val a = d.select(col("doc_id").as("id_a"), col("lang").as("la"))
+        val b = d.select((col("doc_id") - 1).as("id_a"),
+          col("doc_id").as("id_b"), col("lang").as("lb"))
+        val edges = a.join(b, Seq("id_a"))
+          .filter(col("la") === col("lb"))
+          .select(col("id_a"), col("id_b"))
+        val comp = NearDup.connectedComponents(edges)
+        val q = d.select(col("doc_id").as("id"),
+          TextStats.qualityScore(col("text")).as("quality"))
+        val w = Window.partitionBy(col("component"))
+          .orderBy(col("quality").desc, col("id"))
+        comp.join(q, Seq("id"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy(col("component"))))
+          .filter(col("rn") === 1)
+          .select(col("component"), col("id").as("keep_id"),
+            col("n_members"), col("quality").as("best_quality"))
+          .orderBy(col("component"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |   SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |   FROM documents a JOIN documents b
+             |     ON b.doc_id = a.doc_id + 1 AND b.lang = a.lang),
+             | sym AS (SELECT id_a AS src, id_b AS dst FROM e
+             |   UNION ALL SELECT id_b, id_a FROM e),
+             | r(id, lbl) AS (
+             |   SELECT src, src FROM sym
+             |   UNION
+             |   SELECT sym.src, r.lbl FROM sym JOIN r ON r.id = sym.dst),
+             | comp AS (SELECT id, MIN(lbl) AS component FROM r GROUP BY id),
+             | q AS (SELECT doc_id AS id,
+             |   0.5 * (len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |       x -> x IN ('the','a','of','and','to','in','is','it')))
+             |     / len(regexp_split_to_array(trim(text), '\s+')))
+             |   + 0.3 * (CASE WHEN len(regexp_split_to_array(trim(text), '\s+'))
+             |       BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+             |   + 0.2 * (1.0 - LENGTH(regexp_replace(text, '[a-z0-9\s]', '', 'g'))
+             |     / LENGTH(text)) AS quality
+             |   FROM documents),
+             | m AS (SELECT comp.component, comp.id, q.quality,
+             |     ROW_NUMBER() OVER (PARTITION BY comp.component
+             |       ORDER BY q.quality DESC, comp.id) AS rn,
+             |     COUNT(*) OVER (PARTITION BY comp.component) AS n_members
+             |   FROM comp JOIN q USING (id))
+             | SELECT component, id AS keep_id, n_members,
+             |   quality AS best_quality
+             | FROM m WHERE rn = 1 ORDER BY component""".stripMargin),
+      "canonical selection: keep the highest-quality member per dedup " +
+        "cluster (argmax window over components)"),
+
     "q_corpus_curation" -> QueryDef(
       (s, dir) => {
         // the flagship curation pipeline, oracle-checked end to end:
