@@ -160,6 +160,24 @@ object EventStream {
       .withColumn("event_time",
         timestamp_micros(lit(1600000000000000L) + col("doc_id")))
 
+  /** Streaming corpus curation: the language-ID + quality + repetition
+    * gate of q_corpus_curation applied to a document stream. Every
+    * scoring expression is a map-only projection (no state, no shuffle),
+    * so the batch and streaming results are definitionally identical —
+    * chain [[dedupDocs]] after it for the full curate→dedup streaming
+    * pipeline with watermark-bounded state.
+    */
+  def curateDocs(docs: DataFrame, minQuality: Double = 0.5,
+      maxDupFrac: Double = 0.6): DataFrame = {
+    import graft.text.TextStats
+    docs
+      .withColumn("lang_id", TextStats.langId(col("text")))
+      .withColumn("quality", TextStats.qualityScore(col("text")))
+      .withColumn("dup_frac", TextStats.dupTokenFrac(col("text")))
+      .filter(col("lang_id") === "en" &&
+        col("quality") >= minQuality && col("dup_frac") <= maxDupFrac)
+  }
+
   /** Streaming exact dedup: drops any document whose content fingerprint
     * was already emitted, with state bounded by the event-time watermark
     * (`dropDuplicatesWithinWatermark`) — the streaming form of the

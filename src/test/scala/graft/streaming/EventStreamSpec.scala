@@ -98,6 +98,28 @@ class EventStreamSpec extends SparkSpec {
     assert(distinctTexts === batch.count()) // fixture: all texts unique
   }
 
+  test("streaming curation gate matches the batch computation exactly") {
+    val dir = Files.createTempDirectory("graft-docs-curate")
+    Files.copy(java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      dir.resolve("docs.parquet"))
+    val q = EventStream.curateDocs(EventStream.readDocs(spark, dir.toString))
+      .select("doc_id", "lang_id", "quality")
+      .writeStream.format("memory").queryName("curated_docs")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("curated_docs")
+      .collect().map(_.toString).sorted.toSeq
+    val batchDocs = Tables.load(spark, sf0001, "documents")
+    val expected = EventStream.curateDocs(
+        batchDocs.withColumn("event_time", lit(null)))
+      .select("doc_id", "lang_id", "quality")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === expected)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream interval join matches the batch equivalent") {
     val events = EventStream.readEvents(spark, eventsDir)
     val q = EventStream.purchaseAttribution(events)
