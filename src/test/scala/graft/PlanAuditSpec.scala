@@ -248,6 +248,20 @@ class PlanAuditSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q_centroid_classify: centroids broadcast; no sort-merge join") {
+    val p = planOf("q_centroid_classify")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("cosine_sim"), p.take(2000))
+  }
+
+  test("q_unigram_logprob: frequency table broadcasts back to the scan") {
+    val p = planOf("q_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("partial_sum"), p.take(2000))
+  }
+
   test("q_cosine_adjacent: native cosine inside whole-stage codegen") {
     val df = SparkEntry.queries("q_cosine_adjacent")(spark, sf001)
     df.collect() // AQE: codegen spans only exist in the executed final plan
