@@ -516,6 +516,75 @@ object LlmQueries extends QueryModule {
       "canonical selection: keep the highest-quality member per dedup " +
         "cluster (argmax window over components)"),
 
+    "q_incremental_curation" -> QueryDef(
+      (s, dir) => {
+        // the production incremental-ingest shape, composed end to end:
+        // an incoming batch is deduped against the EXISTING corpus via
+        // the Bloom pre-filter (corpus scanned once into a bounded
+        // sketch, never shuffled), survivors pass the language+quality
+        // gate, and the per-source accounting is what the pipeline
+        // journals per increment. At 100 TB the corpus-side cost is one
+        // sketch scan; the batch side is map-only until the tiny
+        // confirmed-key broadcast.
+        val d = T(s, dir, "documents")
+        val corpus = d.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+        val dup = BloomDedup.duplicates(corpus, d,
+          TextStats.fingerprintMd5(col("text")),
+          expectedItems = 100000L, numBits = 800000L)
+        val flagged = d
+          .join(dup.select(col("doc_id"), lit(1).as("__dup")),
+            Seq("doc_id"), "left")
+          .withColumn("__novel", col("__dup").isNull)
+          .withColumn("__keep", col("__novel") &&
+            TextStats.langId(col("text")) === "en" &&
+            TextStats.qualityScore(col("text")) >= lit(0.5))
+        flagged.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_incoming"),
+            sum(col("__novel").cast("long")).as("n_novel"),
+            sum(col("__keep").cast("long")).as("n_kept"),
+            sum(when(col("__keep"),
+              TextStats.tokenCount(col("text")).cast("long"))
+              .otherwise(0L)).as("kept_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH corpus AS (SELECT md5(text) AS h FROM documents
+             |     WHERE doc_id % 3 <> 2),
+             | f AS (SELECT doc_id, source, text,
+             |     regexp_split_to_array(trim(lower(text)), '\s+') AS ts,
+             |     NOT EXISTS (SELECT 1 FROM corpus c
+             |       WHERE c.h = md5(documents.text)) AS novel
+             |   FROM documents),
+             | s AS (SELECT doc_id, source, novel,
+             |     len(list_filter(ts, x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))) AS de,
+             |     len(list_filter(ts, x -> x IN ('the','and','of','to','in','is','that','it'))) AS en,
+             |     len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','los','una'))) AS es,
+             |     len(list_filter(ts, x -> x IN ('le','la','de','et','est','les','une','dans'))) AS fr,
+             |     len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+             |     0.5 * (len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |         x -> x IN ('the','a','of','and','to','in','is','it')))
+             |       / len(regexp_split_to_array(trim(text), '\s+')))
+             |     + 0.3 * (CASE WHEN len(regexp_split_to_array(trim(text), '\s+'))
+             |         BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+             |     + 0.2 * (1.0 - LENGTH(regexp_replace(text, '[a-z0-9\s]', '', 'g'))
+             |       / LENGTH(text)) AS q
+             |   FROM f),
+             | k AS (SELECT source, novel, n_tok,
+             |     novel AND q >= 0.5 AND
+             |       greatest(de, en, es, fr) > 0 AND
+             |       de < greatest(de, en, es, fr) AND
+             |       en = greatest(de, en, es, fr) AS keep
+             |   FROM s)
+             | SELECT source, COUNT(*) AS n_incoming,
+             |   CAST(SUM(CASE WHEN novel THEN 1 ELSE 0 END) AS BIGINT)
+             |     AS n_novel,
+             |   CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             |     AS n_kept,
+             |   CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+             |     AS kept_tokens
+             | FROM k GROUP BY source ORDER BY source""".stripMargin),
+      "incremental ingest: Bloom dedup vs existing corpus + curation " +
+        "gate + per-source accounting, composed"),
+
     "q_corpus_curation" -> QueryDef(
       (s, dir) => {
         // the flagship curation pipeline, oracle-checked end to end:
