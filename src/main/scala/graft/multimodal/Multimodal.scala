@@ -14,12 +14,14 @@ import org.apache.spark.sql.types._
   *
   * The IMAGE codec is real: `decodeBatched` decodes PNG/BMP/GIF/JPEG
   * payloads through the JDK's `javax.imageio` and reports codec-derived
-  * dimensions (payloads that aren't decodable images fall back to
-  * byte-stats only). Audio/video decoding remains STUBBED (no media
-  * libraries in this environment): deterministic byte stats stand in for
-  * sample/frame features. The surrounding plumbing — schema, batching,
-  * partition-local execution, frame sampling, metadata propagation — is
-  * the production Spark shape either way.
+  * dimensions. The AUDIO codec is real too: WAV/AIFF/AU PCM headers and
+  * frame counts parse through `javax.sound.sampled` (payloads no
+  * installed reader accepts fall back to byte stats only). VIDEO
+  * decoding remains STUBBED (no video codecs ship with the JDK):
+  * deterministic byte stats stand in for frame features. The
+  * surrounding plumbing — schema, batching, partition-local execution,
+  * frame sampling, metadata propagation — is the production Spark shape
+  * either way.
   *
   * Scale: all ops are narrow (mapPartitions-shaped, no shuffle); payloads
   * never pass through a wide transformation, so 100 TB of media shards
@@ -77,11 +79,13 @@ object Multimodal {
 
   /** One decoded batch row (see [[decodeBatched]]); stats are None for a
     * null payload, width/height are Some only when the image codec
-    * actually decoded the bytes.
+    * actually decoded the bytes, sample_rate/n_samples only when the
+    * audio codec did.
     */
   final case class DecodedRow(media_id: Long, media_type: String,
       n_bytes: Option[Int], mean_byte: Option[Double],
-      checksum01: Option[Double], width: Option[Int], height: Option[Int])
+      checksum01: Option[Double], width: Option[Int], height: Option[Int],
+      sample_rate: Option[Int], n_samples: Option[Long])
 
   /** Batched decode via `mapPartitions` — the Scala analogue of the
     * `mapInPandas` batch shape: the codec sees an iterator of items per
@@ -104,13 +108,14 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, tpe, content) =>
             if (content == null)
-              DecodedRow(id, tpe, None, None, None, None, None)
+              DecodedRow(id, tpe, None, None, None, None, None, None, None)
             else {
               val s = foldStats(content)
               val img = if (tpe == "image") readImageSafe(content) else None
+              val aud = if (tpe == "audio") readAudioSafe(content) else None
               DecodedRow(id, tpe, Some(s.n_bytes), Some(s.mean_byte),
                 Some(s.checksum01), img.map(_.getWidth),
-                img.map(_.getHeight))
+                img.map(_.getHeight), aud.map(_._1), aud.map(_._2))
             }
           }
         }
@@ -147,6 +152,57 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
     finally if (iis != null) iis.close()
+  }
+
+  /** Audio decode cap: 256M frames (~8 GB of PCM16 stereo) — same
+    * poison-payload defense as [[MaxDecodePixels]].
+    */
+  private val MaxDecodeFrames = 256L << 20
+
+  /** Decode an audio payload defensively through the JDK codec
+    * (`javax.sound.sampled`: WAV/AIFF/AU PCM). Returns
+    * (sample_rate, n_frames) from the CODEC's parsed header, or None for
+    * anything the installed readers reject — a corrupt record degrades
+    * to byte stats, never a task failure.
+    */
+  private def readAudioSafe(content: Array[Byte]): Option[(Int, Long)] = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        if (frames <= 0 || frames > MaxDecodeFrames ||
+            fmt.getSampleRate <= 0) None
+        else Some((fmt.getSampleRate.toInt, frames))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic synthetic WAV: REAL RIFF/PCM16 mono bytes (a seeded
+    * sawtooth), so audio decode paths exercise an actual codec parse.
+    * Executor-safe, like [[synthPng]].
+    */
+  def synthWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      buf.putShort((((i * 37 + seed) % 65536) - 32768).toShort)
+      i += 1
+    }
+    buf.array()
   }
 
   /** Deterministic synthetic PNG: REAL encoded bytes (graylevel gradient

@@ -734,6 +734,32 @@ object LlmQueries extends QueryModule {
       "multimodal: real PNG decode via javax.imageio — codec round-trip " +
         "with dimensions hash-checked"),
 
+    "q_mm_audio_decode" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        // real-codec round-trip for audio: deterministic PCM16 WAVs are
+        // ENCODED on executors (synthWav), then PARSED by the
+        // javax.sound.sampled batch path — emitted sample_rate/n_samples
+        // come from the codec reading actual RIFF headers, and the
+        // oracle recomputes them from the seed formula
+        val ids = T(s, dir, "documents").filter(col("doc_id") < 64)
+          .select(col("doc_id")).as[Long]
+        val media = ids.map { id =>
+          val n = 1000 + (id % 50).toInt * 20
+          val rate = 8000 + (id % 4).toInt * 4000
+          (id, "audio", Multimodal.synthWav(n, rate, id))
+        }.toDF("media_id", "media_type", "content")
+        Multimodal.decodeBatched(media)
+          .select(col("media_id"), col("sample_rate"), col("n_samples"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             | CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+             | CAST(1000 + (doc_id % 50) * 20 AS BIGINT) AS n_samples
+             | FROM documents WHERE doc_id < 64 ORDER BY media_id""".stripMargin),
+      "multimodal: real WAV parse via javax.sound — codec round-trip " +
+        "with sample rate and frame count hash-checked"),
+
     "q_mm_frame_sample" -> QueryDef(
       (s, dir) => {
         // frame sampling with metadata-driven frame counts (n_frames from

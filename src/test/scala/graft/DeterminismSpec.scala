@@ -24,7 +24,9 @@ class DeterminismSpec extends SparkSpec {
     // ranking (float-score order), fixed-point centroid sums, and the
     // hash-ordered reservoir must all be partitioning-invariant
     "q_seq_packing", "q_bm25_search", "q_embedding_centroid",
-    "q_reservoir_sample", "q_corpus_upsert", "q_approx_quantiles")
+    "q_reservoir_sample", "q_corpus_upsert", "q_approx_quantiles",
+    "q_canonical_select", "q_incremental_curation", "q_unigram_logprob",
+    "q_centroid_classify")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)

@@ -263,4 +263,23 @@ class IoSpec extends SparkSpec {
     assert(rows(0).getAs[Int]("n_bytes") === bomb.length)
     assert(rows(0).isNullAt(rows(0).fieldIndex("width")))
   }
+
+  test("audio decode: real WAV parses via javax.sound; garbage degrades " +
+      "to byte stats") {
+    import spark.implicits._
+    val wav = Multimodal.synthWav(nSamples = 2400, sampleRate = 12000,
+      seed = 7L)
+    val junk = Array.tabulate[Byte](128)(i => (i * 13).toByte)
+    val media = Seq(
+      (1L, "audio", wav), (2L, "audio", junk)).toDF(
+      "media_id", "media_type", "content")
+    val rows = Multimodal.decodeBatched(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    // codec-parsed header values, not synthesized metadata
+    assert(rows(1L).getAs[Int]("sample_rate") === 12000)
+    assert(rows(1L).getAs[Long]("n_samples") === 2400L)
+    // junk: stats yes, codec fields null, no task failure
+    assert(rows(2L).getAs[Int]("n_bytes") === 128)
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("sample_rate")))
+  }
 }
