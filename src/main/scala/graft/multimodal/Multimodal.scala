@@ -16,12 +16,13 @@ import org.apache.spark.sql.types._
   * payloads through the JDK's `javax.imageio` and reports codec-derived
   * dimensions. The AUDIO codec is real too: WAV/AIFF/AU PCM headers and
   * frame counts parse through `javax.sound.sampled` (payloads no
-  * installed reader accepts fall back to byte stats only). VIDEO
-  * decoding remains STUBBED (no video codecs ship with the JDK):
-  * deterministic byte stats stand in for frame features. The
-  * surrounding plumbing — schema, batching, partition-local execution,
-  * frame sampling, metadata propagation — is the production Spark shape
-  * either way.
+  * installed reader accepts fall back to byte stats only). The VIDEO
+  * path walks real multi-frame containers for the one format the JDK
+  * covers (animated GIF: codec-derived frame count + dimensions); true
+  * video codecs (mp4/webm) don't ship with the JDK, so those payloads
+  * remain byte-stats-only stubs. The surrounding plumbing — schema,
+  * batching, partition-local execution, frame sampling, metadata
+  * propagation — is the production Spark shape either way.
   *
   * Scale: all ops are narrow (mapPartitions-shaped, no shuffle); payloads
   * never pass through a wide transformation, so 100 TB of media shards
@@ -85,7 +86,8 @@ object Multimodal {
   final case class DecodedRow(media_id: Long, media_type: String,
       n_bytes: Option[Int], mean_byte: Option[Double],
       checksum01: Option[Double], width: Option[Int], height: Option[Int],
-      sample_rate: Option[Int], n_samples: Option[Long])
+      sample_rate: Option[Int], n_samples: Option[Long],
+      n_frames: Option[Int])
 
   /** Batched decode via `mapPartitions` — the Scala analogue of the
     * `mapInPandas` batch shape: the codec sees an iterator of items per
@@ -108,14 +110,18 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, tpe, content) =>
             if (content == null)
-              DecodedRow(id, tpe, None, None, None, None, None, None, None)
+              DecodedRow(id, tpe, None, None, None, None, None, None, None,
+                None)
             else {
               val s = foldStats(content)
               val img = if (tpe == "image") readImageSafe(content) else None
               val aud = if (tpe == "audio") readAudioSafe(content) else None
+              val vid = if (tpe == "video") readVideoSafe(content) else None
               DecodedRow(id, tpe, Some(s.n_bytes), Some(s.mean_byte),
-                Some(s.checksum01), img.map(_.getWidth),
-                img.map(_.getHeight), aud.map(_._1), aud.map(_._2))
+                Some(s.checksum01),
+                img.map(_.getWidth).orElse(vid.map(_._2)),
+                img.map(_.getHeight).orElse(vid.map(_._3)),
+                aud.map(_._1), aud.map(_._2), vid.map(_._1))
             }
           }
         }
@@ -177,6 +183,72 @@ object Multimodal {
         else Some((fmt.getSampleRate.toInt, frames))
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Frame-count cap for multi-frame containers — counting is a
+    * header/stream walk, so the cap bounds the walk, not memory.
+    */
+  private val MaxCountFrames = 1 << 20
+
+  /** Parse a multi-frame container (animated GIF — the one video-like
+    * format the JDK codec set covers) defensively: returns
+    * (n_frames, width, height) from the codec's own stream walk, or None
+    * for single-frame payloads and anything unreadable. True video
+    * containers (mp4/webm) have no JDK codec and stay byte-stats-only.
+    */
+  private def readVideoSafe(content: Array[Byte])
+      : Option[(Int, Int, Int)] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(content))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val w = r.getWidth(0); val h = r.getHeight(0)
+          val n = r.getNumImages(true)
+          if (n < 1 || n > MaxCountFrames || w <= 0 || h <= 0 ||
+              w.toLong * h > MaxDecodePixels) None
+          else Some((n, w, h))
+        } finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (iis != null) iis.close()
+  }
+
+  /** Deterministic synthetic animated GIF: REAL multi-frame bytes via
+    * the JDK's sequence writer, so the video path exercises an actual
+    * container walk. Executor-safe.
+    */
+  def synthGif(width: Int, height: Int, nFrames: Int, seed: Long)
+      : Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val w = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val v = (x * 31 + y * 17 + f * 7 + seed).toInt & 0xFF
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    bos.toByteArray
   }
 
   /** Deterministic synthetic WAV: REAL RIFF/PCM16 mono bytes (a seeded

@@ -760,6 +760,32 @@ object LlmQueries extends QueryModule {
       "multimodal: real WAV parse via javax.sound — codec round-trip " +
         "with sample rate and frame count hash-checked"),
 
+    "q_mm_video_frames" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        // real-container round-trip for the video path: deterministic
+        // animated GIFs are ENCODED on executors (synthGif), then the
+        // decode batch WALKS the actual container — frame counts and
+        // dimensions come from the codec, oracle recomputes them from
+        // the seed formula
+        val ids = T(s, dir, "documents").filter(col("doc_id") < 32)
+          .select(col("doc_id")).as[Long]
+        val media = ids.map { id =>
+          val frames = 2 + (id % 6).toInt
+          (id, "video",
+            Multimodal.synthGif(8 + (id % 8).toInt, 6, frames, id))
+        }.toDF("media_id", "media_type", "content")
+        Multimodal.decodeBatched(media)
+          .select(col("media_id"), col("width"), col("n_frames"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             | CAST(8 + doc_id % 8 AS INTEGER) AS width,
+             | CAST(2 + doc_id % 6 AS INTEGER) AS n_frames
+             | FROM documents WHERE doc_id < 32 ORDER BY media_id""".stripMargin),
+      "multimodal: real animated-GIF container walk — codec-derived " +
+        "frame counts hash-checked"),
+
     "q_mm_frame_sample" -> QueryDef(
       (s, dir) => {
         // frame sampling with metadata-driven frame counts (n_frames from
