@@ -585,6 +585,51 @@ object CorpusQueries extends QueryModule {
              | WHERE rn = 1 GROUP BY label, predicted
              | ORDER BY label, predicted""".stripMargin),
       "nearest-centroid classification: in-plan centroids broadcast, " +
-        "map-only scoring, integer confusion gate")
+        "map-only scoring, integer confusion gate"),
+
+    "q_weighted_sample" -> QueryDef(
+      (s, dir) => {
+        // Deterministic importance sampling: keep each doc with
+        // probability proportional to its quality score, implemented as
+        // hash(doc_id)/2^32 < quality — no RNG state, so the sample is a
+        // pure function of (key, score): reproducible across engines,
+        // runs, and partitionings, and auditable row by row. Map-only +
+        // partial agg; the selection value is the first 8 hex digits of
+        // md5(key) scaled to [0,1) — md5 is byte-identical in both
+        // engines.
+        val d = T(s, dir, "documents")
+        val u = (conv(substring(md5(col("doc_id").cast("string")
+            .cast("binary")), 1, 8), 16, 10)
+          .cast(DoubleType) / lit(4294967296.0))
+        d.select(col("doc_id"), col("source"),
+            TextStats.tokenCount(col("text")).cast("long").as("toks"),
+            TextStats.qualityScore(col("text")).as("q"), u.as("u"))
+          .withColumn("kept", (col("u") < col("q")).cast("int"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("kept")).as("kept_docs"),
+            sum(col("kept") * col("toks")).as("kept_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |   len(regexp_split_to_array(trim(text), '\s+')) AS toks,
+             |   0.5 * (len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |       x -> x IN ('the','a','of','and','to','in','is','it')))
+             |     / len(regexp_split_to_array(trim(text), '\s+')))
+             |   + 0.3 * (CASE WHEN len(regexp_split_to_array(trim(text), '\s+'))
+             |       BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+             |   + 0.2 * (1.0 - LENGTH(regexp_replace(text, '[a-z0-9\s]', '', 'g'))
+             |     / LENGTH(text)) AS q,
+             |   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             |     AS BIGINT) / 4294967296.0 AS u
+             |   FROM documents)
+             | SELECT source, COUNT(*) AS n_docs,
+             |   CAST(SUM(CASE WHEN u < q THEN 1 ELSE 0 END) AS BIGINT)
+             |     AS kept_docs,
+             |   CAST(SUM(CASE WHEN u < q THEN toks ELSE 0 END) AS BIGINT)
+             |     AS kept_tokens
+             | FROM d GROUP BY source ORDER BY source""".stripMargin),
+      "deterministic importance sampling: keep-probability proportional " +
+        "to quality via key hash, no RNG")
   )
 }
