@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{GraftSession, QueryDef, QueryModule, Tables}
 import graft.etl.Preprocess
-import graft.queries.{CorpusQueries, EtlQueries, LlmQueries, MlQueries, TpchQueries}
+import graft.queries.{AnalyticsQueries, CorpusQueries, EtlQueries,
+  LlmQueries, MlQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +19,8 @@ object SparkEntry {
     * queries. Extend here as modules land.
     */
   def modules: Seq[QueryModule] =
-    Seq(EtlQueries, MlQueries, LlmQueries, TpchQueries, CorpusQueries)
+    Seq(EtlQueries, MlQueries, LlmQueries, TpchQueries, CorpusQueries,
+      AnalyticsQueries)
 
   lazy val registry: Map[String, QueryDef] =
     modules.flatMap(_.defs).toMap

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.{QueryDef, QueryModule, Tables}
+
+/** OLAP/time-series analytics extensions: explicit GROUPING SETS (the
+  * general form behind rollup/cube), time-series gap-filling with
+  * last-observation-carried-forward, and nested-JSON parse/explode.
+  */
+object AnalyticsQueries extends QueryModule {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def defs: Map[String, QueryDef] = Map(
+
+    "q_a17_grouping_sets" -> QueryDef(
+      (s, dir) => {
+        // explicit GROUPING SETS — the general hierarchy-agg form (rollup
+        // and cube are its special cases, both already gated). One
+        // expand+aggregate pass: the shuffle carries |sets| x |groups|
+        // partial rows, never the fact table per set.
+        val li = T(s, dir, "lineitem")
+        li.groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping(col("l_returnflag")).as("g_flag"),
+            grouping(col("l_linestatus")).as("g_status"),
+            count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_qty"))
+          .orderBy(col("g_flag"), col("g_status"),
+            col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |   CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+             |   CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status,
+             |   COUNT(*) AS cnt,
+             |   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |     AS sum_qty
+             | FROM lineitem
+             | GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |   (l_returnflag), ())
+             | ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+             |   l_linestatus NULLS FIRST""".stripMargin),
+      "explicit GROUPING SETS with GROUPING() markers — one " +
+        "expand+aggregate pass"),
+
+    "q_ts_gapfill" -> QueryDef(
+      (s, dir) => {
+        // time-series regularization: a dense (user x day) spine left-
+        // joins the observed daily sums and fills gaps with the last
+        // observation (LOCF). The spine sides are tiny (users x days) and
+        // broadcast; the fill is a per-user running window — at scale
+        // each user's series fills independently after one shuffle on
+        // user_id. Sums go through exact decimals; the fill copies
+        // values, so every output is exactly an observed sum (or 0).
+        val ev = T(s, dir, "events").filter(col("user_id") < 20)
+        val daily = ev.groupBy(col("user_id"),
+            date_format(col("event_time"), "yyyy-MM-dd").as("day"))
+          .agg(sum(col("value").cast(DecimalType(18, 2))).as("dval"))
+        val bounds = T(s, dir, "events").agg(
+          to_date(min(col("event_time"))).as("d0"),
+          to_date(max(col("event_time"))).as("d1"))
+        val spine = bounds.select(explode(
+            expr("sequence(d0, d1, interval 1 day)")).as("d"))
+          .select(date_format(col("d"), "yyyy-MM-dd").as("day"))
+        val grid = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(spine))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("filled", last(col("dval"), ignoreNulls = true).over(w))
+          .select(col("user_id"), col("day"),
+            col("dval").isNotNull.cast("int").as("observed"),
+            coalesce(col("filled"), lit(0).cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("locf_value"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""WITH ev AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             |     value FROM events WHERE user_id < 20),
+             | daily AS (SELECT user_id, day,
+             |     SUM(CAST(value AS DECIMAL(18,2))) AS dval
+             |   FROM ev GROUP BY 1, 2),
+             | b AS (SELECT CAST(MIN(ts) AS DATE) AS d0,
+             |     CAST(MAX(ts) AS DATE) AS d1 FROM events),
+             | spine AS (SELECT strftime(unnest(
+             |     generate_series(d0, d1, INTERVAL 1 DAY)), '%Y-%m-%d')
+             |     AS day FROM b),
+             | grid AS (SELECT user_id, day
+             |   FROM (SELECT DISTINCT user_id FROM ev) CROSS JOIN spine),
+             | j AS (SELECT g.user_id, g.day, d.dval
+             |   FROM grid g LEFT JOIN daily d USING (user_id, day))
+             | SELECT user_id, day,
+             |   CAST(CASE WHEN dval IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             |     AS observed,
+             |   CAST(COALESCE(last_value(dval IGNORE NULLS) OVER (
+             |     PARTITION BY user_id ORDER BY day
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |     0) AS DOUBLE) AS locf_value
+             | FROM j ORDER BY user_id, day""".stripMargin),
+      "time-series gap-fill: dense day spine + LOCF window, exact " +
+        "decimal sums"),
+
+    "q_f13_json_nested" -> QueryDef(
+      (s, dir) => {
+        // nested-JSON handling beyond scalar extraction: construct a
+        // deterministic nested document (array of per-event structs) as
+        // a STRING, parse it with a declared schema (from_json), explode
+        // the nested array, and aggregate. The construction is plain
+        // concat so both engines parse byte-identical input; parse +
+        // explode are map-only.
+        val ev = T(s, dir, "events").filter(col("event_id") < 500)
+        val doc = concat(lit("{\"uid\":"), col("user_id"),
+          lit(",\"items\":[{\"t\":\""), col("event_type"),
+          lit("\",\"v\":"), col("value").cast(DecimalType(18, 2)),
+          lit("},{\"t\":\"dup\",\"v\":"),
+          (col("value").cast(DecimalType(18, 2)) * 2)
+            .cast(DecimalType(18, 2)),
+          lit("}]}"))
+        val parsed = ev.select(col("event_id"), doc.as("j"))
+          .withColumn("p", from_json(col("j"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("uid",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("items",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("t",
+                      org.apache.spark.sql.types.StringType),
+                    org.apache.spark.sql.types.StructField("v",
+                      DecimalType(18, 2))))))))))
+        parsed.select(col("p.uid").as("uid"),
+            explode(col("p.items")).as("item"))
+          .groupBy(col("item.t").as("t"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("item.v")).cast(DoubleType).as("total"))
+          .orderBy(col("t"))
+      },
+      Some("""WITH doc AS (SELECT event_id,
+             |     '{"uid":' || user_id || ',"items":[{"t":"' || event_type
+             |     || '","v":' || CAST(value AS DECIMAL(18,2))
+             |     || '},{"t":"dup","v":'
+             |     || CAST(CAST(CAST(value AS DECIMAL(18,2)) * 2
+             |          AS DECIMAL(18,2)) AS VARCHAR)
+             |     || '}]}' AS j
+             |   FROM events WHERE event_id < 500),
+             | items AS (
+             |   SELECT json_extract_string(j, '$.items[0].t') AS t,
+             |     CAST(json_extract(j, '$.items[0].v') AS DECIMAL(18,2)) AS v
+             |   FROM doc
+             |   UNION ALL
+             |   SELECT json_extract_string(j, '$.items[1].t'),
+             |     CAST(json_extract(j, '$.items[1].v') AS DECIMAL(18,2))
+             |   FROM doc)
+             | SELECT t, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS total
+             | FROM items GROUP BY t ORDER BY t""".stripMargin),
+      "nested JSON: schema'd from_json parse + array explode + agg " +
+        "over byte-identical constructed docs")
+  )
+}
