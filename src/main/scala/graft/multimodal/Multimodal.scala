@@ -165,6 +165,18 @@ object Multimodal {
     */
   private val MaxDecodeFrames = 256L << 20
 
+  /** Container magic for the JDK audio readers (RIFF/WAVE, AIFF's FORM,
+    * AU's .snd). Checked BEFORE invoking the codec: AudioSystem signals
+    * "not audio" by THROWING, and paying an exception per non-audio row
+    * turns a media-mixed decode scan into exception-as-control-flow
+    * (measured: doubled q_mm_decode, whose payloads are all text).
+    */
+  private def looksLikeAudio(c: Array[Byte]): Boolean =
+    c.length >= 12 &&
+      ((c(0) == 'R' && c(1) == 'I' && c(2) == 'F' && c(3) == 'F') ||
+        (c(0) == 'F' && c(1) == 'O' && c(2) == 'R' && c(3) == 'M') ||
+        (c(0) == '.' && c(1) == 's' && c(2) == 'n' && c(3) == 'd'))
+
   /** Decode an audio payload defensively through the JDK codec
     * (`javax.sound.sampled`: WAV/AIFF/AU PCM). Returns
     * (sample_rate, n_frames) from the CODEC's parsed header, or None for
@@ -172,6 +184,7 @@ object Multimodal {
     * to byte stats, never a task failure.
     */
   private def readAudioSafe(content: Array[Byte]): Option[(Int, Long)] = {
+    if (!looksLikeAudio(content)) return None
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new ByteArrayInputStream(content))
