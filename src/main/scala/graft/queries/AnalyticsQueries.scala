@@ -163,6 +163,40 @@ object AnalyticsQueries extends QueryModule {
              | SELECT t, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS total
              | FROM items GROUP BY t ORDER BY t""".stripMargin),
       "nested JSON: schema'd from_json parse + array explode + agg " +
-        "over byte-identical constructed docs")
+        "over byte-identical constructed docs"),
+
+    "q_f14_array_funcs" -> QueryDef(
+      (s, dir) => {
+        // array-function battery over token arrays: sort, dedup, slice,
+        // position, reverse, flatten-ish concat — all codegen'd
+        // projections, gated element-for-element against DuckDB's list
+        // functions.
+        val d = T(s, dir, "documents").filter(col("doc_id") < 50)
+        val toks = split(trim(lower(col("text"))), "\\s+")
+        d.select(
+            col("doc_id"),
+            size(toks).as("n"),
+            array_sort(array_distinct(toks)).as("sorted_vocab"),
+            slice(toks, 1, 5).as("first5"),
+            array_position(toks, "the").cast("long").as("the_pos"),
+            reverse(slice(toks, 1, 3)).as("rev3"),
+            concat(slice(toks, 1, 2), slice(toks, 3, 2)).as("cat4"),
+            array_contains(toks, "spark").as("has_spark"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |   regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |   FROM documents WHERE doc_id < 50)
+             | SELECT doc_id, len(ts) AS n,
+             |   list_sort(list_distinct(ts)) AS sorted_vocab,
+             |   ts[1:5] AS first5,
+             |   CAST(COALESCE(list_position(ts, 'the'), 0) AS BIGINT)
+             |     AS the_pos,
+             |   list_reverse(ts[1:3]) AS rev3,
+             |   list_concat(ts[1:2], ts[3:4]) AS cat4,
+             |   list_contains(ts, 'spark') AS has_spark
+             | FROM t ORDER BY doc_id""".stripMargin),
+      "array-function battery: sort/distinct/slice/position/reverse/" +
+        "concat/contains, element-for-element vs list functions")
   )
 }
