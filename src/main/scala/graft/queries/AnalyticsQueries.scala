@@ -197,6 +197,50 @@ object AnalyticsQueries extends QueryModule {
              |   list_contains(ts, 'spark') AS has_spark
              | FROM t ORDER BY doc_id""".stripMargin),
       "array-function battery: sort/distinct/slice/position/reverse/" +
-        "concat/contains, element-for-element vs list functions")
+        "concat/contains, element-for-element vs list functions"),
+
+    "q_cms_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        // native mergeable Count-Min sketch vs exact counts, both
+        // computed in one pass each: the sketch aggregate's estimates
+        // must bracket the exact frequency (est >= exact always;
+        // est <= exact + 5N/width by the CMS bound with slack). Counter
+        // merges are elementwise sums, so the estimates are bit-stable
+        // at any partitioning — the 100 TB path needs only the fixed
+        // 64 KB buffer per partition, never a |vocab| shuffle.
+        val probes = Seq("spark", "join", "window", "table", "data")
+        val toks = T(s, dir, "documents")
+          .select(explode(graft.text.TextStats.tokens(lower(col("text"))))
+            .as("tok"))
+        val sketch = toks.agg(
+          graft.functions.CountMinSketchAgg
+            .cms_estimates(col("tok"), probes).as("est"),
+          count(lit(1)).as("n_total"))
+        val exact = toks.filter(col("tok").isin(probes: _*))
+          .groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
+        val probeIdx = probes.zipWithIndex.map { case (p, i) =>
+          struct(lit(p).as("tok"), lit(i).as("idx"))
+        }
+        sketch.select(explode(array(probeIdx: _*)).as("p"),
+            col("est"), col("n_total"))
+          .select(col("p.tok").as("tok"),
+            element_at(col("est"), col("p.idx") + 1).as("__est"),
+            col("n_total"))
+          .join(exact, Seq("tok"))
+          .select(col("tok"), col("exact_count"),
+            (col("__est") >= col("exact_count")).as("lower_ok"),
+            (col("__est") <= col("exact_count") +
+              lit(5.0) * col("n_total") / lit(8192)).as("upper_ok"))
+          .orderBy(col("tok"))
+      },
+      Some("""WITH toks AS (SELECT
+             |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+             |   FROM documents)
+             | SELECT tok, COUNT(*) AS exact_count,
+             |   TRUE AS lower_ok, TRUE AS upper_ok
+             | FROM toks WHERE tok IN ('spark','join','window','table','data')
+             | GROUP BY tok ORDER BY tok""".stripMargin),
+      "native mergeable Count-Min sketch aggregate: estimates bracket " +
+        "exact counts, bit-stable under any merge order")
   )
 }

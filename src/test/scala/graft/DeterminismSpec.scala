@@ -26,7 +26,8 @@ class DeterminismSpec extends SparkSpec {
     "q_seq_packing", "q_bm25_search", "q_embedding_centroid",
     "q_reservoir_sample", "q_corpus_upsert", "q_approx_quantiles",
     "q_canonical_select", "q_incremental_curation", "q_unigram_logprob",
-    "q_centroid_classify")
+    "q_centroid_classify", "q_cms_heavy_hitters", "q_ts_gapfill",
+    "q_a17_grouping_sets")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
