@@ -241,6 +241,57 @@ object AnalyticsQueries extends QueryModule {
              | FROM toks WHERE tok IN ('spark','join','window','table','data')
              | GROUP BY tok ORDER BY tok""".stripMargin),
       "native mergeable Count-Min sketch aggregate: estimates bracket " +
-        "exact counts, bit-stable under any merge order")
+        "exact counts, bit-stable under any merge order"),
+
+    "q_a18_corr_ols" -> QueryDef(
+      (s, dir) => {
+        // Pearson correlation + closed-form OLS (slope/intercept) from
+        // exact-decimal sufficient statistics: Sx, Sy, Sxx, Syy, Sxy
+        // accumulate as exact decimals (order-independent — the builtin
+        // corr() aggregates doubles via co-moments, whose value depends
+        // on merge order and can't hash-gate), and the floating formula
+        // is applied once at the end with an identical shape on both
+        // sides. One partial+final agg pass; the 100 TB cost is the scan.
+        val li = T(s, dir, "lineitem")
+        val d4 = DecimalType(28, 4)
+        val x = col("l_quantity").cast(d4)
+        val y = col("l_discount").cast(d4)
+        val stats = li.agg(
+          count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"),
+          sum(x * y).as("sxy"))
+        val n = col("n").cast(DoubleType)
+        val sx = col("sx").cast(DoubleType)
+        val sy = col("sy").cast(DoubleType)
+        val sxx = col("sxx").cast(DoubleType)
+        val syy = col("syy").cast(DoubleType)
+        val sxy = col("sxy").cast(DoubleType)
+        val cov = n * sxy - sx * sy
+        stats.select(
+          col("n"),
+          round(cov / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 8)
+            .as("pearson_r"),
+          round(cov / (n * sxx - sx * sx), 8).as("ols_slope"),
+          round((sy - (cov / (n * sxx - sx * sx)) * sx) / n, 8)
+            .as("ols_intercept"))
+      },
+      Some("""WITH t AS (SELECT CAST(l_quantity AS DECIMAL(28,4)) AS x,
+             |     CAST(l_discount AS DECIMAL(28,4)) AS y FROM lineitem),
+             | s AS (SELECT COUNT(*) AS n,
+             |     CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             |     CAST(SUM(x*x) AS DOUBLE) AS sxx,
+             |     CAST(SUM(y*y) AS DOUBLE) AS syy,
+             |     CAST(SUM(x*y) AS DOUBLE) AS sxy
+             |   FROM t)
+             | SELECT n,
+             |   ROUND((n*sxy - sx*sy)
+             |     / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 8) AS pearson_r,
+             |   ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 8) AS ols_slope,
+             |   ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 8)
+             |     AS ols_intercept
+             | FROM s""".stripMargin),
+      "correlation + closed-form OLS from exact-decimal sufficient " +
+        "stats (order-independent, unlike double co-moment aggregates)")
   )
 }
