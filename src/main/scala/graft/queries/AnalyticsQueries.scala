@@ -292,6 +292,65 @@ object AnalyticsQueries extends QueryModule {
              |     AS ols_intercept
              | FROM s""".stripMargin),
       "correlation + closed-form OLS from exact-decimal sufficient " +
-        "stats (order-independent, unlike double co-moment aggregates)")
+        "stats (order-independent, unlike double co-moment aggregates)"),
+
+    "q_dq_checks" -> QueryDef(
+      (s, dir) => {
+        // Data-quality constraint battery (the dbt-test shape): key
+        // uniqueness, referential integrity, not-null, range, and
+        // accepted-values checks, each returning its VIOLATION count so
+        // the row set doubles as the quality report a pipeline journals.
+        // Each check is one agg or one anti join — RI uses a broadcast
+        // anti join against the (small) parent keys; nothing scans twice.
+        val li = T(s, dir, "lineitem")
+        val ord = T(s, dir, "orders")
+        val cust = T(s, dir, "customer")
+        val uniq = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .agg(coalesce(sum(col("c")), lit(0L)).as("violations"))
+          .select(lit("pk_unique").as("check"), col("violations"))
+        val ri = ord.join(cust,
+            ord("o_custkey") === cust("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("ri_orders_customer").as("check"), col("violations"))
+        val notnull = li.agg(
+            sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+              .as("violations"))
+          .select(lit("shipdate_not_null").as("check"), col("violations"))
+        val range = li.agg(
+            sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+              .otherwise(0L)).as("violations"))
+          .select(lit("quantity_range").as("check"), col("violations"))
+        val accepted = li.agg(
+            sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+              .otherwise(0L)).as("violations"))
+          .select(lit("returnflag_values").as("check"), col("violations"))
+        uniq.unionByName(ri).unionByName(notnull).unionByName(range)
+          .unionByName(accepted)
+          .orderBy(col("check"))
+      },
+      Some("""SELECT 'pk_unique' AS "check",
+             |   CAST(COALESCE((SELECT SUM(c) FROM (
+             |     SELECT COUNT(*) AS c FROM lineitem
+             |     GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)),
+             |     0) AS BIGINT) AS violations
+             | UNION ALL
+             | SELECT 'ri_orders_customer',
+             |   (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+             |     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             | UNION ALL
+             | SELECT 'shipdate_not_null',
+             |   (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL)
+             | UNION ALL
+             | SELECT 'quantity_range',
+             |   (SELECT COUNT(*) FROM lineitem
+             |    WHERE l_quantity < 1 OR l_quantity > 50)
+             | UNION ALL
+             | SELECT 'returnflag_values',
+             |   (SELECT COUNT(*) FROM lineitem
+             |    WHERE l_returnflag NOT IN ('A','N','R'))
+             | ORDER BY "check" """.stripMargin),
+      "data-quality constraint battery: uniqueness/RI/not-null/range/" +
+        "accepted-values violation counts in one report")
   )
 }
