@@ -16,7 +16,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Why an aggregate and not explode+groupBy: at 100 TB the exact
   * heavy-hitter count shuffles |distinct| rows; the sketch reduces each
-  * partition to a fixed 64 KB buffer that merges by ELEMENTWISE SUM —
+  * partition to a fixed 256 KB buffer (4×8192 longs) that merges by
+  * ELEMENTWISE SUM —
   * commutative and associative, so results are bit-identical at any
   * partitioning or merge order (unlike SpaceSaving-style top-k buffers,
   * whose contents depend on arrival order). Estimates carry the standard
@@ -37,6 +38,18 @@ case class CountMinSketchAgg(
   extends TypedImperativeAggregate[Array[Long]] {
 
   override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"cms_estimates needs a string child, got ${other.simpleString}")
+    }
 
   override def nullable: Boolean = false
 

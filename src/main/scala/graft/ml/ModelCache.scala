@@ -1,7 +1,5 @@
 package graft.ml
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.ml.Transformer
 import org.apache.spark.sql.SparkSession
 
@@ -19,18 +17,29 @@ import org.apache.spark.sql.SparkSession
   */
 object ModelCache {
 
-  private val cache = TrieMap.empty[(String, String, String), Transformer]
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String, String), Transformer]()
 
   /** Get-or-fit the model for (session, input key, model tag). The tag
     * must encode model type, params, and which cached matrix the fit
     * consumes (e.g. "RAND_FOREST:n=20:smoted").
+    *
+    * computeIfAbsent gives the single-fit-per-key guarantee with
+    * per-bin locking — a cache hit on one model never blocks behind
+    * another model's multi-second fit (a global object lock would
+    * serialize all model access). Entries from previous Spark
+    * applications are evicted on the way in: one JVM cycling sessions
+    * (test runners, driver restarts) must not pin dead apps' models
+    * forever.
     */
   def fitted(spark: SparkSession, key: String, modelTag: String)
-      (fit: => Transformer): Transformer = synchronized {
-    cache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, key, modelTag), fit)
+      (fit: => Transformer): Transformer = {
+    val appId = spark.sparkContext.applicationId
+    cache.keySet.removeIf(_._1 != appId)
+    cache.computeIfAbsent((appId, key, modelTag), _ => fit)
   }
 
   /** Drop all cached models (tests / memory pressure). */
-  def clear(): Unit = synchronized(cache.clear())
+  def clear(): Unit = cache.clear()
 }

@@ -206,8 +206,12 @@ object Multimodal {
   /** Parse a multi-frame container (animated GIF — the one video-like
     * format the JDK codec set covers) defensively: returns
     * (n_frames, width, height) from the codec's own stream walk, or None
-    * for single-frame payloads and anything unreadable. True video
-    * containers (mp4/webm) have no JDK codec and stay byte-stats-only.
+    * for single-frame payloads and anything unreadable. The walk probes
+    * frame headers one at a time and STOPS at [[MaxCountFrames]] — a
+    * crafted payload packing millions of frames costs at most the capped
+    * probes, never a full-container scan (getNumImages(true) would walk
+    * everything before any cap could apply). True video containers
+    * (mp4/webm) have no JDK codec and stay byte-stats-only.
     */
   private def readVideoSafe(content: Array[Byte])
       : Option[(Int, Int, Int)] = {
@@ -220,8 +224,14 @@ object Multimodal {
         try {
           r.setInput(iis)
           val w = r.getWidth(0); val h = r.getHeight(0)
-          val n = r.getNumImages(true)
-          if (n < 1 || n > MaxCountFrames || w <= 0 || h <= 0 ||
+          // incremental frame-header probe, capped
+          var n = 0
+          var more = true
+          while (more && n <= MaxCountFrames) {
+            try { r.getWidth(n); n += 1 }
+            catch { case _: IndexOutOfBoundsException => more = false }
+          }
+          if (n < 2 || n > MaxCountFrames || w <= 0 || h <= 0 ||
               w.toLong * h > MaxDecodePixels) None
           else Some((n, w, h))
         } finally r.dispose()

@@ -28,6 +28,28 @@ object CorpusQueries extends QueryModule {
   private val K1 = 1.2
   private val B = 0.75
 
+  /** Fixed-point scale for exact embedding sums: floats floored to
+    * 1e-8 grid as longs BEFORE aggregation, so sums are exact integer
+    * math — bit-identical at any partitioning and in any engine.
+    */
+  private val CentroidScale = 1e8
+
+  /** Per-(label, dim) centroid components via exact fixed-point sums —
+    * shared by the centroid audit and the nearest-centroid classifier so
+    * the scale factor and exactness argument live in one place.
+    * Output: (label, dim, n, centroid: double).
+    */
+  private def centroidComponents(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v").cast(DoubleType) * lit(CentroidScale))
+          .cast("long")).as("sum_scaled"))
+      .select(col("label"), col("dim"), col("n"),
+        (col("sum_scaled").cast(DoubleType) /
+          (col("n") * lit(CentroidScale))).as("centroid"))
+
   /** One BM25 term contribution from pre-aggregated exact components.
     * All inputs are exact (integer counts cast to double), the expression
     * shape is identical on the oracle side, and the final score is rounded
@@ -249,22 +271,11 @@ object CorpusQueries extends QueryModule {
 
     "q_embedding_centroid" -> QueryDef(
       (s, dir) => {
-        // Per-label embedding centroid. Floats are fixed-pointed
-        // (floor(x * 1e8) as long) BEFORE aggregation so the sum is exact
-        // integer math — bit-identical at any partitioning and in any
-        // engine; the division to a double centroid happens once at the
-        // end. posexplode + partial+final agg: the shuffle carries
-        // |labels| x |dims| rows, independent of corpus size.
-        val e = T(s, dir, "embeddings")
-        e.select(col("label"),
-            posexplode(col("embedding")).as(Seq("dim", "v")))
-          .groupBy(col("label"), col("dim"))
-          .agg(count(lit(1)).as("n"),
-            sum(floor(col("v").cast(DoubleType) * lit(1e8)).cast("long"))
-              .as("sum_scaled"))
-          .select(col("label"), col("dim"), col("n"),
-            (col("sum_scaled").cast(DoubleType) / (col("n") * lit(1e8)))
-              .as("centroid"))
+        // Per-label embedding centroid via exact fixed-point sums (see
+        // centroidComponents). posexplode + partial+final agg: the
+        // shuffle carries |labels| x |dims| rows, independent of corpus
+        // size.
+        centroidComponents(T(s, dir, "embeddings"))
           .orderBy(col("label"), col("dim"))
       },
       Some("""WITH x AS (SELECT label,
@@ -534,14 +545,9 @@ object CorpusQueries extends QueryModule {
         // the gate is immune to ulp-level cosine differences (ties
         // broken by label asc).
         val e = T(s, dir, "embeddings")
-        val cent = e.select(col("label").as("clabel"),
-            posexplode(col("embedding")).as(Seq("dim", "v")))
-          .groupBy(col("clabel"), col("dim"))
-          .agg(count(lit(1)).as("n"),
-            sum(floor(col("v").cast(DoubleType) * lit(1e8)).cast("long"))
-              .as("s"))
-          .select(col("clabel"), col("dim"),
-            (col("s").cast(DoubleType) / (col("n") * lit(1e8))).as("cv"))
+        val cent = centroidComponents(e)
+          .select(col("label").as("clabel"), col("dim"),
+            col("centroid").as("cv"))
           .groupBy(col("clabel"))
           .agg(transform(
             array_sort(collect_list(struct(col("dim"), col("cv")))),

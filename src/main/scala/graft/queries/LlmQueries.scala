@@ -289,9 +289,10 @@ object LlmQueries extends QueryModule {
         val found = NearDup.hashJaccard(docs, "doc_id", "text", cand,
             n = 3)
           .filter(col("jaccard") >= 0.5)
-        // found ⊆ truth by construction (exact-jaccard criterion), so
-        // recall = |found| / |truth|; truth via the minhash path, whose
-        // own gate row proves it equals the exact pair set
+        // found ⊆ truth up to 64-bit shingle-hash collisions
+        // (~1e-15/pair — see hashJaccard), so recall = |found| / |truth|;
+        // truth via the minhash path, whose own gate row proves it
+        // equals the exact pair set
         val truth = NearDup.minHashPairs(docs, "doc_id", "text",
           minJaccard = 0.5)
         found.agg(count(lit(1)).as("__found"))

@@ -160,15 +160,17 @@ object EventStream {
       .withColumn("event_time",
         timestamp_micros(lit(1600000000000000L) + col("doc_id")))
 
-  /** Streaming corpus curation: the language-ID + quality + repetition
-    * gate of q_corpus_curation applied to a document stream. Every
-    * scoring expression is a map-only projection (no state, no shuffle),
-    * so the batch and streaming results are definitionally identical —
+  /** Streaming corpus curation: q_corpus_curation's language/quality
+    * gate (lang == "en", quality >= 0.5) plus q_repetition_filter's
+    * duplicate-token-fraction gate (default 0.55, same threshold),
+    * applied to a document stream. Every scoring expression is a
+    * map-only projection (no state, no shuffle), so the batch and
+    * streaming results of THIS function are definitionally identical —
     * chain [[dedupDocs]] after it for the full curate→dedup streaming
     * pipeline with watermark-bounded state.
     */
   def curateDocs(docs: DataFrame, minQuality: Double = 0.5,
-      maxDupFrac: Double = 0.6): DataFrame = {
+      maxDupFrac: Double = 0.55): DataFrame = {
     import graft.text.TextStats
     docs
       .withColumn("lang_id", TextStats.langId(col("text")))
