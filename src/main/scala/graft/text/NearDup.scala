@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Near-duplicate detection for document corpora: MinHash+LSH candidate
   * generation with exact n-gram Jaccard verification, and SimHash
@@ -207,6 +208,15 @@ object NearDup {
     // reliable checkpoint() with a checkpoint dir for fault tolerance.
     var labels = nodes.withColumn("component", col("id"))
       .localCheckpoint(true)
+    // convergence detector: labels only ever DECREASE under min-label
+    // propagation, so the exact label sum strictly decreases until the
+    // fixpoint — comparing one decimal aggregate per round replaces the
+    // previous full label-compare join (one fewer shuffle per round;
+    // decimal(38,0) so a 10⁹-node graph with 64-bit ids cannot overflow)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast(DecimalType(38, 0))))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -227,12 +237,11 @@ object NearDup {
         .select(col("id"),
           coalesce(col("__lcomp"), col("component")).as("component"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "__old"),
-        Seq("id"))
-        .filter(col("component") =!= col("__old")).limit(1).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     labels
