@@ -586,6 +586,63 @@ object LlmQueries extends QueryModule {
       "incremental ingest: Bloom dedup vs existing corpus + curation " +
         "gate + per-source accounting, composed"),
 
+    "q_chat_turns" -> QueryDef(
+      (s, dir) => {
+        // chat/instruction-data processing: parse role-tagged transcripts
+        // into turns and account tokens per role — the SFT-data analog of
+        // the pretraining token accounting. Transcripts are constructed
+        // deterministically from the corpus (user turn = first 12 tokens,
+        // assistant turn = next 12), so both engines parse byte-identical
+        // input; the parse (split on the role marker + posexplode) and
+        // the role assignment (ordinal parity) are map-only.
+        val d = T(s, dir, "documents")
+        val toks = TextStats.tokens(lower(col("text")))
+        val transcript = concat(
+          lit("<|user|> "), concat_ws(" ", slice(toks, 1, 12)),
+          lit(" <|assistant|> "), concat_ws(" ", slice(toks, 13, 12)),
+          lit(" <|user|> "), concat_ws(" ", slice(toks, 25, 12)))
+        d.select(col("doc_id"), transcript.as("chat"))
+          .select(col("doc_id"),
+            posexplode(filter(split(col("chat"), "<\\|(user|assistant)\\|> "),
+              t => length(t) > 0)).as(Seq("turn_idx", "turn")))
+          .select(col("doc_id"), col("turn_idx"),
+            when(col("turn_idx") % 2 === 0, "user").otherwise("assistant")
+              .as("role"),
+            TextStats.tokenCount(trim(col("turn"))).cast("long")
+              .as("turn_tokens"))
+          .groupBy(col("role"))
+          .agg(count(lit(1)).as("n_turns"),
+            sum(col("turn_tokens")).as("tokens"))
+          .orderBy(col("role"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |   regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |   FROM documents),
+             | chat AS (SELECT doc_id,
+             |   '<|user|> ' || COALESCE(array_to_string(ts[1:12], ' '), '')
+             |   || ' <|assistant|> '
+             |   || COALESCE(array_to_string(ts[13:24], ' '), '')
+             |   || ' <|user|> '
+             |   || COALESCE(array_to_string(ts[25:36], ' '), '') AS c
+             |   FROM t),
+             | lf AS (SELECT doc_id, list_filter(
+             |     regexp_split_to_array(c, '<\|(user|assistant)\|> '),
+             |     x -> length(x) > 0) AS parts FROM chat),
+             | turns AS (SELECT doc_id,
+             |     generate_subscripts(parts, 1) - 1 AS turn_idx,
+             |     unnest(parts) AS turn
+             |   FROM lf),
+             | roled AS (SELECT
+             |     CASE WHEN turn_idx % 2 = 0 THEN 'user'
+             |       ELSE 'assistant' END AS role,
+             |     len(regexp_split_to_array(trim(turn), '\s+')) AS tt
+             |   FROM turns)
+             | SELECT role, COUNT(*) AS n_turns,
+             |   CAST(SUM(tt) AS BIGINT) AS tokens
+             | FROM roled GROUP BY role ORDER BY role""".stripMargin),
+      "chat-data turn parsing: role-marker split + per-role token " +
+        "accounting, map-only"),
+
     "q_corpus_curation" -> QueryDef(
       (s, dir) => {
         // the flagship curation pipeline, oracle-checked end to end:
