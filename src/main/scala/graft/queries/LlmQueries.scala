@@ -643,6 +643,35 @@ object LlmQueries extends QueryModule {
       "chat-data turn parsing: role-marker split + per-role token " +
         "accounting, map-only"),
 
+    "q_edit_distance" -> QueryDef(
+      (s, dir) => {
+        // character-level edit distance as a near-dup verify primitive
+        // (complements the token-level Jaccard family): Levenshtein over
+        // a bounded prefix on a deterministic candidate pair set.
+        // Bounding the prefix caps the O(len^2) DP cost per pair — the
+        // production shape, since edit distance only ever runs on
+        // already-banded candidates, never all pairs.
+        val docs = T(s, dir, "documents")
+        val a = docs.select(col("doc_id").as("id_a"),
+          substring(col("text"), 1, 80).as("ta"))
+        val b = docs.select((col("doc_id") - 1).as("id_a"),
+          col("doc_id").as("id_b"), substring(col("text"), 1, 80).as("tb"))
+        a.join(b, Seq("id_a"))
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("ta"), col("tb")).as("edit_dist"),
+            (levenshtein(col("ta"), col("tb")) <= 20).as("near_dup"))
+          .orderBy(col("id_a"))
+      },
+      Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |   levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80))
+             |     AS edit_dist,
+             |   levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80))
+             |     <= 20 AS near_dup
+             | FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             | ORDER BY id_a""".stripMargin),
+      "edit-distance near-dup verify: bounded-prefix Levenshtein on " +
+        "banded candidates, integer-exact"),
+
     "q_corpus_curation" -> QueryDef(
       (s, dir) => {
         // the flagship curation pipeline, oracle-checked end to end:
