@@ -672,6 +672,52 @@ object LlmQueries extends QueryModule {
       "edit-distance near-dup verify: bounded-prefix Levenshtein on " +
         "banded candidates, integer-exact"),
 
+    "q_url_normalize" -> QueryDef(
+      (s, dir) => {
+        // web-corpus URL handling: parse host/path/query, normalize
+        // (strip tracking params, lowercase host, drop fragment), and
+        // account docs per registered host — the crawl-side dedup key
+        // derivation. URLs are constructed deterministically from the
+        // corpus so both engines parse byte-identical input; parse +
+        // normalize are map-only (parse_url is codegen'd).
+        val d = T(s, dir, "documents")
+        val url = concat(lit("https://"), col("source"),
+          lit(".example.com/docs/"), col("doc_id"),
+          lit("?utm_source=feed&page="), pmod(col("doc_id"), lit(7)),
+          lit("#frag"))
+        d.select(col("doc_id"), url.as("u"))
+          .select(col("doc_id"),
+            lower(parse_url(col("u"), lit("HOST"))).as("host"),
+            parse_url(col("u"), lit("PATH")).as("path"),
+            parse_url(col("u"), lit("QUERY"), lit("page")).cast("long")
+              .as("page"))
+          .withColumn("norm_url",
+            concat(lit("https://"), col("host"), col("path"),
+              lit("?page="), col("page")))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("norm_url")).as("distinct_urls"),
+            sum(col("page")).as("page_sum"))
+          .orderBy(col("host"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |   'https://' || source || '.example.com/docs/' || doc_id
+             |   || '?utm_source=feed&page=' || (doc_id % 7) || '#frag' AS url
+             |   FROM documents),
+             | p AS (SELECT doc_id,
+             |   lower(regexp_extract(url, 'https://([^/]+)/', 1)) AS host,
+             |   regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1) AS path,
+             |   CAST(regexp_extract(url, '[?&]page=([0-9]+)', 1) AS BIGINT)
+             |     AS page
+             |   FROM u)
+             | SELECT host, COUNT(*) AS n_docs,
+             |   COUNT(DISTINCT 'https://' || host || path || '?page=' || page)
+             |     AS distinct_urls,
+             |   CAST(SUM(page) AS BIGINT) AS page_sum
+             | FROM p GROUP BY host ORDER BY host""".stripMargin),
+      "URL parse + normalize (strip tracking/fragment) + per-host " +
+        "accounting — the crawl-side dedup key derivation"),
+
     "q_corpus_curation" -> QueryDef(
       (s, dir) => {
         // the flagship curation pipeline, oracle-checked end to end:
