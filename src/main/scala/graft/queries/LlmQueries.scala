@@ -46,6 +46,25 @@ object LlmQueries extends QueryModule {
       |   FROM g a JOIN g b ON a.doc_id < b.doc_id)
       |""".stripMargin
 
+  /** The adjacent-pair variant of [[ExactNearDupPairsSql]] (pairs are
+    * (doc_id, doc_id+1) instead of all pairs) — the deterministic pair
+    * set used by the estimator/verification gates.
+    */
+  private val ExactNearDupPairsAdjacentSql: String =
+    """WITH t AS (SELECT doc_id,
+      |   regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      |   FROM documents),
+      | g AS (SELECT doc_id,
+      |   list_distinct(list_transform(range(1, greatest(len(ts)-2,1)+1),
+      |     i -> array_to_string(ts[i:least(i+2, len(ts))], ' '))) AS gs
+      |   FROM t),
+      | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |   CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+      |     / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
+      |     AS jaccard
+      |   FROM g a JOIN g b ON b.doc_id = a.doc_id + 1)
+      |""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
 
     "q_dedup_exact_keep" -> QueryDef(
@@ -717,6 +736,53 @@ object LlmQueries extends QueryModule {
              | FROM p GROUP BY host ORDER BY host""".stripMargin),
       "URL parse + normalize (strip tracking/fragment) + per-host " +
         "accounting — the crawl-side dedup key derivation"),
+
+    "q_minhash_estimator" -> QueryDef(
+      (s, dir) => {
+        // the MinHash ESTIMATOR's quality gate (the near-dup queries use
+        // signatures only for candidate generation; this audits the
+        // estimate itself): over deterministic adjacent pairs, the
+        // fraction of agreeing signature positions estimates Jaccard
+        // with stddev sqrt(j(1-j)/k) — mean |error| over 64 hashes must
+        // clear a generous 3-sigma-ish bound. Both the estimate and the
+        // exact Jaccard compute in-query; the oracle recomputes the
+        // exact side and asserts the bound flag.
+        val docs = T(s, dir, "documents")
+        val sigs = NearDup.minHashSignatures(docs, "doc_id", "text",
+          n = 3, numHashes = 64)
+        val pairs = docs.select(col("doc_id").as("id_a"),
+            (col("doc_id") + 1).as("id_b"))
+          .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"))
+        val est = pairs
+          .join(sigs.select(col("__id").as("id_a"), col("__sig").as("sa")),
+            Seq("id_a"))
+          .join(sigs.select(col("__id").as("id_b"), col("__sig").as("sb")),
+            Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (size(filter(zip_with(col("sa"), col("sb"),
+              (a, b) => a === b), x => x)).cast("double") / lit(64.0))
+              .as("est_j"))
+        val exact = NearDup.ngramJaccard(docs, "doc_id", "text", pairs,
+          n = 3)
+        est.join(exact, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(floor(col("jaccard") * lit(1e6)).cast("long"))
+              .as("exact_j_sum_micro"))
+          .crossJoin(broadcast(
+            est.join(exact, Seq("id_a", "id_b"))
+              .agg(avg(abs(col("est_j") - col("jaccard"))).as("__mae"))))
+          .select(col("n_pairs"), col("exact_j_sum_micro"),
+            (col("__mae") <= 0.2).as("mae_ok"))
+      },
+      Some(ExactNearDupPairsAdjacentSql +
+        """SELECT COUNT(*) AS n_pairs,
+          |   CAST(SUM(CAST(FLOOR(jaccard * 1e6) AS BIGINT)) AS BIGINT)
+          |     AS exact_j_sum_micro,
+          |   TRUE AS mae_ok
+          | FROM p""".stripMargin),
+      "MinHash estimator audit: signature-agreement Jaccard estimate " +
+        "vs exact, mean-absolute-error bound asserted in-query"),
 
     "q_corpus_curation" -> QueryDef(
       (s, dir) => {
