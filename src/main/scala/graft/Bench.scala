@@ -74,7 +74,10 @@ object Bench {
       s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$fullJson,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"failed":$failed}"""
     val fullPath = java.nio.file.Paths.get("bench_full.json")
     java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
-    println(fullLine) // complete data, for humans reading the whole log
+    // complete data for humans goes to stderr: stdout must carry exactly
+    // ONE JSON line (the driver json.loads stdout lines; see also the
+    // run / outputStrategy note in build.sbt)
+    System.err.println(fullLine)
 
     // Final stdout line: compact enough (<1500 chars) to survive the tail
     // window intact. Lists failures first, then the costliest queries,

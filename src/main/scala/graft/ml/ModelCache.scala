@@ -19,7 +19,8 @@ object ModelCache {
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[
-      (String, String, String), Transformer]()
+      (String, String, String),
+      (org.apache.spark.SparkContext, Transformer)]()
 
   /** Get-or-fit the model for (session, input key, model tag). The tag
     * must encode model type, params, and which cached matrix the fit
@@ -28,16 +29,18 @@ object ModelCache {
     * computeIfAbsent gives the single-fit-per-key guarantee with
     * per-bin locking — a cache hit on one model never blocks behind
     * another model's multi-second fit (a global object lock would
-    * serialize all model access). Entries from previous Spark
-    * applications are evicted on the way in: one JVM cycling sessions
-    * (test runners, driver restarts) must not pin dead apps' models
-    * forever.
+    * serialize all model access). Eviction is lazy and targets only
+    * entries whose owning SparkContext has stopped: one JVM cycling
+    * sessions (test runners, driver restarts) must not pin dead apps'
+    * models forever, but two concurrently live sessions with different
+    * applicationIds must not thrash-evict each other's entries either.
     */
   def fitted(spark: SparkSession, key: String, modelTag: String)
       (fit: => Transformer): Transformer = {
-    val appId = spark.sparkContext.applicationId
-    cache.keySet.removeIf(_._1 != appId)
-    cache.computeIfAbsent((appId, key, modelTag), _ => fit)
+    val sc = spark.sparkContext
+    cache.values.removeIf(_._1.isStopped)
+    cache.computeIfAbsent(
+      (sc.applicationId, key, modelTag), _ => (sc, fit))._2
   }
 
   /** Drop all cached models (tests / memory pressure). */

@@ -170,17 +170,21 @@ object AnalyticsQueries extends QueryModule {
         // array-function battery over token arrays: sort, dedup, slice,
         // position, reverse, flatten-ish concat — all codegen'd
         // projections, gated element-for-element against DuckDB's list
-        // functions.
+        // functions. Array columns are joined to strings for the gate:
+        // the harness hashes scalar cells (list cells break its sort),
+        // and a space-joined rendering is still element-exact.
         val d = T(s, dir, "documents").filter(col("doc_id") < 50)
         val toks = split(trim(lower(col("text"))), "\\s+")
         d.select(
             col("doc_id"),
             size(toks).as("n"),
-            array_sort(array_distinct(toks)).as("sorted_vocab"),
-            slice(toks, 1, 5).as("first5"),
+            concat_ws(" ", array_sort(array_distinct(toks)))
+              .as("sorted_vocab"),
+            concat_ws(" ", slice(toks, 1, 5)).as("first5"),
             array_position(toks, "the").cast("long").as("the_pos"),
-            reverse(slice(toks, 1, 3)).as("rev3"),
-            concat(slice(toks, 1, 2), slice(toks, 3, 2)).as("cat4"),
+            concat_ws(" ", reverse(slice(toks, 1, 3))).as("rev3"),
+            concat_ws(" ", concat(slice(toks, 1, 2), slice(toks, 3, 2)))
+              .as("cat4"),
             array_contains(toks, "spark").as("has_spark"))
           .orderBy(col("doc_id"))
       },
@@ -188,12 +192,15 @@ object AnalyticsQueries extends QueryModule {
              |   regexp_split_to_array(trim(lower(text)), '\s+') AS ts
              |   FROM documents WHERE doc_id < 50)
              | SELECT doc_id, len(ts) AS n,
-             |   list_sort(list_distinct(ts)) AS sorted_vocab,
-             |   ts[1:5] AS first5,
+             |   COALESCE(array_to_string(
+             |     list_sort(list_distinct(ts)), ' '), '') AS sorted_vocab,
+             |   COALESCE(array_to_string(ts[1:5], ' '), '') AS first5,
              |   CAST(COALESCE(list_position(ts, 'the'), 0) AS BIGINT)
              |     AS the_pos,
-             |   list_reverse(ts[1:3]) AS rev3,
-             |   list_concat(ts[1:2], ts[3:4]) AS cat4,
+             |   COALESCE(array_to_string(list_reverse(ts[1:3]), ' '), '')
+             |     AS rev3,
+             |   COALESCE(array_to_string(
+             |     list_concat(ts[1:2], ts[3:4]), ' '), '') AS cat4,
              |   list_contains(ts, 'spark') AS has_spark
              | FROM t ORDER BY doc_id""".stripMargin),
       "array-function battery: sort/distinct/slice/position/reverse/" +
@@ -207,7 +214,8 @@ object AnalyticsQueries extends QueryModule {
         // est <= exact + 5N/width by the CMS bound with slack). Counter
         // merges are elementwise sums, so the estimates are bit-stable
         // at any partitioning — the 100 TB path needs only the fixed
-        // 64 KB buffer per partition, never a |vocab| shuffle.
+        // 256 KB (depth 4 × width 8192 × 8 B) buffer per partition,
+        // never a |vocab| shuffle.
         val probes = Seq("spark", "join", "window", "table", "data")
         val toks = T(s, dir, "documents")
           .select(explode(graft.text.TextStats.tokens(lower(col("text"))))
