@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g was measurably too tight for the 129-query bench run on
+  // local[32]: steady-state GC pressure inflated mid-run queries 6-12×
+  // vs isolated runs (e.g. q_f13_json_nested 8.3s in-run vs 0.7s alone).
+  // The box has 128 GiB; give the single-JVM "cluster" a realistic heap.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -51,6 +51,11 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val sec =
         try {
+          // collect between queries, outside the timed region: garbage
+          // from the previous query's runs otherwise surfaces as a GC
+          // pause INSIDE some later query's timing (measured 6-12×
+          // inflation on mid-run queries in full 129-query rounds)
+          System.gc()
           (1 to warmup).foreach(_ => runOnce(spark, sfDir, fn))
           median((1 to reps).map(_ => runOnce(spark, sfDir, fn)))
         } catch {

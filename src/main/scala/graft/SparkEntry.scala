@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, QueryDef, QueryModule, Tables}
 import graft.etl.Preprocess
 import graft.queries.{AnalyticsQueries, CorpusQueries, EtlQueries,
-  LlmQueries, MlQueries, TpchQueries}
+  LlmQueries, MlQueries, PipelineQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,7 @@ object SparkEntry {
     */
   def modules: Seq[QueryModule] =
     Seq(EtlQueries, MlQueries, LlmQueries, TpchQueries, CorpusQueries,
-      AnalyticsQueries)
+      AnalyticsQueries, PipelineQueries)
 
   lazy val registry: Map[String, QueryDef] =
     modules.flatMap(_.defs).toMap

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import graft.functions.UnicodeNorm
+
+/** Corpus-hygiene operators a pretraining pipeline runs before/around
+  * curation: Unicode normalization, HTML boilerplate stripping,
+  * sentence-level exact dedup with document reassembly, the
+  * deterministic global shuffle, and partition-skew profiling.
+  *
+  * Extends the reference's preprocess surface (preprocess.py:60-90 is
+  * column-level cleaning; these are the text/layout-level analogues a
+  * web-scale corpus needs). Scale theme: everything is map-only or a
+  * key-hash shuffle — no global windows, no all-pairs joins, nothing
+  * driver-side.
+  */
+object PipelineQueries extends QueryModule {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Mixed-form probe appended to each doc so the normalizer has real
+    * work on the (ASCII-only) synthetic corpus: NFC letters, a combining
+    * sequence (e + U+0301), marks-on-capitals, and Hangul. The oracle SQL
+    * embeds the identical codepoints, so both engines normalize
+    * byte-identical input.
+    */
+  private val AccentProbe = " Café NAÏVE wörld été 가"
+
+  override def defs: Map[String, QueryDef] = Map(
+
+    "q_text_normalize" -> QueryDef(
+      (s, dir) => {
+        // Unicode normalization battery via the native codegen'd
+        // UnicodeNorm expression: NFC canonicalization + accent
+        // stripping, gated byte-for-byte against DuckDB's
+        // nfc_normalize/strip_accents. norm_was_nfc asserts the
+        // already-normal short-circuit path agrees with the oracle's
+        // equality check. Map-only; at 100 TB this is a pure scan pass
+        // and the isNormalized fast path skips allocation on the
+        // (dominant) ASCII fraction.
+        val d = T(s, dir, "documents").filter(col("doc_id") < 20)
+        val x = concat(substring(col("text"), 1, 80), lit(AccentProbe))
+        d.select(
+            col("doc_id"),
+            UnicodeNorm.unicode_norm(x, "nfc").as("nfc_text"),
+            UnicodeNorm.unicode_norm(x, "strip_accents").as("stripped"),
+            (UnicodeNorm.unicode_norm(x, "nfc") === x).as("norm_was_nfc"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+             |     substr(text, 1, 80) || '$AccentProbe' AS x
+             |   FROM documents WHERE doc_id < 20)
+             | SELECT doc_id,
+             |   nfc_normalize(x) AS nfc_text,
+             |   strip_accents(x) AS stripped,
+             |   (nfc_normalize(x) = x) AS norm_was_nfc
+             | FROM t ORDER BY doc_id""".stripMargin),
+      "Unicode normalization (native codegen expression): NFC + " +
+        "strip-accents, byte-exact vs DuckDB on mixed-form input"),
+
+    "q_html_strip" -> QueryDef(
+      (s, dir) => {
+        // HTML boilerplate stripping over deterministically constructed
+        // markup (both engines wrap the same corpus text in the same
+        // tags, so the gate checks the STRIP, not the construction):
+        // tag removal, entity decoding (&amp; last, per the standard
+        // double-decode rule), whitespace collapse. All regexp_replace
+        // projections — map-only, codegen'd, pushdown-neutral.
+        val d = T(s, dir, "documents").filter(col("doc_id") < 40)
+        val html = concat(
+          lit("<html><body><h1>T</h1><p class=\"x\">"),
+          substring(col("text"), 1, 100),
+          lit("</p><a href=\"http://e.com?a=1&amp;b=2\">&lt;link&gt;" +
+            "</a> &quot;q&quot; &#39;s&#39;</body></html>"))
+        val noTags = regexp_replace(html, "<[^>]*>", " ")
+        val decoded = regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(noTags,
+            "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+          "&amp;", "&")
+        d.select(
+            col("doc_id"),
+            trim(regexp_replace(decoded, "\\s+", " ")).as("clean_text"),
+            regexp_count(html, lit("<[^>]*>")).cast("long").as("n_tags"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |     '<html><body><h1>T</h1><p class="x">'
+             |     || substr(text, 1, 100)
+             |     || '</p><a href="http://e.com?a=1&amp;b=2">&lt;link&gt;'
+             |     || '</a> &quot;q&quot; &#39;s&#39;</body></html>' AS html
+             |   FROM documents WHERE doc_id < 40),
+             | u AS (SELECT doc_id, html,
+             |     regexp_replace(html, '<[^>]*>', ' ', 'g') AS no_tags
+             |   FROM t)
+             | SELECT doc_id,
+             |   trim(regexp_replace(
+             |     replace(replace(replace(replace(replace(no_tags,
+             |       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |       '&#39;', ''''), '&amp;', '&'),
+             |     '\s+', ' ', 'g')) AS clean_text,
+             |   CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT)
+             |     AS n_tags
+             | FROM u ORDER BY doc_id""".stripMargin),
+      "HTML strip: tag removal + entity decode + whitespace collapse " +
+        "over identically constructed markup"),
+
+    "q_sentence_dedup" -> QueryDef(
+      (s, dir) => {
+        // sentence-level exact dedup with document reassembly (the
+        // C4-style boilerplate-line removal, at sentence granularity):
+        // explode sentences with position, keep each sentence's globally
+        // first occurrence (min doc_id, then position), reassemble
+        // surviving sentences per document in original order. Two
+        // key-hash shuffles (by sentence text, by doc_id); the per-doc
+        // collect is bounded by document size. At 100 TB the sentence
+        // shuffle is the cost — hash(sentence) partitioning spreads it,
+        // and substituting hash64(sentence) for the text key would
+        // shrink shuffle bytes without changing semantics.
+        val d = T(s, dir, "documents")
+        val sents = d.select(col("doc_id"),
+          posexplode(split(col("text"), "\\. ")).as(Seq("pos", "sent")))
+        val w = Window.partitionBy(col("sent"))
+          .orderBy(col("doc_id"), col("pos"))
+        val kept = sents.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        val nSent = sents.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sent"))
+        val reassembled = kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            concat_ws(". ",
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("sent")))),
+                x => x.getField("sent"))).as("kept_text"))
+        nSent.join(reassembled, Seq("doc_id"), "left")
+          .filter(col("doc_id") < 30)
+          .select(col("doc_id"), col("n_sent"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("kept_text"), lit("")).as("kept_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |     generate_subscripts(string_split(text, '. '), 1) AS pos,
+             |     unnest(string_split(text, '. ')) AS sent
+             |   FROM documents),
+             | k AS (SELECT doc_id, pos, sent,
+             |     row_number() OVER (PARTITION BY sent
+             |       ORDER BY doc_id, pos) AS rn
+             |   FROM s),
+             | n AS (SELECT doc_id, COUNT(*) AS n_sent FROM s
+             |   GROUP BY doc_id),
+             | r AS (SELECT doc_id, COUNT(*) AS n_kept,
+             |     string_agg(sent, '. ' ORDER BY pos) AS kept_text
+             |   FROM k WHERE rn = 1 GROUP BY doc_id)
+             | SELECT n.doc_id, n.n_sent,
+             |   COALESCE(r.n_kept, 0) AS n_kept,
+             |   COALESCE(r.kept_text, '') AS kept_text
+             | FROM n LEFT JOIN r USING (doc_id)
+             | WHERE n.doc_id < 30 ORDER BY n.doc_id""".stripMargin),
+      "sentence-level exact dedup: keep global first occurrence, " +
+        "reassemble docs in original sentence order"),
+
+    "q_global_shuffle" -> QueryDef(
+      (s, dir) => {
+        // deterministic global shuffle (the pre-training example
+        // permutation): order by a salted hash of the key. Seeded, so
+        // reruns and both engines agree exactly. The gate samples the
+        // head via TakeOrderedAndProject (no global sort materialized);
+        // the production write path is repartitionByRange(shuffle_key) +
+        // sortWithinPartitions + per-file write — a range shuffle, never
+        // a single-partition sort, at any corpus size.
+        T(s, dir, "documents")
+          .select(
+            md5(concat(col("doc_id").cast("string"), lit(":42")))
+              .as("shuffle_key"),
+            col("doc_id"))
+          .orderBy(col("shuffle_key"))
+          .limit(20)
+      },
+      Some("""SELECT md5(CAST(doc_id AS VARCHAR) || ':42')
+             |     AS shuffle_key, doc_id
+             | FROM documents ORDER BY shuffle_key LIMIT 20""".stripMargin),
+      "deterministic global shuffle: salted-hash permutation order, " +
+        "head sampled via top-k"),
+
+    "q_skew_profile" -> QueryDef(
+      (s, dir) => {
+        // partition-skew profiler: per-key group sizes -> heavy-hitter
+        // keys with their skew factor (cnt x n_keys / total = ratio of
+        // this key's share to the uniform share). The diagnostic you run
+        // BEFORE choosing salting/AQE for a join key. One partial+final
+        // count by key; the stats row is a broadcast single-row cross
+        // join; double division happens once, identically on both sides.
+        val cnts = T(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("cnt"))
+        val stats = cnts.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("total"),
+          max(col("cnt")).as("max_cnt"),
+          min(col("cnt")).as("min_cnt"))
+        cnts.orderBy(col("cnt").desc, col("l_suppkey")).limit(5)
+          .crossJoin(broadcast(stats))
+          .select(col("l_suppkey"), col("cnt"), col("n_keys"),
+            col("total"), col("max_cnt"), col("min_cnt"),
+            ((col("cnt") * col("n_keys")).cast(DoubleType) / col("total"))
+              .as("skew_factor"))
+          .orderBy(col("cnt").desc, col("l_suppkey"))
+      },
+      Some("""WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt
+             |   FROM lineitem GROUP BY l_suppkey),
+             | st AS (SELECT COUNT(*) AS n_keys,
+             |     CAST(SUM(cnt) AS BIGINT) AS total,
+             |     MAX(cnt) AS max_cnt, MIN(cnt) AS min_cnt FROM c)
+             | SELECT l_suppkey, cnt, n_keys, total, max_cnt, min_cnt,
+             |   CAST(cnt * n_keys AS DOUBLE) / total AS skew_factor
+             | FROM (SELECT * FROM c ORDER BY cnt DESC, l_suppkey
+             |       LIMIT 5) tc, st
+             | ORDER BY cnt DESC, l_suppkey""".stripMargin),
+      "join-key skew profiler: heavy keys with share-vs-uniform skew " +
+        "factor from one count-by-key pass"))
+}
