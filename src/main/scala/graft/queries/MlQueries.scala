@@ -231,12 +231,14 @@ object MlQueries extends QueryModule {
             org.apache.spark.ml.classification.RandomForestClassificationModel]
         // gate on the distribution invariants (every feature present
         // with a valid weight; weights sum to 1); raw importances stay
-        // spec-asserted (ImportanceSpec)
-        Importance.ranked(s, rf, FeatureCols)
-          .withColumn("__sum",
-            sum(col("importance")).over(
-              org.apache.spark.sql.expressions.Window
-                .partitionBy(lit(1))))
+        // spec-asserted (ImportanceSpec). The total comes from a
+        // broadcast single-row aggregate, not a global window — a
+        // partitionBy(lit(1)) spec gets constant-folded away and
+        // executes as an unpartitioned WindowExec.
+        val ranked = Importance.ranked(s, rf, FeatureCols)
+        ranked
+          .crossJoin(broadcast(
+            ranked.agg(sum(col("importance")).as("__sum"))))
           .select(col("feature"),
             (col("importance") >= 0.0 && col("importance") <= 1.0)
               .as("imp_ok"),

@@ -1,12 +1,13 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.core.{QueryDef, QueryModule, Tables}
 import graft.functions.UnicodeNorm
+import graft.graph.PageRank
 
 /** Corpus-hygiene operators a pretraining pipeline runs before/around
   * curation: Unicode normalization, HTML boilerplate stripping,
@@ -223,5 +224,127 @@ object PipelineQueries extends QueryModule {
              |       LIMIT 5) tc, st
              | ORDER BY cnt DESC, l_suppkey""".stripMargin),
       "join-key skew profiler: heavy keys with share-vs-uniform skew " +
-        "factor from one count-by-key pass"))
+        "factor from one count-by-key pass"),
+
+    "q_pagerank_links" -> QueryDef(
+      (s, dir) => {
+        // link-graph PageRank (crawl-side quality prior for corpus
+        // weighting): 4 iterations of fixed-point integer PageRank over
+        // a deterministic 3-out-regular doc graph. Integer micro-unit
+        // ranks make the result bit-exact across engines AND across
+        // reruns/partitionings — see graph/PageRank.scala. Per
+        // iteration: one join by src + one aggregate by dst; with
+        // id-bucketed storage at 100 TB the join is shuffle-free.
+        val nodes = T(s, dir, "documents").select(col("doc_id"))
+        val n = nodes.agg(count(lit(1)).as("__n"))
+        val withN = nodes.crossJoin(broadcast(n))
+        val edges = Seq((7, 1), (13, 5), (31, 11))
+          .map { case (p, c) =>
+            withN.select(col("doc_id").as("src"),
+              expr(s"(doc_id * $p + $c) % __n").as("dst"))
+          }
+          .reduce(_.unionByName(_))
+        PageRank.run(nodes, edges, "doc_id", "src", "dst",
+            iterations = 4)
+          .orderBy(col("rank").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+             | nodes AS (SELECT doc_id AS id FROM documents),
+             | e AS (
+             |   SELECT doc_id AS src, (doc_id*7+1) % n AS dst
+             |     FROM documents CROSS JOIN nn
+             |   UNION ALL SELECT doc_id, (doc_id*13+5) % n
+             |     FROM documents CROSS JOIN nn
+             |   UNION ALL SELECT doc_id, (doc_id*31+11) % n
+             |     FROM documents CROSS JOIN nn),
+             | deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+             | r0 AS (SELECT id, 1000000000000 // n AS rank
+             |   FROM nodes CROSS JOIN nn),
+             | c1 AS (SELECT e.dst AS id,
+             |     CAST(SUM((r.rank * 85 // 100) // d.deg) AS BIGINT) AS m
+             |   FROM e JOIN deg d ON e.src = d.src
+             |   JOIN r0 r ON e.src = r.id GROUP BY e.dst),
+             | r1 AS (SELECT nodes.id,
+             |     ((1000000000000 * 15) // 100) // n + COALESCE(c1.m, 0)
+             |       AS rank
+             |   FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.id),
+             | c2 AS (SELECT e.dst AS id,
+             |     CAST(SUM((r.rank * 85 // 100) // d.deg) AS BIGINT) AS m
+             |   FROM e JOIN deg d ON e.src = d.src
+             |   JOIN r1 r ON e.src = r.id GROUP BY e.dst),
+             | r2 AS (SELECT nodes.id,
+             |     ((1000000000000 * 15) // 100) // n + COALESCE(c2.m, 0)
+             |       AS rank
+             |   FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id),
+             | c3 AS (SELECT e.dst AS id,
+             |     CAST(SUM((r.rank * 85 // 100) // d.deg) AS BIGINT) AS m
+             |   FROM e JOIN deg d ON e.src = d.src
+             |   JOIN r2 r ON e.src = r.id GROUP BY e.dst),
+             | r3 AS (SELECT nodes.id,
+             |     ((1000000000000 * 15) // 100) // n + COALESCE(c3.m, 0)
+             |       AS rank
+             |   FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.id),
+             | c4 AS (SELECT e.dst AS id,
+             |     CAST(SUM((r.rank * 85 // 100) // d.deg) AS BIGINT) AS m
+             |   FROM e JOIN deg d ON e.src = d.src
+             |   JOIN r3 r ON e.src = r.id GROUP BY e.dst),
+             | r4 AS (SELECT nodes.id,
+             |     ((1000000000000 * 15) // 100) // n + COALESCE(c4.m, 0)
+             |       AS rank
+             |   FROM nodes CROSS JOIN nn LEFT JOIN c4 ON nodes.id = c4.id)
+             | SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank
+             | FROM r4 ORDER BY rank DESC, id LIMIT 20""".stripMargin),
+      "link-graph PageRank: 4 fixed-point integer iterations, " +
+        "bit-exact top-20 vs the oracle's unrolled CTE chain"),
+
+    "q_zorder_layout" -> QueryDef(
+      (s, dir) => {
+        // Z-order (Morton) layout keys: bit-interleave two 10-bit
+        // dims (part key, order key) so ONE range-partitioned sort gives locality in BOTH —
+        // the standard multi-dim clustering trick (each z-range bucket
+        // bounds part AND supplier, so scans filtered on either dim
+        // prune files). All integer bit-twiddling (magic-number spread),
+        // so the gate is exact. The bucket profile below is the layout
+        // planner's output: per z-range row counts + both dims' bounds.
+        def spread(c: Column): Column = {
+          val a = c.bitwiseAND(lit(1023L))
+          val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+          val d2 = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+          val e = d2.bitwiseOR(shiftleft(d2, 2)).bitwiseAND(lit(0x33333333L))
+          e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
+        }
+        val li = T(s, dir, "lineitem")
+          .select((col("l_partkey") % 1024).as("x"),
+            (col("l_orderkey") % 1024).as("y"))
+        li.withColumn("z",
+            spread(col("x")).bitwiseOR(shiftleft(spread(col("y")), 1)))
+          .withColumn("bucket", shiftright(col("z"), 16))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+            min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH b AS (SELECT l_partkey % 1024 AS x,
+             |     l_orderkey % 1024 AS y FROM lineitem),
+             | s1 AS (SELECT x, y,
+             |     ((x | (x << 8)) & 16711935) AS xa,
+             |     ((y | (y << 8)) & 16711935) AS ya FROM b),
+             | s2 AS (SELECT x, y,
+             |     ((xa | (xa << 4)) & 252645135) AS xb,
+             |     ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+             | s3 AS (SELECT x, y,
+             |     ((xb | (xb << 2)) & 858993459) AS xc,
+             |     ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+             | s4 AS (SELECT x, y,
+             |     ((xc | (xc << 1)) & 1431655765) AS xd,
+             |     ((yc | (yc << 1)) & 1431655765) AS yd FROM s3),
+             | z AS (SELECT x, y, (xd | (yd << 1)) AS z FROM s4)
+             | SELECT z // 65536 AS bucket, COUNT(*) AS n_rows,
+             |   MIN(x) AS x_min, MAX(x) AS x_max,
+             |   MIN(y) AS y_min, MAX(y) AS y_max
+             | FROM z GROUP BY 1 ORDER BY bucket""".stripMargin),
+      "Z-order layout keys: Morton bit-interleave of two dims + " +
+        "per-z-range layout profile (exact integer gate)"))
 }
