@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.DoubleType
 import graft.core.{QueryDef, QueryModule, Tables}
 import graft.functions.UnicodeNorm
 import graft.graph.PageRank
+import graft.text.Compressibility
 
 /** Corpus-hygiene operators a pretraining pipeline runs before/around
   * curation: Unicode normalization, HTML boilerplate stripping,
@@ -346,5 +347,156 @@ object PipelineQueries extends QueryModule {
              |   MIN(y) AS y_min, MAX(y) AS y_max
              | FROM z GROUP BY 1 ORDER BY bucket""".stripMargin),
       "Z-order layout keys: Morton bit-interleave of two dims + " +
-        "per-z-range layout profile (exact integer gate)"))
+        "per-z-range layout profile (exact integer gate)"),
+
+    "q_gopher_rules" -> QueryDef(
+      (s, dir) => {
+        // the Gopher-style document quality rule battery (word count
+        // band, mean word length band, alphabetic-word fraction,
+        // symbol density, stopword presence) -> keep decision. One
+        // map-only pass: every metric is an integer count divided at
+        // most once in double, identical expression shape both sides.
+        val toks = split(trim(col("text")), "\\s+")
+        val nWords = size(toks).cast("long")
+        val charLen = length(regexp_replace(col("text"), "\\s", ""))
+          .cast("long")
+        val alphaWords = size(filter(toks,
+          t => t.rlike("[a-z]"))).cast("long")
+        val symbols = length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
+          .cast("long")
+        val hasStop = size(filter(toks,
+          t => t.isInCollection(graft.text.TextStats.stopwords))) > 0
+        T(s, dir, "documents")
+          .select(col("doc_id"), nWords.as("n_words"),
+            (charLen.cast(DoubleType) / nWords).as("mean_word_len"),
+            (alphaWords.cast(DoubleType) / nWords).as("alpha_word_frac"),
+            (symbols.cast(DoubleType) / nWords).as("symbol_ratio"),
+            hasStop.as("has_stopword"))
+          .withColumn("keep",
+            col("n_words") >= 50 && col("n_words") <= 100000 &&
+              col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+              col("alpha_word_frac") > 0.8 && col("symbol_ratio") < 0.1 &&
+              col("has_stopword"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, text,
+             |     regexp_split_to_array(trim(text), '\s+') AS ts
+             |   FROM documents),
+             | m AS (SELECT doc_id,
+             |     CAST(len(ts) AS BIGINT) AS n_words,
+             |     CAST(length(regexp_replace(text, '\s', '', 'g'))
+             |       AS BIGINT) AS char_len,
+             |     CAST(len(list_filter(ts,
+             |       x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+             |       AS alpha_words,
+             |     CAST(length(regexp_replace(text, '[a-z0-9\s]', '', 'g'))
+             |       AS BIGINT) AS symbols,
+             |     len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'and',
+             |       'to', 'in', 'is', 'it'))) > 0 AS has_stopword
+             |   FROM t)
+             | SELECT doc_id, n_words,
+             |   CAST(char_len AS DOUBLE) / n_words AS mean_word_len,
+             |   CAST(alpha_words AS DOUBLE) / n_words AS alpha_word_frac,
+             |   CAST(symbols AS DOUBLE) / n_words AS symbol_ratio,
+             |   has_stopword,
+             |   (n_words >= 50 AND n_words <= 100000
+             |     AND CAST(char_len AS DOUBLE) / n_words >= 3.0
+             |     AND CAST(char_len AS DOUBLE) / n_words <= 10.0
+             |     AND CAST(alpha_words AS DOUBLE) / n_words > 0.8
+             |     AND CAST(symbols AS DOUBLE) / n_words < 0.1
+             |     AND has_stopword) AS keep
+             | FROM m ORDER BY doc_id""".stripMargin),
+      "Gopher quality rule battery: word/length/alpha/symbol/stopword " +
+        "rules -> keep decision, one map-only pass"),
+
+    "q_topk_per_group" -> QueryDef(
+      (s, dir) => {
+        // grouped top-k selection (best-of per domain — the curation
+        // step that caps any one source's contribution): per
+        // (lang, source) keep the 3 largest docs. Partitioned window
+        // top-k: parallelism = |groups|, no global sort; at 100 TB
+        // group count is large so the shuffle spreads evenly (a skewed
+        // group would take the q_skew_profile -> salting route).
+        val w = Window.partitionBy(col("lang"), col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        T(s, dir, "documents")
+          .select(col("lang"), col("source"), col("doc_id"),
+            col("n_chars"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("lang"), col("source"), col("doc_id"),
+            col("n_chars"), col("rk").cast("long").as("rk"))
+          .orderBy(col("lang"), col("source"), col("rk"))
+      },
+      Some("""SELECT lang, source, doc_id, n_chars, rk FROM (
+             |   SELECT lang, source, doc_id, n_chars,
+             |     CAST(row_number() OVER (PARTITION BY lang, source
+             |       ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+             |   FROM documents) t
+             | WHERE rk <= 3 ORDER BY lang, source, rk""".stripMargin),
+      "grouped top-k: per (lang, source) keep 3 largest docs via " +
+        "partitioned window — the per-domain contribution cap"),
+
+    "q_feature_hashing" -> QueryDef(
+      (s, dir) => {
+        // hashing-trick featurization (HashingTF shape): token ->
+        // bucket = uniform_hash(token) % 64, per-doc bucket counts.
+        // The hash is the md5-prefix integer both engines compute
+        // identically (same construction the sampling family uses).
+        // explode + partial/final count by (doc, bucket) — the exact
+        // shuffle shape of distributed vectorization; dims are fixed,
+        // so output width is bounded regardless of vocabulary size
+        // (that boundedness is the entire point of feature hashing at
+        // 100 TB: no vocab broadcast, no OOV path).
+        val d = T(s, dir, "documents").filter(col("doc_id") < 20)
+        d.select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .select(col("doc_id"),
+            (conv(substring(md5(col("tok")), 1, 8), 16, 10)
+              .cast("long") % 64).as("bucket"))
+          .groupBy(col("doc_id"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("doc_id"), col("bucket"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |     unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+             |   FROM documents WHERE doc_id < 20)
+             | SELECT doc_id,
+             |   CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64
+             |     AS bucket,
+             |   COUNT(*) AS cnt
+             | FROM t GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin),
+      "feature hashing (HashingTF shape): md5-uniform token buckets, " +
+        "per-doc bucket counts — fixed-width features, no vocab state"),
+
+    "q_compression_ratio" -> QueryDef(
+      (s, dir) => {
+        // deflate-based repetitiousness signal (text/Compressibility):
+        // the quality filter SQL cannot express, gated on falsifiable
+        // invariants the oracle CAN check — exact raw byte counts plus
+        // compressibility facts (output nonempty, compresses below
+        // raw, the doubled text exposes the repeat, ratio under 0.9 on
+        // this small-vocab corpus). comp/comp2 sizes themselves stay
+        // Spark-side (zlib output is impl-defined); the booleans are
+        // the cross-engine contract.
+        val sized = Compressibility.deflateSizes(
+          T(s, dir, "documents")
+            .filter(col("doc_id") < 100 && col("n_chars") >= 200),
+          "doc_id", "text")
+        sized.select(col("doc_id"), col("raw_len"),
+            (col("comp_len") > 0).as("comp_pos"),
+            (col("comp_len") < col("raw_len")).as("comp_lt_raw"),
+            (col("comp2_len") < col("comp_len") * 2).as("rep_detected"),
+            (col("comp_len").cast(DoubleType) / col("raw_len") < 0.9)
+              .as("ratio_lt_09"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |   CAST(octet_length(encode(text)) AS BIGINT) AS raw_len,
+             |   TRUE AS comp_pos, TRUE AS comp_lt_raw,
+             |   TRUE AS rep_detected, TRUE AS ratio_lt_09
+             | FROM documents WHERE doc_id < 100 AND n_chars >= 200
+             | ORDER BY doc_id""".stripMargin),
+      "compression-ratio quality signal: one deflate pass per doc " +
+        "(reused Deflater via mapPartitions), invariant-gated"))
 }
