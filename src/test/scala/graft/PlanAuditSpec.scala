@@ -272,4 +272,51 @@ class PlanAuditSpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[vec_id.*cosine_sim""".r
       .findFirstIn(p).isDefined, p.take(1500))
   }
+
+  test("q_gopher_rules: map-only scoring — no exchange before the " +
+      "output order") {
+    val p = planOf("q_gopher_rules")
+    // every rule is a projection over the scan: no join, no aggregate,
+    // no window; the single Exchange is the oracle-contract total order
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    // formatted explain names each node twice (tree + detail section)
+    assert(p.split("Exchange").length - 1 <= 2, p.take(2000))
+  }
+
+  test("q_feature_hashing: partial+final count by (doc, bucket)") {
+    val p = planOf("q_feature_hashing")
+    assert(p.contains("partial_count"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q_zorder_layout: pure projection + one partial+final aggregate") {
+    val p = planOf("q_zorder_layout")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("partial_count"), p.take(2000))
+    // morton key built from shifts/masks — no UDF, stays codegen-able
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      p.take(2000))
+  }
+
+  test("q_pagerank_links: node count broadcasts; rank joins hash-key") {
+    val p = planOf("q_pagerank_links")
+    // the 1-row count rides a broadcast nested-loop cross join (benign:
+    // 1 row); the rank->edge joins must be hash joins, never cartesian
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q_compression_ratio: deflate pass adds no shuffle of its own") {
+    val p = planOf("q_compression_ratio")
+    // mapPartitions (DeserializeToObject/MapPartitions/SerializeFromObject)
+    // preserves partitioning; the only Exchange is the output total order
+    assert(p.contains("MapPartitions"), p.take(2000))
+    assert(p.split("Exchange").length - 1 <= 2, p.take(2000))
+    // pushdown survives: the doc_id/n_chars filters reach the scan
+    assert(p.contains("LessThan(doc_id,100)"), p.take(2000))
+  }
 }
