@@ -861,8 +861,14 @@ object LlmQueries extends QueryModule {
         val probes = emb.orderBy(col("vec_id")).limit(5)
         val brute = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding",
           k = 10)
+        // the coarse quantizer is trained once per session (ModelCache,
+        // same policy as the trainer family) — production IVF trains it
+        // offline and serves every query from the cached centroids
+        val quant = graft.ml.ModelCache.fitted(s, dir, "IVF_QUANT:k=8")(
+            Ann.fitIvfQuantizer(emb, "vec_id", "embedding", nCells = 8))
+          .asInstanceOf[org.apache.spark.ml.clustering.KMeansModel]
         val approx = Ann.ivfTopK(emb, probes, "vec_id", "embedding", k = 10,
-          nCells = 8, nProbe = 3)
+          nCells = 8, nProbe = 3, quantizer = Some(quant))
         brute
           .join(approx.select(col("probe_id"), col("neighbor_id")),
             Seq("probe_id", "neighbor_id"), "left_semi")

@@ -72,11 +72,16 @@ object Ann {
     *
     * Same output shape as [[bruteForceTopK]]; recall asserted in AnnSpec.
     */
-  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-      vecCol: String, k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
-      seed: Long = 42L, maxTrainVectors: Long = 65536L): DataFrame = {
+  /** Fit the IVF coarse quantizer alone — split out so callers can
+    * reuse a trained quantizer across queries (production IVF trains
+    * the quantizer once offline; `q_ann_ivf_topk` routes this through
+    * `ml/ModelCache` exactly like the trainer family).
+    */
+  def fitIvfQuantizer(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, seed: Long = 42L,
+      maxTrainVectors: Long = 65536L)
+      : org.apache.spark.ml.clustering.KMeansModel = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("__cv"),
       array_to_vector(asDouble(col(vecCol))).as("__v"))
     val km = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("__v").setPredictionCol("__cell")
@@ -95,7 +100,19 @@ object Ann {
         c.filter(pmod(xxhash64(col("neighbor_id"), lit(seed)), lit(every))
           === 0L)
       }
-    val model = km.fit(train)
+    km.fit(train)
+  }
+
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L, maxTrainVectors: Long = 65536L,
+      quantizer: Option[org.apache.spark.ml.clustering.KMeansModel] = None)
+      : DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"),
+      array_to_vector(asDouble(col(vecCol))).as("__v"))
+    val model = quantizer.getOrElse(fitIvfQuantizer(corpus, idCol,
+      vecCol, nCells, seed, maxTrainVectors))
     val assigned = model.transform(c).select(
       col("neighbor_id"), col("__cv"), col("__cell"))
     // each probe's nProbe nearest centroids (centroid set is tiny —
