@@ -48,6 +48,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+    val profiles = scala.collection.mutable.LinkedHashMap
+      .empty[String, graft.core.QueryMetrics.PlanProfile]
     val results = selected.map { case (name, fn) =>
       val sec =
         try {
@@ -56,7 +58,13 @@ object Bench {
           // pause INSIDE some later query's timing (measured 6-12×
           // inflation on mid-run queries in full 129-query rounds)
           System.gc()
-          (1 to warmup).foreach(_ => runOnce(spark, sfDir, fn))
+          // the first warmup run doubles as the metrics-accounting run
+          // (QueryMetrics executes the same noop materialization) —
+          // realized scan rows / shuffle bytes land in bench_full.json
+          // at zero added cost
+          if (warmup >= 1)
+            profiles(name) = graft.core.QueryMetrics.profile(fn(spark, sfDir))
+          (1 until warmup).foreach(_ => runOnce(spark, sfDir, fn))
           median((1 to reps).map(_ => runOnce(spark, sfDir, fn)))
         } catch {
           case e: Throwable =>
@@ -75,8 +83,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
+    val profJson = profiles.map { case (k, p) =>
+      "\"" + k + "\":{\"scan_rows\":" + p.scanRows +
+        ",\"shuffle_bytes\":" + p.shuffleBytes +
+        ",\"n_shuffles\":" + p.nShuffles + "}"
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$fullJson,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"failed":$failed}"""
+      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$fullJson,"profiles":$profJson,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"failed":$failed}"""
     val fullPath = java.nio.file.Paths.get("bench_full.json")
     java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
     // complete data for humans goes to stderr: stdout must carry exactly

@@ -533,6 +533,76 @@ object CorpusQueries extends QueryModule {
       "unigram-LM quality scoring: fixed-point token log-probs, exact " +
         "integer per-doc sums"),
 
+    "q_bigram_logprob" -> QueryDef(
+      (s, dir) => {
+        // bigram-LM quality scoring with add-1 smoothing — the proper
+        // sequence-model upgrade of q_unigram_logprob:
+        // P(w2|w1) = (c(w1,w2)+1) / (ctx(w1)+V). Same fixed-point log
+        // trick (floor(1e6·ln p) as long) ⇒ per-doc sums are exact
+        // integer math, partition- and engine-independent. ctx(w1) is
+        // the sum of bigram counts for w1 (so numerator ≤ denominator
+        // by construction). Shape at scale: bigrams via a per-doc
+        // window (partitioned by doc — parallel in |docs|), one
+        // bigram-count agg, then a join back; count tables broadcast
+        // for bounded vocab, shuffle-join otherwise.
+        val docs = T(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          posexplode(TextStats.tokens(lower(col("text"))))
+            .as(Seq("pos", "tok")))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bg = toks
+          .withColumn("w2", lead(col("tok"), 1).over(w))
+          .filter(col("w2").isNotNull)
+          .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+        val bc = bg.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("cb"))
+        val ctx = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+        val vocab = toks.agg(countDistinct(col("tok")).as("v"))
+        bg.join(broadcast(bc), Seq("w1", "w2"))
+          .join(broadcast(ctx), Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .withColumn("lp",
+            floor(lit(1e6) * log(
+              (col("cb") + 1).cast(DoubleType) / (col("cw") + col("v"))))
+              .cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("lp")).as("logprob_scaled"))
+          .withColumn("avg_logprob",
+            col("logprob_scaled").cast(DoubleType) /
+              (col("n_bigrams") * lit(1e6)))
+          .filter(col("doc_id") < 200)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |     generate_subscripts(
+             |       regexp_split_to_array(trim(lower(text)), '\s+'), 1)
+             |       AS pos,
+             |     unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+             |       AS tok
+             |   FROM documents),
+             | bg AS (SELECT doc_id, w1, w2 FROM (
+             |     SELECT doc_id, tok AS w1,
+             |       lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+             |         AS w2
+             |     FROM toks) t WHERE w2 IS NOT NULL),
+             | bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+             | ctx AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw FROM bc
+             |   GROUP BY w1),
+             | v AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+             | s AS (SELECT bg.doc_id,
+             |     CAST(FLOOR(1e6 * ln(CAST(bc.cb + 1 AS DOUBLE)
+             |       / (ctx.cw + v.v))) AS BIGINT) AS lp
+             |   FROM bg JOIN bc USING (w1, w2) JOIN ctx USING (w1)
+             |   CROSS JOIN v)
+             | SELECT doc_id, COUNT(*) AS n_bigrams,
+             |   CAST(SUM(lp) AS BIGINT) AS logprob_scaled,
+             |   CAST(SUM(lp) AS DOUBLE) / (COUNT(*) * 1e6) AS avg_logprob
+             | FROM s WHERE doc_id < 200
+             | GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "bigram-LM quality scoring (add-1 smoothed): fixed-point " +
+        "conditional log-probs, exact integer per-doc sums"),
+
     "q_centroid_classify" -> QueryDef(
       (s, dir) => {
         // Nearest-centroid classification / semantic cluster purity: the

@@ -498,5 +498,43 @@ object PipelineQueries extends QueryModule {
              | FROM documents WHERE doc_id < 100 AND n_chars >= 200
              | ORDER BY doc_id""".stripMargin),
       "compression-ratio quality signal: one deflate pass per doc " +
-        "(reused Deflater via mapPartitions), invariant-gated"))
+        "(reused Deflater via mapPartitions), invariant-gated"),
+
+    "q_epoch_schedule" -> QueryDef(
+      (s, dir) => {
+        // multi-epoch data-order generation: each epoch is an
+        // independent deterministic permutation (salt the shuffle hash
+        // with the epoch number), so the trainer never replays epoch
+        // N's order in epoch N+1 yet every rerun reproduces the same
+        // schedule. The gate samples each epoch's first 5 examples via
+        // a per-epoch window top-k (3 bounded partitions here); the
+        // production write is repartitionByRange(epoch, key) +
+        // sortWithinPartitions — range shuffle, no global sort, any
+        // corpus size.
+        val epochs = s.range(0, 3).select(col("id").as("epoch"))
+        T(s, dir, "documents").select(col("doc_id"))
+          .crossJoin(broadcast(epochs))
+          .withColumn("skey",
+            md5(concat(col("doc_id").cast("string"), lit(":"),
+              col("epoch").cast("string"), lit(":42"))))
+          .withColumn("ord", row_number().over(
+            Window.partitionBy(col("epoch")).orderBy(col("skey"))))
+          .filter(col("ord") <= 5)
+          .select(col("epoch"), col("ord").cast("long").as("ord"),
+            col("doc_id"), col("skey"))
+          .orderBy(col("epoch"), col("ord"))
+      },
+      Some("""SELECT epoch, ord, doc_id, skey FROM (
+             |   SELECT e.epoch, d.doc_id,
+             |     md5(CAST(d.doc_id AS VARCHAR) || ':'
+             |       || CAST(e.epoch AS VARCHAR) || ':42') AS skey,
+             |     CAST(row_number() OVER (PARTITION BY e.epoch
+             |       ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':'
+             |         || CAST(e.epoch AS VARCHAR) || ':42')) AS BIGINT)
+             |       AS ord
+             |   FROM documents d CROSS JOIN
+             |     (SELECT unnest(generate_series(0, 2)) AS epoch) e) t
+             | WHERE ord <= 5 ORDER BY epoch, ord""".stripMargin),
+      "multi-epoch schedule: per-epoch salted-hash permutations, " +
+        "deterministic across reruns, distinct across epochs"))
 }
