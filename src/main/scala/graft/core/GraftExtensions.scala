@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, RollingFingerprint}
+import graft.functions.{CosineSimilarity, RollingFingerprint, UnicodeNorm}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions into the SQL function registry so `spark.sql` queries can
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.rollingFingerprintDescriptor)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.unicodeNormDescriptor)
   }
 }
 
@@ -56,8 +57,20 @@ object GraftExtensions {
         "cosine_sim(a, b) takes exactly 2 arguments")
     })
 
+  /** unicode_norm(text, 'nfc'|'nfkc'|'strip_accents'). */
+  val unicodeNormDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("unicode_norm"),
+    new ExpressionInfo(classOf[UnicodeNorm].getName, "unicode_norm"),
+    (children: Seq[Expression]) => children match {
+      case Seq(text, mode) =>
+        UnicodeNorm(text, mode.eval().toString)
+      case _ => throw new IllegalArgumentException(
+        "unicode_norm(text, mode) takes exactly 2 arguments")
+    })
+
   private def descriptors = Seq(rollingFingerprintDescriptor,
-    cosineSimDescriptor)
+    cosineSimDescriptor, unicodeNormDescriptor)
 
   /** Imperative registration for sessions created without extensions
     * (tests, notebooks).

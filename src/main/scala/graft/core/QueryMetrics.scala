@@ -14,6 +14,12 @@ import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec,
   * planning and regression triage consume at 100 TB ("did this round's
   * change double shuffle bytes?" is answerable from bench_full.json
   * alone, no Spark UI required).
+  *
+  * Scope caveat: the profile covers the FINAL action's plan. Operators
+  * that materialize intermediate actions while building their result
+  * (the connected-components loop's per-round localCheckpoints, model
+  * fits) contribute only their last job's volumes here — their
+  * intermediate shuffles show up in the timing, not in this accounting.
   */
 object QueryMetrics {
 

@@ -17,4 +17,19 @@ class ExtensionsSpec extends SparkSpec {
     // window size changes the fingerprint function
     assert(rows(0).getLong(0) !== rows(0).getLong(1))
   }
+
+  test("unicode_norm callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      """SELECT unicode_norm(t, 'nfc') AS nfc,
+        |       unicode_norm(t, 'strip_accents') AS stripped
+        |FROM VALUES ('Café') AS v(t)""".stripMargin)
+      .collect()
+    assert(rows(0).getString(0) === "Café") // composed
+    assert(rows(0).getString(1) === "Cafe")      // marks dropped
+    // bad mode fails at plan construction, not mid-job
+    intercept[Exception] {
+      spark.sql("SELECT unicode_norm('x', 'bogus')").collect()
+    }
+  }
 }
