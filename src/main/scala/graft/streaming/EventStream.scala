@@ -197,6 +197,27 @@ object EventStream {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Incremental ingest against an existing corpus: drop any streamed
+    * document whose content digest already exists in the (static)
+    * corpus — the streaming form of q_incremental_curation's Bloom/
+    * anti-join stage. A stream-static LEFT ANTI join is stateless on
+    * the stream side (each micro-batch joins the static relation
+    * map-side; Spark re-plans the static side per batch, so a corpus
+    * snapshot refresh is picked up on the next batch). At 100 TB the
+    * static side is the digest column only — 32 bytes/doc, bucketed by
+    * digest — never the corpus text.
+    */
+  def antiJoinCorpus(docs: DataFrame, corpus: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val digests = corpus
+      .select(graft.text.TextStats.fingerprintMd5(col(textCol)).as("__fp"))
+      .distinct()
+    docs
+      .withColumn("__fp", graft.text.TextStats.fingerprintMd5(col(textCol)))
+      .join(digests, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Stream-ified scoring (the reference's Redis push shape,
     * predict.py:221-226, as writeStream.foreachBatch): score each
     * micro-batch with a persisted PipelineModel and hand the predictions

@@ -120,6 +120,29 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static anti join admits only documents new to the corpus") {
+    val dir = Files.createTempDirectory("graft-docs-ingest")
+    Files.copy(java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      dir.resolve("docs.parquet"))
+    // the static corpus already contains docs 0..49 (same texts), so
+    // exactly those must be dropped from the stream
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 50)
+    val q = EventStream.antiJoinCorpus(
+        EventStream.readDocs(spark, dir.toString), corpus)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("ingest_new")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val admitted = spark.table("ingest_new")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val all = Tables.load(spark, sf0001, "documents").count()
+    assert(admitted.size.toLong === all - 50)
+    assert(admitted.forall(_ >= 50))
+  }
+
   test("stream-stream interval join matches the batch equivalent") {
     val events = EventStream.readEvents(spark, eventsDir)
     val q = EventStream.purchaseAttribution(events)
