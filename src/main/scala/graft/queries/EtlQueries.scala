@@ -729,6 +729,43 @@ object EtlQueries extends QueryModule {
              |   l_linestatus ASC NULLS FIRST""".stripMargin),
       "CUBE hierarchy aggregation (oracle)"),
 
+    "q_hll_shard_merge" -> QueryDef(
+      (s, dir) => {
+        // mergeable-sketch architecture, demonstrated end to end: each
+        // shard (source) builds its own DataSketches HLL over document
+        // texts; the union of the 20 shard sketches estimates global
+        // distinct WITHOUT re-scanning — the only cardinality pattern
+        // that works at 100 TB (per-partition sketches -> tiny merge;
+        // incremental: a new shard's sketch unions in without touching
+        // history). Gate: exact distinct (oracle-recomputed) + relative
+        // error bands for both the merged and the direct sketch, and
+        // merged-vs-direct agreement.
+        val docs = T(s, dir, "documents")
+        val perShard = docs.groupBy(col("source"))
+          .agg(hll_sketch_agg(col("text")).as("__sk"))
+        val merged = perShard
+          .agg(hll_sketch_estimate(hll_union_agg(col("__sk")))
+            .as("__est_merged"))
+        val direct = docs.agg(
+          hll_sketch_estimate(hll_sketch_agg(col("text")))
+            .as("__est_direct"))
+        val exact = docs.select(col("text")).distinct()
+          .agg(count(lit(1)).as("n_exact"))
+        merged.crossJoin(broadcast(direct)).crossJoin(broadcast(exact))
+          .select(col("n_exact"),
+            (abs(col("__est_merged") - col("n_exact")) / col("n_exact")
+              <= 0.05).as("merged_ok"),
+            (abs(col("__est_direct") - col("n_exact")) / col("n_exact")
+              <= 0.05).as("direct_ok"),
+            (abs(col("__est_merged") - col("__est_direct")) /
+              col("n_exact") <= 0.02).as("merge_agrees"))
+      },
+      Some("""SELECT COUNT(DISTINCT text) AS n_exact,
+             | TRUE AS merged_ok, TRUE AS direct_ok, TRUE AS merge_agrees
+             | FROM documents""".stripMargin),
+      "shard-wise HLL sketches union into the global distinct estimate " +
+        "without re-scan — the mergeable-sketch cardinality pattern"),
+
     "q_a14_approx_stats" -> QueryDef(
       (s, dir) => {
         // the documented scale path for per-column profiling when

@@ -143,6 +143,39 @@ class EventStreamSpec extends SparkSpec {
     assert(admitted.forall(_ >= 50))
   }
 
+  test("checkpointed restart resumes exactly-once: no reprocessing") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft-docs-ckpt-src")
+    val out = Files.createTempDirectory("graft-docs-ckpt-out")
+    val ckpt = Files.createTempDirectory("graft-docs-ckpt")
+    Files.copy(java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      src.resolve("batch1.parquet"))
+    def runOnce(): Unit = {
+      val q = EventStream.readDocs(spark, src.toString)
+        .select("doc_id", "text")
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val n1 = spark.read.parquet(out.toString).count()
+    // second batch: 100 NEW docs (shifted ids) landing as a new file
+    Tables.load(spark, sf0001, "documents")
+      .filter(col("doc_id") < 100)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .coalesce(1)
+      .write.mode("append").parquet(src.toString)
+    runOnce()
+    val after = spark.read.parquet(out.toString)
+    // exactly-once: batch1 not reprocessed on restart, batch2 fully in
+    assert(n1 === 500L)
+    assert(after.count() === 600L)
+    assert(after.select("doc_id").distinct().count() === 600L)
+  }
+
   test("stream-stream interval join matches the batch equivalent") {
     val events = EventStream.readEvents(spark, eventsDir)
     val q = EventStream.purchaseAttribution(events)
