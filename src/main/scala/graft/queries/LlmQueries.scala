@@ -351,6 +351,68 @@ object LlmQueries extends QueryModule {
              | WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin),
       "exact cosine top-k, broadcast probes (ANN baseline, full-value oracle)"),
 
+    "q_negative_sample" -> QueryDef(
+      (s, dir) => {
+        // hard-negative mining for contrastive training: per anchor,
+        // sample k candidates that are NOT semantic neighbors —
+        // deterministically (rank non-neighbors by md5(anchor:cand)),
+        // so the training set is reproducible with no RNG state. The
+        // neighbor exclusion reuses the exact top-10 (the proven
+        // brute-force path); the hash ranking is the same uniform-hash
+        // construction as the sampling family. At 100 TB the anchor
+        // set is the small broadcast side and negatives come from the
+        // ANN-bucketed candidate structure rather than the full corpus.
+        val emb = T(s, dir, "embeddings")
+        val anchors = emb.orderBy(col("vec_id")).limit(10)
+        val neighbors = Ann.bruteForceTopK(emb, anchors, "vec_id",
+            "embedding", k = 10)
+          .select(col("probe_id").as("anchor_id"), col("neighbor_id"))
+        val cands = emb.select(col("vec_id").as("cand_id"))
+          .crossJoin(broadcast(
+            anchors.select(col("vec_id").as("anchor_id"))))
+          .filter(col("cand_id") =!= col("anchor_id"))
+          .join(neighbors.withColumnRenamed("neighbor_id", "cand_id"),
+            Seq("anchor_id", "cand_id"), "left_anti")
+        val w = Window.partitionBy(col("anchor_id")).orderBy(
+          md5(concat(col("anchor_id").cast("string"), lit(":"),
+            col("cand_id").cast("string"))), col("cand_id"))
+        cands.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("anchor_id"), col("cand_id").as("neg_id"),
+            col("rk").cast("long").as("rk"))
+          .orderBy(col("anchor_id"), col("rk"))
+      },
+      Some("""WITH d AS (SELECT vec_id,
+             |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |   FROM embeddings),
+             | a AS (SELECT vec_id, v FROM d ORDER BY vec_id LIMIT 10),
+             | s AS (SELECT a.vec_id AS anchor_id, d.vec_id AS cand_id,
+             |   list_dot_product(a.v, d.v)
+             |     / (sqrt(list_dot_product(a.v, a.v))
+             |      * sqrt(list_dot_product(d.v, d.v))) AS cosine
+             |   FROM a JOIN d ON d.vec_id <> a.vec_id),
+             | nb AS (SELECT anchor_id, cand_id FROM (
+             |     SELECT anchor_id, cand_id,
+             |       ROW_NUMBER() OVER (PARTITION BY anchor_id
+             |         ORDER BY cosine DESC, cand_id ASC) AS rank
+             |     FROM s) t WHERE rank <= 10),
+             | c AS (SELECT a.vec_id AS anchor_id, d.vec_id AS cand_id
+             |   FROM a CROSS JOIN (SELECT vec_id FROM d) d
+             |   WHERE d.vec_id <> a.vec_id
+             |     AND NOT EXISTS (SELECT 1 FROM nb
+             |       WHERE nb.anchor_id = a.vec_id
+             |         AND nb.cand_id = d.vec_id)),
+             | r AS (SELECT anchor_id, cand_id,
+             |   CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+             |     ORDER BY md5(CAST(anchor_id AS VARCHAR) || ':'
+             |       || CAST(cand_id AS VARCHAR)), cand_id) AS BIGINT)
+             |     AS rk
+             |   FROM c)
+             | SELECT anchor_id, cand_id AS neg_id, rk FROM r
+             | WHERE rk <= 5 ORDER BY anchor_id, rk""".stripMargin),
+      "hard-negative mining: deterministic hash-ranked non-neighbors " +
+        "per anchor, exact-top-10 exclusion (contrastive training data)"),
+
     "q_ann_lsh_topk" -> QueryDef(
       (s, dir) => {
         // recall-in-query: the gate row itself asserts approximate quality

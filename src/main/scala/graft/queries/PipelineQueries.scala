@@ -536,5 +536,49 @@ object PipelineQueries extends QueryModule {
              |     (SELECT unnest(generate_series(0, 2)) AS epoch) e) t
              | WHERE ord <= 5 ORDER BY epoch, ord""".stripMargin),
       "multi-epoch schedule: per-epoch salted-hash permutations, " +
-        "deterministic across reruns, distinct across epochs"))
+        "deterministic across reruns, distinct across epochs"),
+
+    "q_group_split" -> QueryDef(
+      (s, dir) => {
+        // group-aware train/test split (GroupShuffleSplit semantics):
+        // the split key is a hash of the GROUP (source), not the row,
+        // so every document of a source lands in the same split — the
+        // leakage guard for template-heavy corpora, where row-level
+        // splits put near-identical docs on both sides. Deterministic
+        // (md5-derived), map-only; the gate carries per-split counts
+        // AND the leakage audit (sources spanning both splits must be
+        // zero), which a row-hash split fails outright.
+        val d = T(s, dir, "documents")
+        val tagged = d.withColumn("split",
+          when(conv(substring(md5(concat(col("source"), lit(":42"))),
+              1, 8), 16, 10).cast("long") % 10 < 7, lit("train"))
+            .otherwise(lit("test")))
+        val counts = tagged.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"))
+        val leaked = tagged.select(col("source"), col("split")).distinct()
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1)
+          .agg(count(lit(1)).as("n_leaked_sources"))
+        counts.crossJoin(broadcast(leaked))
+          .select(col("split"), col("n_docs"), col("n_sources"),
+            col("n_leaked_sources"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH t AS (SELECT source,
+             |     CASE WHEN CAST('0x' || substr(md5(source || ':42'), 1, 8)
+             |       AS BIGINT) % 10 < 7 THEN 'train' ELSE 'test' END
+             |       AS split
+             |   FROM documents),
+             | c AS (SELECT split, COUNT(*) AS n_docs,
+             |     COUNT(DISTINCT source) AS n_sources
+             |   FROM t GROUP BY split),
+             | l AS (SELECT COUNT(*) AS n_leaked_sources FROM (
+             |     SELECT source FROM (SELECT DISTINCT source, split FROM t)
+             |     GROUP BY source HAVING COUNT(*) > 1))
+             | SELECT split, n_docs, n_sources, n_leaked_sources
+             | FROM c CROSS JOIN l ORDER BY split""".stripMargin),
+      "group-aware split: hash the group key so no source spans both " +
+        "splits — gate includes the zero-leakage audit"))
 }
