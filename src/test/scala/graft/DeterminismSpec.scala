@@ -27,7 +27,14 @@ class DeterminismSpec extends SparkSpec {
     "q_reservoir_sample", "q_corpus_upsert", "q_approx_quantiles",
     "q_canonical_select", "q_incremental_curation", "q_unigram_logprob",
     "q_centroid_classify", "q_cms_heavy_hitters", "q_ts_gapfill",
-    "q_a17_grouping_sets")
+    "q_a17_grouping_sets",
+    // round-5 ops: fixed-point PageRank, sentence-dedup windows,
+    // deflate invariants, sketch-merge bands, hash-ranked negatives,
+    // the epoch permutation, and the bigram fixed-point sums must all
+    // survive a repartitioning unchanged
+    "q_pagerank_links", "q_sentence_dedup", "q_compression_ratio",
+    "q_hll_shard_merge", "q_negative_sample", "q_epoch_schedule",
+    "q_bigram_logprob", "q_zorder_layout", "q_group_split")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
