@@ -59,6 +59,33 @@ class IoSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("columnar + text format round-trips: ORC and line-text preserve " +
+      "data exactly") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val orcDir = Files.createTempDirectory("graft-orc").toString
+    docs.write.mode("overwrite").orc(orcDir)
+    val backOrc = spark.read.orc(orcDir)
+    assert(backOrc.schema === docs.schema)
+    assert(backOrc.orderBy("doc_id").collect().toSeq ===
+      docs.orderBy("doc_id").collect().toSeq)
+    // line-oriented text (the raw-corpus interchange format): one doc
+    // per line; round-trip preserves count and content
+    val txtDir = Files.createTempDirectory("graft-text").toString
+    val lines = graft.core.Tables.load(spark, sf001, "documents")
+      .select(concat_ws("", col("doc_id"), col("text")).as("value"))
+    lines.write.mode("overwrite").text(txtDir)
+    val backTxt = spark.read.text(txtDir)
+      .select(
+        split(col("value"), "").getItem(0).cast("long").as("doc_id"),
+        split(col("value"), "").getItem(1).as("text"))
+    assert(backTxt.count() === 500L)
+    val orig = graft.core.Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    assert(backTxt.join(orig, Seq("doc_id"))
+      .filter(backTxt("text") =!= orig("text")).count() === 0L)
+  }
+
   test("S2 csvWithIndex writes a dense 0-based index usable as rejoin key") {
     val dir = Files.createTempDirectory("graft-csvidx").toString + "/out"
     val df = Seq((30L, "c"), (10L, "a"), (20L, "b")).toDF("k", "v")
