@@ -580,5 +580,51 @@ object PipelineQueries extends QueryModule {
              | SELECT split, n_docs, n_sources, n_leaked_sources
              | FROM c CROSS JOIN l ORDER BY split""".stripMargin),
       "group-aware split: hash the group key so no source spans both " +
-        "splits — gate includes the zero-leakage audit"))
+        "splits — gate includes the zero-leakage audit"),
+
+    "q_wordpiece" -> QueryDef(
+      (s, dir) => {
+        // WordPiece subword tokenization (native codegen expression,
+        // functions/WordPieceTokenize): greedy longest-match against a
+        // fixed vocab with ## continuations — real token accounting for
+        // training budgets. The vocab contains every single character,
+        // so [UNK] is impossible and DETOKENIZATION IS EXACT — which
+        // gives the gate a falsifiable cross-engine invariant: rebuild
+        // the text from the pieces and compare to the (whitespace-
+        // collapsed) original in both engines. Map-only at any scale.
+        val vocab: Seq[String] = {
+          val chars = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+          val words = Seq("the", "a", "of", "and", "to", "in", "is",
+            "it", "table", "row", "value", "part", "key", "scan",
+            "hash", "sort", "merge", "batch", "line", "fast", "slow")
+          val suffixes = Seq("##s", "##ed", "##ing", "##le", "##ow")
+          chars ++ chars.map("##" + _) ++ words ++ suffixes
+        }
+        val d = T(s, dir, "documents").filter(col("doc_id") < 50)
+        val toks = graft.functions.WordPieceTokenize
+          .wordpiece_tokenize(lower(col("text")), vocab)
+        d.select(col("doc_id"), col("text"),
+            size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+              .as("n_words"),
+            toks.as("__toks"))
+          .select(col("doc_id"), col("n_words"),
+            (size(col("__toks")).cast("long") >= col("n_words"))
+              .as("subword_expands"),
+            (size(filter(col("__toks"), t => t === "[UNK]")) === 0)
+              .as("no_oov"),
+            (trim(array_join(transform(col("__toks"),
+                t => when(t.startsWith("##"), substring(t, 3, 1000000))
+                  .otherwise(concat(lit(" "), t))), "")) ===
+              trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+              .as("detok_ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |   CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+             |     AS BIGINT) AS n_words,
+             |   TRUE AS subword_expands, TRUE AS no_oov, TRUE AS detok_ok
+             | FROM documents WHERE doc_id < 50
+             | ORDER BY doc_id""".stripMargin),
+      "WordPiece tokenization (native codegen, greedy longest-match): " +
+        "full-char vocab makes detokenization exact — round-trip gated"))
 }
