@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, RollingFingerprint, UnicodeNorm}
+import graft.functions.{CosineSimilarity, RollingFingerprint, UnicodeNorm, WordPieceTokenize}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions into the SQL function registry so `spark.sql` queries can
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rollingFingerprintDescriptor)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.unicodeNormDescriptor)
+    ext.injectFunction(GraftExtensions.wordpieceDescriptor)
   }
 }
 
@@ -69,8 +70,24 @@ object GraftExtensions {
         "unicode_norm(text, mode) takes exactly 2 arguments")
     })
 
+  /** wordpiece_tokenize(text, array('piece', ...)). */
+  val wordpieceDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("wordpiece_tokenize"),
+    new ExpressionInfo(classOf[WordPieceTokenize].getName,
+      "wordpiece_tokenize"),
+    (children: Seq[Expression]) => children match {
+      case Seq(text, vocab) =>
+        val arr = vocab.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        WordPieceTokenize(text,
+          (0 until arr.numElements()).map(arr.getUTF8String(_).toString))
+      case _ => throw new IllegalArgumentException(
+        "wordpiece_tokenize(text, vocab_array) takes exactly 2 arguments")
+    })
+
   private def descriptors = Seq(rollingFingerprintDescriptor,
-    cosineSimDescriptor, unicodeNormDescriptor)
+    cosineSimDescriptor, unicodeNormDescriptor, wordpieceDescriptor)
 
   /** Imperative registration for sessions created without extensions
     * (tests, notebooks).

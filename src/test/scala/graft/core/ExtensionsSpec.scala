@@ -32,4 +32,13 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT unicode_norm('x', 'bogus')").collect()
     }
   }
+
+  test("wordpiece_tokenize callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      """SELECT wordpiece_tokenize('unwanted',
+        |  array('un', '##want', '##ed')) AS toks""".stripMargin)
+      .collect()
+    assert(rows(0).getSeq[String](0) === Seq("un", "##want", "##ed"))
+  }
 }
