@@ -251,6 +251,107 @@ object AnalyticsQueries extends QueryModule {
       "native mergeable Count-Min sketch aggregate: estimates bracket " +
         "exact counts, bit-stable under any merge order"),
 
+    "q_corr_matrix" -> QueryDef(
+      (s, dir) => {
+        // full pairwise correlation matrix (4 measures, 6 pairs) from
+        // ONE scan: all 15 sufficient statistics (4 sums, 4 sums of
+        // squares, 6 cross-products, count) accumulate as exact
+        // decimals in a single partial+final agg — the one-pass
+        // profiling shape; a naive per-pair corr() would scan 6 times
+        // and double-accumulate non-deterministically (see q_a18).
+        val li = T(s, dir, "lineitem")
+        val d4 = DecimalType(28, 4)
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        val aggs =
+          Seq(count(lit(1)).as("n")) ++
+          cols.map(c => sum(col(c).cast(d4)).as(s"s_$c")) ++
+          cols.map(c =>
+            sum(col(c).cast(d4) * col(c).cast(d4)).as(s"ss_$c")) ++
+          cols.combinations(2).map { case Seq(a, b) =>
+            sum(col(a).cast(d4) * col(b).cast(d4)).as(s"sx_${a}_$b")
+          }.toSeq
+        val stats = li.agg(aggs.head, aggs.tail: _*)
+        def r(a: String, b: String) = {
+          val n = col("n").cast(DoubleType)
+          val sa = col(s"s_$a").cast(DoubleType)
+          val sb = col(s"s_$b").cast(DoubleType)
+          val saa = col(s"ss_$a").cast(DoubleType)
+          val sbb = col(s"ss_$b").cast(DoubleType)
+          val sab = col(s"sx_${a}_$b").cast(DoubleType)
+          round((n * sab - sa * sb) /
+            sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 8)
+        }
+        val pairs = cols.combinations(2).toSeq
+        pairs.map { case Seq(a, b) =>
+          stats.select(lit(a).as("var_a"), lit(b).as("var_b"),
+            r(a, b).as("pearson_r"))
+        }.reduce(_.unionByName(_)).orderBy(col("var_a"), col("var_b"))
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        val sums =
+          (cols.map(c => s"SUM(CAST($c AS DECIMAL(28,4))) AS s_$c") ++
+           cols.map(c => s"SUM(CAST($c AS DECIMAL(28,4)) * " +
+             s"CAST($c AS DECIMAL(28,4))) AS ss_$c") ++
+           cols.combinations(2).map { case Seq(a, b) =>
+             s"SUM(CAST($a AS DECIMAL(28,4)) * " +
+               s"CAST($b AS DECIMAL(28,4))) AS sx_${a}_$b"
+           }).mkString(", ")
+        val branches = cols.combinations(2).map { case Seq(a, b) =>
+          s"""SELECT '$a' AS var_a, '$b' AS var_b,
+             | ROUND((CAST(n AS DOUBLE) * sx_${a}_$b - s_$a * s_$b)
+             |   / sqrt((CAST(n AS DOUBLE) * ss_$a - s_$a * s_$a)
+             |        * (CAST(n AS DOUBLE) * ss_$b - s_$b * s_$b)), 8)
+             |   AS pearson_r FROM st""".stripMargin
+        }.mkString("\n UNION ALL ")
+        s"""WITH st AS (SELECT COUNT(*) AS n, $sums FROM lineitem)
+           | $branches
+           | ORDER BY var_a, var_b""".stripMargin
+      },
+      "pairwise correlation matrix from one scan of exact-decimal " +
+        "sufficient statistics (15 aggregates, single pass)"),
+
+    "q_outlier_iqr" -> QueryDef(
+      (s, dir) => {
+        // Tukey-fence outlier profile per group: exact quartiles ->
+        // IQR fences -> outlier counts. Two aggregation passes over
+        // the (grouped) measure: quartiles per group, then a broadcast
+        // join of the tiny fence table back onto the scan for the
+        // count — integer outputs, immune to ulp-level fence noise on
+        // this integral-valued measure.
+        val li = T(s, dir, "lineitem")
+        val fences = li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_quantity, 0.25)").as("q1"),
+            expr("percentile(l_quantity, 0.75)").as("q3"))
+          .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+          .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+        li.select(col("l_returnflag"), col("l_quantity"))
+          .join(broadcast(fences), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(first(col("q1")).as("q1"), first(col("q3")).as("q3"),
+            count(lit(1)).as("n"),
+            sum(when(col("l_quantity") < col("lo") ||
+              col("l_quantity") > col("hi"), 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH f AS (SELECT l_returnflag,
+             |     quantile_cont(l_quantity, 0.25) AS q1,
+             |     quantile_cont(l_quantity, 0.75) AS q3
+             |   FROM lineitem GROUP BY l_returnflag)
+             | SELECT li.l_returnflag, f.q1, f.q3, COUNT(*) AS n,
+             |   CAST(SUM(CASE WHEN li.l_quantity
+             |       < f.q1 - (f.q3 - f.q1) * 1.5
+             |     OR li.l_quantity > f.q3 + (f.q3 - f.q1) * 1.5
+             |     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             | FROM lineitem li JOIN f USING (l_returnflag)
+             | GROUP BY li.l_returnflag, f.q1, f.q3
+             | ORDER BY li.l_returnflag""".stripMargin),
+      "Tukey-fence outlier profile: exact quartiles -> broadcast " +
+        "fences -> integer outlier counts per group"),
+
     "q_a18_corr_ols" -> QueryDef(
       (s, dir) => {
         // Pearson correlation + closed-form OLS (slope/intercept) from
