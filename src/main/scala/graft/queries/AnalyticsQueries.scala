@@ -352,6 +352,52 @@ object AnalyticsQueries extends QueryModule {
       "Tukey-fence outlier profile: exact quartiles -> broadcast " +
         "fences -> integer outlier counts per group"),
 
+    "q_robust_scale" -> QueryDef(
+      (s, dir) => {
+        // robust scaling (median/MAD normalization — the outlier-proof
+        // alternative to z-scores for heavy-tailed features): exact
+        // median per group, exact median absolute deviation via a
+        // second grouped percentile over |x - median|, then the scaled
+        // value for a bounded sample of rows. Two grouped percentile
+        // passes + one broadcast join; at 100 TB swap the exact
+        // percentile for the mergeable approx sketch (q_a14 pattern)
+        // without changing the join shape.
+        val li = T(s, dir, "lineitem")
+        val med = li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+        val mad = li.join(broadcast(med), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(expr("percentile(abs(l_quantity - med), 0.5)").as("mad"),
+            first(col("med")).as("med"))
+        li.filter(col("l_orderkey") <= 320)
+          .join(broadcast(mad), Seq("l_returnflag"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("med"), col("mad"),
+            round((col("l_quantity") - col("med")) / col("mad"), 8)
+              .as("scaled"))
+          // (orderkey, linenumber) is NOT unique in this synthetic
+          // lineitem — total order needs the flag + value too
+          .orderBy(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("scaled"))
+      },
+      Some("""WITH m AS (SELECT l_returnflag,
+             |     quantile_cont(l_quantity, 0.5) AS med
+             |   FROM lineitem GROUP BY l_returnflag),
+             | d AS (SELECT li.l_returnflag,
+             |     quantile_cont(abs(li.l_quantity - m.med), 0.5) AS mad,
+             |     MIN(m.med) AS med
+             |   FROM lineitem li JOIN m USING (l_returnflag)
+             |   GROUP BY li.l_returnflag)
+             | SELECT li.l_orderkey, li.l_linenumber, li.l_returnflag,
+             |   d.med, d.mad,
+             |   ROUND((li.l_quantity - d.med) / d.mad, 8) AS scaled
+             | FROM lineitem li JOIN d USING (l_returnflag)
+             | WHERE li.l_orderkey <= 320
+             | ORDER BY li.l_orderkey, li.l_linenumber,
+             |   li.l_returnflag, scaled""".stripMargin),
+      "robust scaling: exact median/MAD per group, broadcast back — " +
+        "the outlier-proof normalization"),
+
     "q_a18_corr_ols" -> QueryDef(
       (s, dir) => {
         // Pearson correlation + closed-form OLS (slope/intercept) from
