@@ -603,6 +603,66 @@ object CorpusQueries extends QueryModule {
       "bigram-LM quality scoring (add-1 smoothed): fixed-point " +
         "conditional log-probs, exact integer per-doc sums"),
 
+    "q_pmi_collocations" -> QueryDef(
+      (s, dir) => {
+        // PMI collocation mining (phrase discovery for tokenizer vocab
+        // building): PMI(a,b) = ln(N·c(a,b) / (c(a)·c(b))) over
+        // adjacent pairs, minimum-count pruned, top-20. The argument of
+        // ln is an exact integer ratio (fixed-pointed as floor(1e6·ln)),
+        // so ranking and values are engine-identical. One window pass
+        // for pairs, two partial+final count aggs, broadcast joins of
+        // the count tables — the vocab-sized side broadcasts, the pair
+        // stream never re-shuffles.
+        val docs = T(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          posexplode(TextStats.tokens(lower(col("text"))))
+            .as(Seq("pos", "tok")))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bg = toks
+          .withColumn("w2", lead(col("tok"), 1).over(w))
+          .filter(col("w2").isNotNull)
+          .select(col("tok").as("w1"), col("w2"))
+        val pairN = bg.agg(count(lit(1)).as("n_pairs"))
+        val pc = bg.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 30)
+        val left = bg.groupBy(col("w1")).agg(count(lit(1)).as("ca"))
+        val right = bg.groupBy(col("w2")).agg(count(lit(1)).as("cb"))
+        pc.join(broadcast(left), Seq("w1"))
+          .join(broadcast(right), Seq("w2"))
+          .crossJoin(broadcast(pairN))
+          .withColumn("pmi_scaled",
+            floor(lit(1e6) * log(
+              (col("n_pairs") * col("cab")).cast(DoubleType) /
+                (col("ca") * col("cb")))).cast("long"))
+          .select(col("w1"), col("w2"), col("cab"), col("pmi_scaled"))
+          .orderBy(col("pmi_scaled").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |     generate_subscripts(
+             |       regexp_split_to_array(trim(lower(text)), '\s+'), 1)
+             |       AS pos,
+             |     unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+             |       AS tok
+             |   FROM documents),
+             | bg AS (SELECT w1, w2 FROM (
+             |     SELECT tok AS w1,
+             |       lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             |     FROM toks) t WHERE w2 IS NOT NULL),
+             | n AS (SELECT COUNT(*) AS n_pairs FROM bg),
+             | pc AS (SELECT w1, w2, COUNT(*) AS cab FROM bg
+             |   GROUP BY 1, 2 HAVING COUNT(*) >= 30),
+             | la AS (SELECT w1, COUNT(*) AS ca FROM bg GROUP BY w1),
+             | rb AS (SELECT w2, COUNT(*) AS cb FROM bg GROUP BY w2)
+             | SELECT pc.w1, pc.w2, pc.cab,
+             |   CAST(FLOOR(1e6 * ln(CAST(n.n_pairs * pc.cab AS DOUBLE)
+             |     / (la.ca * rb.cb))) AS BIGINT) AS pmi_scaled
+             | FROM pc JOIN la USING (w1) JOIN rb USING (w2) CROSS JOIN n
+             | ORDER BY pmi_scaled DESC, w1, w2 LIMIT 20""".stripMargin),
+      "PMI collocation mining: fixed-point pointwise mutual information " +
+        "over adjacent pairs, min-count pruned, top-20"),
+
     "q_centroid_classify" -> QueryDef(
       (s, dir) => {
         // Nearest-centroid classification / semantic cluster purity: the
