@@ -352,6 +352,62 @@ object AnalyticsQueries extends QueryModule {
       "Tukey-fence outlier profile: exact quartiles -> broadcast " +
         "fences -> integer outlier counts per group"),
 
+    "q_time_weighted_avg" -> QueryDef(
+      (s, dir) => {
+        // time-weighted average of a sampled metric per user (the
+        // correct aggregate for irregularly-sampled series — a plain
+        // AVG over-weights burst periods): hold each value until the
+        // next observation, weight by the exact nanosecond interval.
+        // Weighted sums accumulate as exact decimals (value
+        // fixed-pointed to 1e6, dt in integer nanos, DECIMAL(18,0)
+        // products — order-independent), one double division at the
+        // end. Per-user window + one grouped agg; parallelism = |users|.
+        val ev = T(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("value"))
+          .filter(col("user_id") < 40)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val d18 = DecimalType(18, 0)
+        // microsecond resolution on both sides: DuckDB reads the nanos
+        // parquet timestamp at micro precision, so the shared exact
+        // domain is floor(ns/1000)
+        val tUs = expr("ts div 1000")
+        val dt = (lead(tUs, 1).over(w) - tUs).cast(d18)
+        val vScaled = floor(col("value") * 1e6).cast(d18)
+        ev.withColumn("__dt", dt)
+          .filter(col("__dt").isNotNull)
+          .withColumn("__wv", col("__dt") * vScaled)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("__dt")).cast(DecimalType(38, 0)).as("__sdt"),
+            sum(col("__wv")).cast(DecimalType(38, 0)).as("__swv"))
+          .select(col("user_id"), col("n_intervals"),
+            col("__sdt").cast("long").as("span_us"),
+            round(col("__swv").cast(DoubleType) /
+              col("__sdt").cast(DoubleType) / 1e6, 8).as("twa"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+             |     value
+             |   FROM events WHERE user_id < 40),
+             | i AS (SELECT user_id,
+             |     lead(t) OVER (PARTITION BY user_id
+             |       ORDER BY t, event_id) - t AS dt,
+             |     CAST(FLOOR(value * 1e6) AS BIGINT) AS vs
+             |   FROM e),
+             | g AS (SELECT user_id, COUNT(*) AS n_intervals,
+             |     SUM(CAST(dt AS HUGEINT)) AS sdt,
+             |     SUM(CAST(dt AS HUGEINT) * CAST(vs AS HUGEINT)) AS swv
+             |   FROM i WHERE dt IS NOT NULL GROUP BY user_id)
+             | SELECT user_id, n_intervals,
+             |   CAST(sdt AS BIGINT) AS span_us,
+             |   ROUND(CAST(swv AS DOUBLE) / CAST(sdt AS DOUBLE) / 1e6, 8)
+             |     AS twa
+             | FROM g ORDER BY user_id""".stripMargin),
+      "time-weighted average per user: exact decimal interval-weighted " +
+        "sums over irregular samples, one division at the end"),
+
     "q_robust_scale" -> QueryDef(
       (s, dir) => {
         // robust scaling (median/MAD normalization — the outlier-proof

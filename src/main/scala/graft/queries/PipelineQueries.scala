@@ -10,10 +10,13 @@ import graft.functions.UnicodeNorm
 import graft.graph.PageRank
 import graft.text.Compressibility
 
-/** Corpus-hygiene operators a pretraining pipeline runs before/around
-  * curation: Unicode normalization, HTML boilerplate stripping,
-  * sentence-level exact dedup with document reassembly, the
-  * deterministic global shuffle, and partition-skew profiling.
+/** Corpus-hygiene, layout, and schedule operators a pretraining
+  * pipeline runs before/around curation: Unicode normalization, HTML
+  * boilerplate stripping, sentence-level exact dedup with document
+  * reassembly, deterministic global/per-epoch shuffles, partition-skew
+  * profiling, the Gopher rule battery, feature hashing, compression
+  * scoring, Z-order layout keys, link-graph PageRank, group-aware
+  * splits, and WordPiece tokenization.
   *
   * Extends the reference's preprocess surface (preprocess.py:60-90 is
   * column-level cleaning; these are the text/layout-level analogues a
