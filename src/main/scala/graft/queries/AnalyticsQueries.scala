@@ -352,6 +352,58 @@ object AnalyticsQueries extends QueryModule {
       "Tukey-fence outlier profile: exact quartiles -> broadcast " +
         "fences -> integer outlier counts per group"),
 
+    "q_moving_window" -> QueryDef(
+      (s, dir) => {
+        // bounded sliding-window aggregates (ROWS BETWEEN k PRECEDING):
+        // per-supplier trailing-4 moving sum/min/max over the shipment
+        // sequence — the frame every monitoring pipeline runs.
+        // Partitioned window (parallelism = |suppliers|, state = k
+        // rows); sums stay in exact decimals and cast once. Ties in
+        // the order are broken by the full key so the frame contents
+        // are deterministic.
+        val li = T(s, dir, "lineitem").filter(col("l_suppkey") < 5)
+        val ord = Seq(col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(ord: _*)
+          .rowsBetween(-3, 0)
+        li.select(col("l_suppkey"), col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+          .withColumn("mov_sum_qty",
+            sum(col("l_quantity").cast(DecimalType(18, 2))).over(w)
+              .cast(DoubleType))
+          .withColumn("mov_min_qty", min(col("l_quantity")).over(w))
+          .withColumn("mov_max_qty", max(col("l_quantity")).over(w))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("l_suppkey")).orderBy(ord: _*))
+            .cast("long"))
+          .filter(col("rn") <= 50)
+          .drop("l_shipdate")
+          .orderBy(col("l_suppkey"), col("rn"))
+      },
+      Some("""WITH b AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+             |     l_quantity, l_shipdate
+             |   FROM lineitem WHERE l_suppkey < 5),
+             | m AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+             |     l_quantity,
+             |     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w
+             |       AS DOUBLE) AS mov_sum_qty,
+             |     MIN(l_quantity) OVER w AS mov_min_qty,
+             |     MAX(l_quantity) OVER w AS mov_max_qty,
+             |     CAST(row_number() OVER (PARTITION BY l_suppkey
+             |       ORDER BY l_shipdate, l_orderkey, l_linenumber,
+             |         l_quantity) AS BIGINT) AS rn
+             |   FROM b
+             |   WINDOW w AS (PARTITION BY l_suppkey
+             |     ORDER BY l_shipdate, l_orderkey, l_linenumber,
+             |       l_quantity
+             |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+             | SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+             |   mov_sum_qty, mov_min_qty, mov_max_qty, rn
+             | FROM m WHERE rn <= 50 ORDER BY l_suppkey, rn""".stripMargin),
+      "trailing-k sliding window (sum/min/max over ROWS 3 PRECEDING) " +
+        "per supplier, deterministic frame order"),
+
     "q_time_weighted_avg" -> QueryDef(
       (s, dir) => {
         // time-weighted average of a sampled metric per user (the
