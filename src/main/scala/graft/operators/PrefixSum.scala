@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed exact prefix sum (running total) over a globally ordered
+  * long-valued column.
+  *
+  * Spark's window functions compute a global running total only under an
+  * un-partitioned `Window.orderBy(...)`, which funnels the entire input
+  * through ONE task — a non-starter at 100 TB. This operator is the
+  * scalable form, the classic two-phase scan:
+  *
+  *   1. range-partition by the order key and sort within partitions
+  *      (each of the P partitions holds a contiguous key range);
+  *   2. pass A: reduce each partition to its local sum — P longs to the
+  *      driver (P ≈ thousands, so this collect is O(KB), the same
+  *      driver-side footprint as Spark's own RangePartitioner sample);
+  *   3. exclusive-scan those P totals on the driver, broadcast the
+  *      offsets;
+  *   4. pass B: each partition streams its rows once more, adding its
+  *      broadcast base offset to a local accumulator.
+  *
+  * Both passes read the same persisted (MEMORY_AND_DISK) sorted RDD, so
+  * the range partitioning is computed once; if an executor drops a block
+  * the lineage recomputes with the SAME partitioner instance, so the
+  * offsets stay valid. All arithmetic is Long — exact, associative,
+  * partitioning-independent — which is what lets a prefix-sum result be
+  * oracle-gated at all.
+  *
+  * Used by the interval max-concurrency sweep (q_max_concurrency), where
+  * the input has already been aggregated to one net delta per distinct
+  * timestamp, so N here is |distinct boundary instants|, not |events|.
+  */
+object PrefixSum {
+
+  /** Running total of `valueCol` (long) ordered by `orderCol` (long,
+    * globally unique — e.g. a distinct timestamp). Returns
+    * (orderCol, valueCol, runName) with the INCLUSIVE prefix sum.
+    */
+  def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
+      runName: String = "running"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .select(col(orderCol).cast(LongType).as("__k"),
+        col(valueCol).cast(LongType).as("__v"))
+      .repartitionByRange(col("__k"))
+      .sortWithinPartitions(col("__k"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rdd = sorted.rdd
+    // pass A: per-partition totals (tiny collect, see scaladoc)
+    val totals = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L
+        it.foreach(s += _.getLong(1))
+        Iterator.single((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _) // exclusive scan
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass B: stream each partition once, seeded with its base offset
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = bc.value(i)
+      it.map { r =>
+        acc += r.getLong(1)
+        Row(r.getLong(0), r.getLong(1), acc)
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+        StructField(orderCol, LongType, nullable = false),
+        StructField(valueCol, LongType, nullable = false),
+        StructField(runName, LongType, nullable = false))))
+  }
+}

@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, DoubleType}
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import graft.operators.PrefixSum
+
+/** Behavioral / event-stream analytics over the `events` table: ordered
+  * funnel conversion, weekly cohort retention, interval max-concurrency
+  * (via the distributed two-phase prefix-sum scan), Markov event
+  * transitions, and an SCD type-2 history build over `orders`.
+  *
+  * These extend the reference's batch-analytics surface (the notebook's
+  * per-class histograms and time slicing, network-traffic-analysis.ipynb
+  * cells 36-43) with the product-analytics operators a telemetry or
+  * training-data pipeline runs over event logs. Scale themes:
+  *
+  *   - everything per-user runs under a `Window.partitionBy(user_id)` —
+  *     parallelism = |users|, state = one user's events, no global sort;
+  *   - the only genuinely global ordered computation (the concurrency
+  *     sweep) goes through [[graft.operators.PrefixSum]], the two-phase
+  *     scan, instead of a single-partition global window;
+  *   - all time arithmetic is integral nanoseconds (`ts` is a long via
+  *     nanosAsLong), so every intermediate is exact and
+  *     partitioning-independent — the QueryDef determinism contract.
+  */
+object BehaviorQueries extends QueryModule {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** 30-minute session gap in integral microseconds. */
+  private val GapUs = 30L * 60 * 1000000L
+
+  /** Nanoseconds per epoch-anchored week. */
+  private val WeekNs = 7L * 86400 * 1000000000L
+
+  /** Gap-sessionized intervals, end-exclusive:
+    * (user_id, __sess, s0 = min tu, e0 = max tu + 1), with `tu` the event
+    * timestamp truncated to integral MICROseconds. The truncation is the
+    * cross-engine precision contract: DuckDB's TIMESTAMP is µs-resolution
+    * (its epoch_ns() returns µs*1000 for these parquet files), so any
+    * query that EXPOSES an instant must not carry sub-µs digits. `ts div
+    * 1000` on the Spark side and `epoch_ns(ts) // 1000` on the oracle
+    * side truncate to the same integer. Same lag+cumsum construction as
+    * q_sessionize_batch (EtlQueries), factored here for the interval
+    * consumers.
+    */
+  private def sessionIntervals(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tu"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    ev.select(col("user_id"), expr("ts div 1000").as("tu"), col("event_id"))
+      .withColumn("__new",
+        when(lag(col("tu"), 1).over(byUser).isNull ||
+          col("tu") - lag(col("tu"), 1).over(byUser) > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(running))
+      .groupBy(col("user_id"), col("__sess"))
+      .agg(min(col("tu")).as("s0"), (max(col("tu")) + 1).as("e0"))
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    "q_funnel_conversion" -> QueryDef(
+      (s, dir) => {
+        // ordered funnel view -> click -> purchase with STEPWISE
+        // semantics: a user converts a step only with an event strictly
+        // after their previous step's first qualifying event (min-ts
+        // chaining, not independent mins — the independent-min funnel
+        // overcounts users whose only click precedes their first view).
+        // Three keyed aggregations + two user_id equi-joins, all
+        // co-partitioned on user_id — no global ordering anywhere.
+        val ev = T(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("v_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("c_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+        ev.agg(countDistinct(col("user_id")).as("n_users"))
+          .crossJoin(v.agg(count(lit(1)).as("n_view")))
+          .crossJoin(c.agg(count(lit(1)).as("n_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+          .select(col("n_users"), col("n_view"), col("n_click"),
+            col("n_purchase"),
+            round(col("n_click").cast(DoubleType) / col("n_view"), 6)
+              .as("view_to_click"),
+            round(col("n_purchase").cast(DoubleType) / col("n_click"), 6)
+              .as("click_to_purchase"))
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(epoch_ns(ts)) AS v_ts
+             |   FROM events WHERE event_type = 'view' GROUP BY user_id),
+             | c AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS c_ts
+             |   FROM events e JOIN v ON e.user_id = v.user_id
+             |   WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.v_ts
+             |   GROUP BY e.user_id),
+             | p AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS p_ts
+             |   FROM events e JOIN c ON e.user_id = c.user_id
+             |   WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.c_ts
+             |   GROUP BY e.user_id)
+             | SELECT
+             |   (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+             |   (SELECT COUNT(*) FROM v) AS n_view,
+             |   (SELECT COUNT(*) FROM c) AS n_click,
+             |   (SELECT COUNT(*) FROM p) AS n_purchase,
+             |   ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+             |     / (SELECT COUNT(*) FROM v), 6) AS view_to_click,
+             |   ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             |     / (SELECT COUNT(*) FROM c), 6) AS click_to_purchase"""
+        .stripMargin),
+      "ordered funnel (view->click->purchase), stepwise min-ts chaining"),
+
+    "q_cohort_retention" -> QueryDef(
+      (s, dir) => {
+        // weekly cohort retention matrix: cohort = a user's first active
+        // epoch-week; one row per (cohort, week offset) with distinct
+        // active users and the retention fraction. Week index is integral
+        // ns `div` — exact, tz-free. Two keyed aggs + one join; the
+        // (user, week) dedup is the only wide op over raw events.
+        val uw = T(s, dir, "events")
+          .select(col("user_id"), expr(s"ts div ${WeekNs}L").as("w"))
+          .distinct()
+        val cohort = uw.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+        val sizes = cohort.groupBy(col("cw"))
+          .agg(count(lit(1)).as("cohort_size"))
+        uw.join(cohort, "user_id")
+          .groupBy(col("cw"), (col("w") - col("cw")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(sizes, "cw")
+          .select(col("cw").as("cohort_week"), col("cohort_size"),
+            col("week_offset"), col("n_active"),
+            round(col("n_active").cast(DoubleType) / col("cohort_size"), 6)
+              .as("retention"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+             |     epoch_ns(ts) // 604800000000000 AS w FROM events),
+             | cohort AS (SELECT user_id, MIN(w) AS cw FROM uw
+             |   GROUP BY user_id),
+             | sizes AS (SELECT cw, COUNT(*) AS cohort_size FROM cohort
+             |   GROUP BY cw),
+             | act AS (SELECT c.cw, uw.w - c.cw AS week_offset,
+             |     COUNT(DISTINCT uw.user_id) AS n_active
+             |   FROM uw JOIN cohort c ON uw.user_id = c.user_id
+             |   GROUP BY c.cw, uw.w - c.cw)
+             | SELECT a.cw AS cohort_week, s.cohort_size, a.week_offset,
+             |   a.n_active,
+             |   ROUND(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6)
+             |     AS retention
+             | FROM act a JOIN sizes s ON a.cw = s.cw
+             | ORDER BY cohort_week, week_offset""".stripMargin),
+      "weekly cohort retention matrix (first-active-week cohorts)"),
+
+    "q_max_concurrency" -> QueryDef(
+      (s, dir) => {
+        // interval max-concurrency sweep: sessionize -> end-exclusive
+        // intervals -> +1/-1 boundary deltas -> net delta per distinct
+        // instant -> GLOBAL running sum -> max + earliest instant
+        // achieving it. The running sum is the scale crux: a plain
+        // Window.orderBy(t) serializes onto one task, so it runs through
+        // PrefixSum.runningTotal (range-partition + two-phase scan; see
+        // that scaladoc). Input to the scan is |distinct boundary
+        // instants| rows — already collapsed by the groupBy.
+        val iv = sessionIntervals(T(s, dir, "events"))
+        val nets = iv.select(col("s0").as("t"), lit(1L).as("d"))
+          .unionByName(iv.select(col("e0").as("t"), lit(-1L).as("d")))
+          .groupBy(col("t")).agg(sum(col("d")).as("net"))
+        val run = PrefixSum.runningTotal(nets, "t", "net", "conc")
+        val mx = run.agg(max(col("conc")).as("max_concurrency"))
+        iv.agg(count(lit(1)).as("n_sessions"))
+          .crossJoin(mx)
+          .crossJoin(run.join(mx, col("conc") === col("max_concurrency"))
+            .agg(min(col("t")).as("at_t")))
+      },
+      Some("""WITH m AS (SELECT user_id, epoch_ns(ts) // 1000 AS tu,
+             |     event_id,
+             |   CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL
+             |     OR epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000)
+             |        OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+             |   FROM events
+             |   WINDOW w AS (PARTITION BY user_id
+             |     ORDER BY epoch_ns(ts) // 1000, event_id)),
+             | s AS (SELECT user_id, tu,
+             |   SUM(new_sess) OVER (PARTITION BY user_id
+             |     ORDER BY tu, event_id
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |     AS sess FROM m),
+             | iv AS (SELECT user_id, sess, MIN(tu) AS s0,
+             |     MAX(tu) + 1 AS e0
+             |   FROM s GROUP BY user_id, sess),
+             | b AS (SELECT s0 AS t, 1 AS d FROM iv
+             |   UNION ALL SELECT e0, -1 FROM iv),
+             | n AS (SELECT t, CAST(SUM(d) AS BIGINT) AS net FROM b
+             |   GROUP BY t),
+             | r AS (SELECT t, CAST(SUM(net) OVER (ORDER BY t
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |     AS BIGINT) AS conc FROM n)
+             | SELECT (SELECT COUNT(*) FROM iv) AS n_sessions,
+             |   (SELECT MAX(conc) FROM r) AS max_concurrency,
+             |   (SELECT MIN(t) FROM r
+             |     WHERE conc = (SELECT MAX(conc) FROM r)) AS at_t"""
+        .stripMargin),
+      "interval max-concurrency sweep via distributed two-phase " +
+        "prefix-sum scan (PrefixSum.runningTotal)"),
+
+    "q_event_transitions" -> QueryDef(
+      (s, dir) => {
+        // Markov transition matrix over event types: lead() within each
+        // user's ts-ordered stream, pair counts, and the per-source
+        // transition probability (exact counts, divided once, rounded
+        // once). Per-user window + two keyed aggs — parallelism = |users|
+        // then |type pairs|.
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = T(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy(col("from_type"))
+          .agg(sum(col("n")).as("__tot"))
+        pairs.join(totals, "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            round(col("n").cast(DoubleType) / col("__tot"), 6).as("p"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH nx AS (SELECT event_type AS from_type,
+             |     lead(event_type) OVER (PARTITION BY user_id
+             |       ORDER BY epoch_ns(ts), event_id) AS to_type
+             |   FROM events),
+             | pairs AS (SELECT from_type, to_type, COUNT(*) AS n
+             |   FROM nx WHERE to_type IS NOT NULL
+             |   GROUP BY from_type, to_type),
+             | tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS t
+             |   FROM pairs GROUP BY from_type)
+             | SELECT p.from_type, p.to_type, p.n,
+             |   ROUND(CAST(p.n AS DOUBLE) / tot.t, 6) AS p
+             | FROM pairs p JOIN tot ON p.from_type = tot.from_type
+             | ORDER BY p.from_type, p.to_type""".stripMargin),
+      "Markov event-transition matrix: lead() pairs + per-source " +
+        "probabilities"),
+
+    "q_scd2_history" -> QueryDef(
+      (s, dir) => {
+        // SCD type-2 dimension build: collapse each customer's
+        // date-ordered order-status observations into validity intervals
+        // [valid_from, valid_to) — change detection via lag, interval id
+        // via cumsum, valid_to via lead over the collapsed intervals,
+        // NULL valid_to marking the current version. The canonical
+        // warehouse history-build; every window is partitioned by
+        // custkey, so state is one customer's rows.
+        val byCust = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val versioned = T(s, dir, "orders")
+          .filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            col("o_orderstatus"))
+          .withColumn("__chg",
+            when(lag(col("o_orderstatus"), 1).over(byCust).isNull ||
+              lag(col("o_orderstatus"), 1).over(byCust) =!=
+                col("o_orderstatus"), 1L)
+              .otherwise(0L))
+          .withColumn("version", sum(col("__chg"))
+            .over(byCust.rowsBetween(Window.unboundedPreceding, 0)))
+        val iv = versioned
+          .groupBy(col("o_custkey"), col("version"))
+          .agg(max(col("o_orderstatus")).as("status"),
+            min(col("o_orderdate")).cast(DateType).as("valid_from"),
+            count(lit(1)).as("n_orders"))
+        val byVer = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("version"))
+        iv.withColumn("valid_to", lead(col("valid_from"), 1).over(byVer))
+          .select(col("o_custkey"), col("version"), col("status"),
+            col("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"), col("n_orders"))
+          .orderBy(col("o_custkey"), col("version"))
+      },
+      Some("""WITH obs AS (SELECT o_custkey, o_orderdate, o_orderkey,
+             |     o_orderstatus,
+             |     CASE WHEN lag(o_orderstatus) OVER w IS NULL
+             |       OR lag(o_orderstatus) OVER w <> o_orderstatus
+             |       THEN 1 ELSE 0 END AS chg
+             |   FROM orders WHERE o_custkey < 100
+             |   WINDOW w AS (PARTITION BY o_custkey
+             |     ORDER BY o_orderdate, o_orderkey)),
+             | ver AS (SELECT o_custkey, o_orderstatus, o_orderdate,
+             |   SUM(chg) OVER (PARTITION BY o_custkey
+             |     ORDER BY o_orderdate, o_orderkey
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |     AS version FROM obs),
+             | iv AS (SELECT o_custkey, CAST(version AS BIGINT) AS version,
+             |     MAX(o_orderstatus) AS status,
+             |     CAST(MIN(o_orderdate) AS DATE) AS valid_from,
+             |     COUNT(*) AS n_orders
+             |   FROM ver GROUP BY o_custkey, version)
+             | SELECT o_custkey, version, status, valid_from,
+             |   lead(valid_from) OVER (PARTITION BY o_custkey
+             |     ORDER BY version) AS valid_to,
+             |   lead(valid_from) OVER (PARTITION BY o_custkey
+             |     ORDER BY version) IS NULL AS is_current,
+             |   n_orders
+             | FROM iv ORDER BY o_custkey, version""".stripMargin),
+      "SCD type-2 history build: lag-change detection, cumsum versions, " +
+        "lead valid_to intervals"))
+}
