@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, QueryDef, QueryModule, Tables}
 import graft.etl.Preprocess
 import graft.queries.{AnalyticsQueries, BehaviorQueries, CorpusQueries,
-  EtlQueries, LlmQueries, MlQueries, PipelineQueries, TpchQueries}
+  EtlQueries, LlmQueries, MiningQueries, MlQueries, PipelineQueries,
+  TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +21,7 @@ object SparkEntry {
     */
   def modules: Seq[QueryModule] =
     Seq(EtlQueries, MlQueries, LlmQueries, TpchQueries, CorpusQueries,
-      AnalyticsQueries, PipelineQueries, BehaviorQueries)
+      AnalyticsQueries, PipelineQueries, BehaviorQueries, MiningQueries)
 
   lazy val registry: Map[String, QueryDef] =
     modules.flatMap(_.defs).toMap

@@ -1,0 +1,388 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.core.{QueryDef, QueryModule, Tables}
+
+/** Pattern-mining and distribution-profiling operators: market-basket
+  * lift, co-occurrence-graph triangle counting, RAG-style document
+  * chunking, KL divergence between corpus shards, categorical entropy
+  * profiling, and RFM customer segmentation.
+  *
+  * These generalize the reference's profiling surface (value_counts /
+  * per-class histograms, network-traffic-analysis.ipynb cells 36-43)
+  * to the co-occurrence and distribution-shift questions a large corpus
+  * pipeline asks. Scale themes:
+  *
+  *   - pair generation is always WITHIN a bounded group (an order's
+  *     basket), so the self-join explodes O(k^2) per basket, never
+  *     O(n^2) globally; the pair stream then reduces by key;
+  *   - every floating score is a fixed-point long computed from exact
+  *     integer counts with an identical expression shape on both
+  *     engines (floor(scale * f(exact ints))), then summed as integers
+  *     — summation order cannot perturb the result;
+  *   - thresholds (lift support, edge weight) prune BEFORE the
+  *     expensive downstream joins, the same order a planner would want
+  *     at 100 TB.
+  */
+object MiningQueries extends QueryModule {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Distinct (orderkey, itemkey) basket membership — the dedup makes
+    * pair counts set-semantics (a part listed twice in one order counts
+    * once), matching classic market-basket support.
+    */
+  private def baskets(li: DataFrame, itemCol: String): DataFrame =
+    li.select(col("l_orderkey"), col(itemCol).as("item")).distinct()
+
+  /** Oriented co-occurrence pairs (a < b) within each basket with their
+    * co-occurrence count. The self-join key is the basket id, so the
+    * shuffle is one hash partition by orderkey and the blow-up is
+    * bounded by max basket size squared (TPC-H: 7). At 100 TB a
+    * mega-basket guard (cap items per basket or salt the key) bounds
+    * the worst case.
+    */
+  private def coPairs(b: DataFrame): DataFrame = {
+    val l = b.select(col("l_orderkey"), col("item").as("pa"))
+    val r = b.select(col("l_orderkey"), col("item").as("pb"))
+    l.join(r, Seq("l_orderkey")).filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cab"))
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    "q_market_basket" -> QueryDef(
+      (s, dir) => {
+        // market-basket lift mining: top-20 part pairs by
+        // lift = P(a,b)/(P(a)P(b)), support-pruned (cab >= 3), as the
+        // fixed-point floor(1e6 * ln(N*cab/(ca*cb))) of an exact
+        // integer ratio. Per-item counts broadcast onto the pruned
+        // pair stream; the pair stream itself never re-shuffles after
+        // its one reduce.
+        val b = baskets(T(s, dir, "lineitem"), "l_partkey")
+        val n = b.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val items = b.groupBy(col("item")).agg(count(lit(1)).as("c1"))
+        val pairs = coPairs(b).filter(col("cab") >= 3)
+        pairs
+          .join(broadcast(items.select(col("item").as("pa"),
+            col("c1").as("ca"))), Seq("pa"))
+          .join(broadcast(items.select(col("item").as("pb"),
+            col("c1").as("cb"))), Seq("pb"))
+          .crossJoin(broadcast(n))
+          .withColumn("lift_scaled",
+            floor(lit(1e6) * log(
+              (col("n_orders") * col("cab")).cast(DoubleType) /
+                (col("ca") * col("cb")))).cast(LongType))
+          .select(col("pa"), col("pb"), col("cab"), col("ca"), col("cb"),
+            col("lift_scaled"))
+          .orderBy(col("lift_scaled").desc, col("pa"), col("pb"))
+          .limit(20)
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey AS item
+             |   FROM lineitem),
+             | n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+             | items AS (SELECT item, COUNT(*) AS c1 FROM b GROUP BY item),
+             | pairs AS (SELECT a.item AS pa, b2.item AS pb,
+             |     COUNT(*) AS cab
+             |   FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+             |     AND a.item < b2.item
+             |   GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+             | SELECT p.pa, p.pb, p.cab, la.c1 AS ca, rb.c1 AS cb,
+             |   CAST(FLOOR(1e6 * ln(CAST(n.n_orders * p.cab AS DOUBLE)
+             |     / (la.c1 * rb.c1))) AS BIGINT) AS lift_scaled
+             | FROM pairs p
+             |   JOIN items la ON p.pa = la.item
+             |   JOIN items rb ON p.pb = rb.item
+             |   CROSS JOIN n
+             | ORDER BY lift_scaled DESC, pa, pb LIMIT 20""".stripMargin),
+      "market-basket lift mining: support-pruned part pairs, " +
+        "fixed-point ln lift, top-20"),
+
+    "q_triangle_count" -> QueryDef(
+      (s, dir) => {
+        // triangle counting on the part co-occurrence graph (edge =
+        // two parts bought together in >= 2 orders): the standard
+        // oriented-edge algorithm — edges stored once as (a < b),
+        // wedges from e1(a,b) x e2(b,c), closed by an equi-join back
+        // onto edges on (a,c). Two shuffle joins total, no global
+        // structure. At 100 TB the orientation should be by DEGREE
+        // (low-degree endpoint first), which bounds the wedge blow-up
+        // at high-degree hubs; key-orientation is enough at this
+        // density. Also reports the global clustering coefficient
+        // 3*triangles/wedges — wedge count from exact per-node
+        // degrees, divided once, rounded once.
+        val e = coPairs(baskets(T(s, dir, "lineitem"), "l_partkey"))
+          .filter(col("cab") >= 2)
+          .select(col("pa"), col("pb"))
+        val nEdges = e.agg(count(lit(1)).as("n_edges"))
+        val nodes = e.select(col("pa").as("v"))
+          .unionByName(e.select(col("pb").as("v")))
+        val deg = nodes.groupBy(col("v")).agg(count(lit(1)).as("d"))
+        val nNodes = deg.agg(count(lit(1)).as("n_nodes"),
+          sum(col("d") * (col("d") - 1) / 2).cast(LongType).as("wedges"))
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.pb") === col("e2.pa"))
+          .select(col("e1.pa").as("a"), col("e2.pb").as("c"))
+          .join(e.select(col("pa").as("a"), col("pb").as("c")),
+            Seq("a", "c"))
+          .agg(count(lit(1)).as("n_triangles"))
+        broadcast(nNodes).crossJoin(broadcast(nEdges))
+          .crossJoin(broadcast(tri))
+          .select(col("n_nodes"), col("n_edges"), col("wedges"),
+            col("n_triangles"),
+            round(lit(3) * col("n_triangles").cast(DoubleType) /
+              col("wedges"), 6).as("clustering_coeff"))
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey AS item
+             |   FROM lineitem),
+             | e AS (SELECT pa, pb FROM (
+             |     SELECT a.item AS pa, b2.item AS pb, COUNT(*) AS cab
+             |     FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+             |       AND a.item < b2.item
+             |     GROUP BY 1, 2) t WHERE cab >= 2),
+             | deg AS (SELECT v, COUNT(*) AS d FROM (
+             |     SELECT pa AS v FROM e UNION ALL SELECT pb FROM e) u
+             |   GROUP BY v),
+             | nn AS (SELECT COUNT(*) AS n_nodes,
+             |     CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wedges
+             |   FROM deg),
+             | ne AS (SELECT COUNT(*) AS n_edges FROM e),
+             | tr AS (SELECT COUNT(*) AS n_triangles
+             |   FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+             |     JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+             | SELECT nn.n_nodes, ne.n_edges, nn.wedges, tr.n_triangles,
+             |   ROUND(3 * CAST(tr.n_triangles AS DOUBLE) / nn.wedges, 6)
+             |     AS clustering_coeff
+             | FROM nn CROSS JOIN ne CROSS JOIN tr""".stripMargin),
+      "triangle count + clustering coefficient on the part " +
+        "co-occurrence graph (oriented-edge two-join algorithm)"),
+
+    "q_doc_chunking" -> QueryDef(
+      (s, dir) => {
+        // RAG-style overlapping chunking: 50-token windows, stride 40
+        // (10-token overlap), per document. Chunk starts come from an
+        // in-plan sequence() + posexplode — a pure map-side explode,
+        // no shuffle at all; the digest keeps the gate row narrow
+        // while still pinning every chunk's exact text. The filter
+        // prunes BEFORE tokenization so the scan only reads the gated
+        // docs' text.
+        val d = T(s, dir, "documents").filter(col("doc_id") < 40)
+          .select(col("doc_id"),
+            split(trim(col("text")), "\\s+").as("toks"))
+          .withColumn("nt", size(col("toks")))
+          .filter(col("nt") >= 1)
+        d.select(col("doc_id"), col("nt"), col("toks"),
+            posexplode(sequence(lit(0), col("nt") - 1, lit(40)))
+              .as(Seq("chunk_id", "start")))
+          .select(col("doc_id"), col("chunk_id"), col("start"),
+            least(lit(50), col("nt") - col("start")).as("chunk_len"),
+            md5(concat_ws(" ",
+              slice(col("toks"), col("start") + 1, lit(50))))
+              .as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |     regexp_split_to_array(trim(text), '\s+') AS toks
+             |   FROM documents WHERE doc_id < 40),
+             | n AS (SELECT doc_id, toks, len(toks) AS nt FROM d
+             |   WHERE len(toks) >= 1),
+             | st AS (SELECT doc_id, toks, nt,
+             |     generate_subscripts(
+             |       generate_series(0, nt - 1, 40), 1) - 1 AS chunk_id,
+             |     unnest(generate_series(0, nt - 1, 40)) AS start
+             |   FROM n)
+             | SELECT doc_id, chunk_id, start,
+             |   LEAST(50, nt - start) AS chunk_len,
+             |   md5(array_to_string(
+             |     list_slice(toks, start + 1, start + 50), ' '))
+             |     AS chunk_md5
+             | FROM st ORDER BY doc_id, chunk_id""".stripMargin),
+      "RAG-style overlapping document chunking (50-token windows, " +
+        "stride 40), map-only explode, per-chunk digest"),
+
+    "q_kl_shards" -> QueryDef(
+      (s, dir) => {
+        // distribution shift between corpus shards: symmetric pair of
+        // KL divergences between the unigram distributions of the
+        // even-doc_id and odd-doc_id shards, add-1 smoothed over the
+        // union vocabulary. Each token's term is fixed-pointed
+        // (floor(1e12 * p * ln(ratio-of-exact-ints))) and the terms
+        // sum as LONGS — so the reduction is order-independent and
+        // engine-exact. One token-count agg per shard (partial+final),
+        // one full-outer join on token, one integer reduce. NOTE: the
+        // ln argument multiplies two counts (fits comfortably in long
+        // here); at 100-TB counts split it as a difference of two
+        // fixed-point logs instead.
+        val toks = T(s, dir, "documents")
+          .select((col("doc_id") % 2 === 0).as("even"),
+            explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        val a = toks.filter(col("even")).groupBy(col("tok"))
+          .agg(count(lit(1)).as("ca"))
+        val b = toks.filter(!col("even")).groupBy(col("tok"))
+          .agg(count(lit(1)).as("cb"))
+        val joined = a.join(b, Seq("tok"), "full_outer")
+          .select(coalesce(col("ca"), lit(0L)).as("ca"),
+            coalesce(col("cb"), lit(0L)).as("cb"))
+        val tot = joined.agg(count(lit(1)).as("v"), sum(col("ca")).as("na"),
+          sum(col("cb")).as("nb"))
+        def klTerm(cx: String, nx: String, cy: String, ny: String) =
+          floor(lit(1e12) *
+            ((col(cx) + 1).cast(DoubleType) / (col(nx) + col("v"))) *
+            log(((col(cx) + 1) * (col(ny) + col("v"))).cast(DoubleType) /
+              ((col(cy) + 1) * (col(nx) + col("v"))).cast(DoubleType)))
+            .cast(LongType)
+        joined.crossJoin(broadcast(tot))
+          .select(col("v"), col("na"), col("nb"),
+            klTerm("ca", "na", "cb", "nb").as("tab"),
+            klTerm("cb", "nb", "ca", "na").as("tba"))
+          .groupBy(col("v"), col("na"), col("nb"))
+          .agg(sum(col("tab")).as("kl_ab_scaled"),
+            sum(col("tba")).as("kl_ba_scaled"))
+      },
+      Some("""WITH toks AS (SELECT doc_id % 2 = 0 AS even,
+             |     unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+             |       AS tok
+             |   FROM documents),
+             | a AS (SELECT tok, COUNT(*) AS ca FROM toks WHERE even
+             |   GROUP BY tok),
+             | b AS (SELECT tok, COUNT(*) AS cb FROM toks WHERE NOT even
+             |   GROUP BY tok),
+             | j AS (SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+             |   FROM a FULL OUTER JOIN b USING (tok)),
+             | t AS (SELECT COUNT(*) AS v, CAST(SUM(ca) AS BIGINT) AS na,
+             |     CAST(SUM(cb) AS BIGINT) AS nb FROM j)
+             | SELECT t.v, t.na, t.nb,
+             |   CAST(SUM(CAST(FLOOR(1e12
+             |     * (CAST(ca + 1 AS DOUBLE) / (na + v))
+             |     * ln(CAST((ca + 1) * (nb + v) AS DOUBLE)
+             |          / CAST((cb + 1) * (na + v) AS DOUBLE)))
+             |     AS BIGINT)) AS BIGINT) AS kl_ab_scaled,
+             |   CAST(SUM(CAST(FLOOR(1e12
+             |     * (CAST(cb + 1 AS DOUBLE) / (nb + v))
+             |     * ln(CAST((cb + 1) * (na + v) AS DOUBLE)
+             |          / CAST((ca + 1) * (nb + v) AS DOUBLE)))
+             |     AS BIGINT)) AS BIGINT) AS kl_ba_scaled
+             | FROM j CROSS JOIN t
+             | GROUP BY t.v, t.na, t.nb""".stripMargin),
+      "KL divergence (both directions) between even/odd corpus shards: " +
+        "add-1 smoothed unigrams, fixed-point terms, integer reduce"),
+
+    "q_entropy_profile" -> QueryDef(
+      (s, dir) => {
+        // Shannon entropy per categorical column (data-profiling /
+        // feature-selection primitive): H = sum over categories of
+        // -(c/N) ln(c/N), fixed-pointed per category as
+        // floor(1e9 * (c/N) * ln(N/c)) and integer-summed. One
+        // partial+final count agg per column; the three columns union
+        // AFTER their (tiny) per-category aggregates, so each scan
+        // reads exactly one column.
+        def colEntropy(df: DataFrame, c: String): DataFrame = {
+          val counts = df.select(col(c).cast("string").as("val"))
+            .groupBy(col("val")).agg(count(lit(1)).as("cnt"))
+          counts.crossJoin(
+              broadcast(counts.agg(sum(col("cnt")).as("n"))))
+            .select(lit(c).as("col_name"), col("cnt"), col("n"),
+              floor(lit(1e9) * (col("cnt").cast(DoubleType) / col("n")) *
+                log(col("n").cast(DoubleType) / col("cnt")))
+                .cast(LongType).as("term"))
+            .groupBy(col("col_name"))
+            .agg(count(lit(1)).as("n_categories"),
+              first(col("n")).as("n_rows"),
+              sum(col("term")).as("entropy_scaled"))
+        }
+        val li = T(s, dir, "lineitem")
+        colEntropy(li, "l_returnflag")
+          .unionByName(colEntropy(li, "l_linestatus"))
+          .unionByName(colEntropy(T(s, dir, "events"), "event_type"))
+          .orderBy(col("col_name"))
+      },
+      Some("""WITH src AS (
+             |   SELECT 'l_returnflag' AS col_name,
+             |     CAST(l_returnflag AS VARCHAR) AS val FROM lineitem
+             |   UNION ALL
+             |   SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR)
+             |     FROM lineitem
+             |   UNION ALL
+             |   SELECT 'event_type', CAST(event_type AS VARCHAR)
+             |     FROM events),
+             | c AS (SELECT col_name, val, COUNT(*) AS cnt FROM src
+             |   GROUP BY col_name, val),
+             | t AS (SELECT col_name, CAST(SUM(cnt) AS BIGINT) AS n
+             |   FROM c GROUP BY col_name)
+             | SELECT c.col_name, COUNT(*) AS n_categories,
+             |   ANY_VALUE(t.n) AS n_rows,
+             |   CAST(SUM(CAST(FLOOR(1e9 * (CAST(cnt AS DOUBLE) / t.n)
+             |     * ln(CAST(t.n AS DOUBLE) / cnt)) AS BIGINT)) AS BIGINT)
+             |     AS entropy_scaled
+             | FROM c JOIN t ON c.col_name = t.col_name
+             | GROUP BY c.col_name ORDER BY c.col_name""".stripMargin),
+      "Shannon entropy profile per categorical column: fixed-point " +
+        "per-category terms, integer-summed"),
+
+    "q_rfm_segmentation" -> QueryDef(
+      (s, dir) => {
+        // RFM customer segmentation: recency (days since epoch of last
+        // order), frequency (order count), monetary (exact cents) per
+        // customer; quartile thresholds via exact percentile over the
+        // integer metrics, BROADCAST back, and each customer scores
+        // 1-4 per dimension by integer comparison — no global ntile
+        // sort, which is the usual RFM scale trap. With g in {.25,.5,
+        // .75} over integer inputs the interpolated thresholds are
+        // exact in double on both engines, so the comparisons are
+        // deterministic. Output: per-segment customer counts + exact
+        // total monetary cents.
+        val rfm = T(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(datediff(max(col("o_orderdate")), lit("1970-01-01"))
+            .cast(LongType).as("rec"),
+            count(lit(1)).as("freq"),
+            sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast(LongType)).as("mon"))
+        val th = rfm.agg(
+          expr("percentile(rec, array(0.25, 0.5, 0.75))").as("tr"),
+          expr("percentile(freq, array(0.25, 0.5, 0.75))").as("tf"),
+          expr("percentile(mon, array(0.25, 0.5, 0.75))").as("tm"))
+        def score(c: String, t: String) =
+          (lit(1) + (col(c) > element_at(col(t), 1)).cast(LongType)
+            + (col(c) > element_at(col(t), 2)).cast(LongType)
+            + (col(c) > element_at(col(t), 3)).cast(LongType))
+        rfm.crossJoin(broadcast(th))
+          .select(concat(score("rec", "tr"), score("freq", "tf"),
+            score("mon", "tm")).as("segment"), col("mon"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("mon")).as("total_cents"))
+          .orderBy(col("segment"))
+      },
+      Some("""WITH rfm AS (SELECT o_custkey,
+             |     CAST(date_diff('day', DATE '1970-01-01',
+             |       CAST(MAX(o_orderdate) AS DATE)) AS BIGINT) AS rec,
+             |     COUNT(*) AS freq,
+             |     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |       AS BIGINT)) AS BIGINT) AS mon
+             |   FROM orders GROUP BY o_custkey),
+             | th AS (SELECT
+             |     quantile_cont(rec, [0.25, 0.5, 0.75]) AS tr,
+             |     quantile_cont(freq, [0.25, 0.5, 0.75]) AS tf,
+             |     quantile_cont(mon, [0.25, 0.5, 0.75]) AS tm FROM rfm)
+             | SELECT CAST(
+             |     (1 + CAST(rec > tr[1] AS INT) + CAST(rec > tr[2] AS INT)
+             |        + CAST(rec > tr[3] AS INT)) AS VARCHAR)
+             |   || CAST(
+             |     (1 + CAST(freq > tf[1] AS INT) + CAST(freq > tf[2] AS INT)
+             |        + CAST(freq > tf[3] AS INT)) AS VARCHAR)
+             |   || CAST(
+             |     (1 + CAST(mon > tm[1] AS INT) + CAST(mon > tm[2] AS INT)
+             |        + CAST(mon > tm[3] AS INT)) AS VARCHAR) AS segment,
+             |   COUNT(*) AS n_customers,
+             |   CAST(SUM(mon) AS BIGINT) AS total_cents
+             | FROM rfm CROSS JOIN th
+             | GROUP BY 1 ORDER BY segment""".stripMargin),
+      "RFM segmentation: exact-percentile quartile thresholds " +
+        "broadcast, integer-comparison scores, per-segment rollup"))
+}
