@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, QueryDef, QueryModule, Tables}
 import graft.etl.Preprocess
 import graft.queries.{AnalyticsQueries, BehaviorQueries, CorpusQueries,
-  EtlQueries, LlmQueries, MiningQueries, MlQueries, PipelineQueries,
-  TpchQueries}
+  EtlQueries, EvalQueries, LlmQueries, MiningQueries, MlQueries,
+  PipelineQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
     */
   def modules: Seq[QueryModule] =
     Seq(EtlQueries, MlQueries, LlmQueries, TpchQueries, CorpusQueries,
-      AnalyticsQueries, PipelineQueries, BehaviorQueries, MiningQueries)
+      AnalyticsQueries, PipelineQueries, BehaviorQueries, MiningQueries,
+      EvalQueries)
 
   lazy val registry: Map[String, QueryDef] =
     modules.flatMap(_.defs).toMap

@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.core.{QueryDef, QueryModule, Tables}
+
+/** Model-evaluation battery: exact ROC AUC, calibration bins, Cohen's
+  * kappa inter-rater agreement, and Gini concentration — the metrics a
+  * training pipeline computes over scored/labeled data at full corpus
+  * scale (generalizing the reference's accuracy/confusion/F1 surface,
+  * src/predict.py:60-76).
+  *
+  * Scale themes shared by all four:
+  *
+  *   - no per-row global sort: AUC aggregates per QUANTIZED score value
+  *     first (bounded cardinality by construction), so the one ordered
+  *     window runs over score groups, not rows; calibration/kappa/gini
+  *     reduce to keyed integer counts before any ordering;
+  *   - every ratio leaves integers exactly once, via the split
+  *     floor-division identity floor(S*a/b) = (a div b)*S + (a mod b)*S
+  *     div b evaluated on non-negative longs — truncating and flooring
+  *     division agree on non-negatives, so Spark and the oracle cannot
+  *     diverge, and no intermediate exceeds ~5e16;
+  *   - the "model score" is a deterministic projection of the stored
+  *     embedding (component 1), so the gate is reproducible without a
+  *     fitted model in the loop.
+  */
+object EvalQueries extends QueryModule {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Labeled scores from the embeddings table: pos = label < 5, score
+    * quantized to 1e4 fixed point (bounds the distinct-score cardinality
+    * the AUC window sees — the knob that keeps exact AUC cheap at
+    * 100 TB).
+    */
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings").select(
+      (col("label") < 5).cast(LongType).as("pos"),
+      floor(element_at(col("embedding"), 1).cast("double") * 10000)
+        .cast(LongType).as("sc"))
+
+  /** Exact long integer division a div b for non-negative operands:
+    * (a - a mod b) is exactly divisible, so the decimal divide is an
+    * exact integer — no double rounding above 2^53.
+    */
+  private def ldiv(a: Column, b: Column): Column =
+    ((a - a.mod(b)).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
+      .cast(LongType)
+
+  /** floor(scale * a / b) for non-negative long columns without leaving
+    * exact integer arithmetic: (a div b)*scale + ((a mod b)*scale) div b
+    * — no intermediate exceeds b*scale.
+    */
+  private def scaledDiv(a: Column, b: Column, scale: Long): Column =
+    ldiv(a, b) * scale + ldiv(a.mod(b) * scale, b)
+
+  def defs: Map[String, QueryDef] = Map(
+
+    "q_auc_rank" -> QueryDef(
+      (s, dir) => {
+        // exact ROC AUC via the Mann-Whitney rank sum with tie
+        // correction: group rows by quantized score (one partial+final
+        // agg), then over score groups ASCENDING accumulate negatives
+        // strictly below; 2U = sum over groups of
+        // np_g * (2*cum_neg_below + nn_g); AUC = 2U / (2*P*N). The
+        // ordered window runs over DISTINCT quantized scores only —
+        // bounded by the 1e4 quantization, not the row count — so
+        // there is no global per-row sort anywhere.
+        val g = scored(s, dir).groupBy(col("sc"))
+          .agg(sum(col("pos")).as("np"),
+            sum(lit(1) - col("pos")).as("nn"))
+        val w = Window.orderBy(col("sc"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val terms = g
+          .withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
+          .select((col("np") * (lit(2) * col("cumneg") + col("nn")))
+            .as("t"), col("np"), col("nn"))
+        terms.agg(sum(col("np")).as("p_total"),
+            sum(col("nn")).as("n_total"), sum(col("t")).as("u2"))
+          .select(col("p_total"), col("n_total"), col("u2"),
+            scaledDiv(col("u2"),
+              lit(2) * col("p_total") * col("n_total"), 1000000000L)
+              .as("auc_scaled"))
+      },
+      Some("""WITH sc AS (SELECT
+             |     CAST(label < 5 AS BIGINT) AS pos,
+             |     CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 10000)
+             |       AS BIGINT) AS sc
+             |   FROM embeddings),
+             | g AS (SELECT sc, CAST(SUM(pos) AS BIGINT) AS np,
+             |     CAST(SUM(1 - pos) AS BIGINT) AS nn
+             |   FROM sc GROUP BY sc),
+             | t AS (SELECT np, nn,
+             |     COALESCE(CAST(SUM(nn) OVER (ORDER BY sc
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |       AS BIGINT), 0) AS cumneg
+             |   FROM g),
+             | a AS (SELECT CAST(SUM(np) AS BIGINT) AS p_total,
+             |     CAST(SUM(nn) AS BIGINT) AS n_total,
+             |     CAST(SUM(np * (2 * cumneg + nn)) AS BIGINT) AS u2
+             |   FROM t)
+             | SELECT p_total, n_total, u2,
+             |   (u2 // (2 * p_total * n_total)) * 1000000000
+             |     + ((u2 % (2 * p_total * n_total)) * 1000000000)
+             |       // (2 * p_total * n_total) AS auc_scaled
+             | FROM a""".stripMargin),
+      "exact ROC AUC via tie-corrected Mann-Whitney rank sum over " +
+        "quantized-score groups (no per-row global sort)"),
+
+    "q_calibration_bins" -> QueryDef(
+      (s, dir) => {
+        // reliability diagram: pseudo-probability p = clip(score+0.5,
+        // [0,1]) from embedding component 1, 10 equal-width bins; per
+        // bin the count, positives, fixed-point mean predicted p and
+        // empirical positive rate — both minted by exact integer
+        // division of fixed-point sums. One map pass + one keyed agg.
+        val p0 = element_at(col("embedding"), 1).cast("double") + 0.5
+        val p = least(greatest(p0, lit(0.0)), lit(1.0))
+        T(s, dir, "embeddings").select(
+            (col("label") < 5).cast(LongType).as("pos"),
+            least(floor(p * 10).cast(LongType), lit(9L)).as("bin"),
+            floor(p * lit(1000000)).cast(LongType).as("p_scaled"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+            sum(col("p_scaled")).as("sp"))
+          .select(col("bin"), col("n"), col("n_pos"),
+            ldiv(col("sp"), col("n")).as("mean_p_scaled"),
+            scaledDiv(col("n_pos"), col("n"), 1000000L)
+              .as("pos_rate_scaled"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH b AS (SELECT
+             |     CAST(label < 5 AS BIGINT) AS pos,
+             |     LEAST(CAST(FLOOR(LEAST(GREATEST(
+             |       CAST(embedding[1] AS DOUBLE) + 0.5, 0.0), 1.0) * 10)
+             |       AS BIGINT), 9) AS bin,
+             |     CAST(FLOOR(LEAST(GREATEST(
+             |       CAST(embedding[1] AS DOUBLE) + 0.5, 0.0), 1.0)
+             |       * 1000000) AS BIGINT) AS p_scaled
+             |   FROM embeddings),
+             | g AS (SELECT bin, COUNT(*) AS n,
+             |     CAST(SUM(pos) AS BIGINT) AS n_pos,
+             |     CAST(SUM(p_scaled) AS BIGINT) AS sp
+             |   FROM b GROUP BY bin)
+             | SELECT bin, n, n_pos, sp // n AS mean_p_scaled,
+             |   (n_pos // n) * 1000000 + ((n_pos % n) * 1000000) // n
+             |     AS pos_rate_scaled
+             | FROM g ORDER BY bin""".stripMargin),
+      "calibration / reliability bins: fixed-point mean predicted vs " +
+        "empirical positive rate per decile bucket"),
+
+    "q_cohens_kappa" -> QueryDef(
+      (s, dir) => {
+        // inter-rater agreement between two deterministic binary
+        // raters (label parity vs score-sign classifier): kappa =
+        // (n*agree - chance) / (n^2 - chance) with chance =
+        // a0*b0 + a1*b1 from the marginals. kappa can be negative, so
+        // the fixed-point mints floor(1e9*(kappa+1)) — a non-negative
+        // rational — then shifts back, keeping the floor/truncate
+        // agreement between engines. One agg over four counts; O(1)
+        // result.
+        val r = T(s, dir, "embeddings").select(
+          (col("label") % 2).cast(LongType).as("ra"),
+          (element_at(col("embedding"), 1) > 0f).cast(LongType).as("rb"))
+        val c = r.agg(count(lit(1)).as("n"),
+          sum(when(col("ra") === 0 && col("rb") === 0, 1L)
+            .otherwise(0L)).as("n00"),
+          sum(when(col("ra") === 0 && col("rb") === 1, 1L)
+            .otherwise(0L)).as("n01"),
+          sum(when(col("ra") === 1 && col("rb") === 0, 1L)
+            .otherwise(0L)).as("n10"),
+          sum(when(col("ra") === 1 && col("rb") === 1, 1L)
+            .otherwise(0L)).as("n11"))
+        val chance = (col("n00") + col("n01")) * (col("n00") + col("n10")) +
+          (col("n10") + col("n11")) * (col("n01") + col("n11"))
+        val num = col("n") * (col("n00") + col("n11")) - chance
+        val den = col("n") * col("n") - chance
+        c.select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
+          (scaledDiv(num + den, den, 1000000000L) - 1000000000L)
+            .as("kappa_scaled"))
+      },
+      Some("""WITH r AS (SELECT CAST(label % 2 AS BIGINT) AS ra,
+             |     CAST(embedding[1] > 0 AS BIGINT) AS rb
+             |   FROM embeddings),
+             | c AS (SELECT COUNT(*) AS n,
+             |     CAST(SUM(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n00,
+             |     CAST(SUM(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n01,
+             |     CAST(SUM(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n10,
+             |     CAST(SUM(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n11
+             |   FROM r),
+             | k AS (SELECT n, n00, n01, n10, n11,
+             |     n * (n00 + n11)
+             |       - ((n00 + n01) * (n00 + n10)
+             |          + (n10 + n11) * (n01 + n11)) AS num,
+             |     n * n - ((n00 + n01) * (n00 + n10)
+             |          + (n10 + n11) * (n01 + n11)) AS den
+             |   FROM c)
+             | SELECT n, n00, n01, n10, n11,
+             |   ((num + den) // den) * 1000000000
+             |     + (((num + den) % den) * 1000000000) // den
+             |     - 1000000000 AS kappa_scaled
+             | FROM k""".stripMargin),
+      "Cohen's kappa between two deterministic raters: exact integer " +
+        "marginal chance correction, shift-positive fixed point"),
+
+    "q_gini_sources" -> QueryDef(
+      (s, dir) => {
+        // corpus concentration: Gini coefficient of per-source document
+        // contribution (the "is one domain dominating the corpus"
+        // audit). Per-source counts first (keyed agg), then ONE ordered
+        // window over the |sources| group rows — bounded cardinality —
+        // ranks ascending; G = (2*sum(i*c_i) - (k+1)*total) /
+        // (k*total), non-negative, minted once via split division.
+        val c = T(s, dir, "documents").groupBy(col("source"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(col("cnt"), col("source"))
+        val ranked = c.withColumn("i", row_number().over(w))
+        ranked.agg(count(lit(1)).as("k"), sum(col("cnt")).as("total"),
+            sum(col("i") * col("cnt")).as("swc"))
+          .select(col("k"), col("total"),
+            scaledDiv(lit(2) * col("swc") - (col("k") + 1) * col("total"),
+              col("k") * col("total"), 1000000000L).as("gini_scaled"))
+      },
+      Some("""WITH c AS (SELECT source, COUNT(*) AS cnt
+             |   FROM documents GROUP BY source),
+             | r AS (SELECT cnt,
+             |     ROW_NUMBER() OVER (ORDER BY cnt, source) AS i
+             |   FROM c),
+             | a AS (SELECT COUNT(*) AS k,
+             |     CAST(SUM(cnt) AS BIGINT) AS total,
+             |     CAST(SUM(i * cnt) AS BIGINT) AS swc
+             |   FROM r)
+             | SELECT k, total,
+             |   ((2 * swc - (k + 1) * total) // (k * total)) * 1000000000
+             |     + (((2 * swc - (k + 1) * total) % (k * total))
+             |        * 1000000000) // (k * total) AS gini_scaled
+             | FROM a""".stripMargin),
+      "Gini concentration of per-source corpus contribution: keyed " +
+        "counts, bounded ordered window, split-division fixed point"))
+}

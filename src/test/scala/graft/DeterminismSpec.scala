@@ -34,7 +34,14 @@ class DeterminismSpec extends SparkSpec {
     // survive a repartitioning unchanged
     "q_pagerank_links", "q_sentence_dedup", "q_compression_ratio",
     "q_hll_shard_merge", "q_negative_sample", "q_epoch_schedule",
-    "q_bigram_logprob", "q_zorder_layout", "q_group_split")
+    "q_bigram_logprob", "q_zorder_layout", "q_group_split",
+    // mining + eval batteries: basket pair counts, wedge joins,
+    // fixed-point KL/entropy integer reduces, percentile-threshold
+    // segments, the AUC rank-sum window, and split-division fixed
+    // points must not depend on physical partitioning
+    "q_market_basket", "q_triangle_count", "q_kl_shards",
+    "q_entropy_profile", "q_rfm_segmentation", "q_auc_rank",
+    "q_calibration_bins", "q_cohens_kappa", "q_gini_sources")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
