@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{GraftSession, QueryDef, QueryModule, Tables}
 import graft.etl.Preprocess
-import graft.queries.{AnalyticsQueries, BehaviorQueries, CorpusQueries,
-  EtlQueries, EvalQueries, LlmQueries, MiningQueries, MlQueries,
-  PipelineQueries, TpchQueries}
+import graft.queries.{AnalyticsQueries, BehaviorQueries,
+  CompositionQueries, CorpusQueries, EtlQueries, EvalQueries, LlmQueries,
+  MiningQueries, MlQueries, PipelineQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,7 @@ object SparkEntry {
   def modules: Seq[QueryModule] =
     Seq(EtlQueries, MlQueries, LlmQueries, TpchQueries, CorpusQueries,
       AnalyticsQueries, PipelineQueries, BehaviorQueries, MiningQueries,
-      EvalQueries)
+      EvalQueries, CompositionQueries)
 
   lazy val registry: Map[String, QueryDef] =
     modules.flatMap(_.defs).toMap

@@ -1,11 +1,12 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.core.{QueryDef, QueryModule, Tables}
+import graft.functions.FixedPoint.{ldiv, scaledDiv}
 
 /** Model-evaluation battery: exact ROC AUC, calibration bins, Cohen's
   * kappa inter-rater agreement, and Gini concentration — the metrics a
@@ -43,21 +44,6 @@ object EvalQueries extends QueryModule {
       (col("label") < 5).cast(LongType).as("pos"),
       floor(element_at(col("embedding"), 1).cast("double") * 10000)
         .cast(LongType).as("sc"))
-
-  /** Exact long integer division a div b for non-negative operands:
-    * (a - a mod b) is exactly divisible, so the decimal divide is an
-    * exact integer — no double rounding above 2^53.
-    */
-  private def ldiv(a: Column, b: Column): Column =
-    ((a - a.mod(b)).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
-      .cast(LongType)
-
-  /** floor(scale * a / b) for non-negative long columns without leaving
-    * exact integer arithmetic: (a div b)*scale + ((a mod b)*scale) div b
-    * — no intermediate exceeds b*scale.
-    */
-  private def scaledDiv(a: Column, b: Column, scale: Long): Column =
-    ldiv(a, b) * scale + ldiv(a.mod(b) * scale, b)
 
   def defs: Map[String, QueryDef] = Map(
 

@@ -41,7 +41,8 @@ class DeterminismSpec extends SparkSpec {
     // points must not depend on physical partitioning
     "q_market_basket", "q_triangle_count", "q_kl_shards",
     "q_entropy_profile", "q_rfm_segmentation", "q_auc_rank",
-    "q_calibration_bins", "q_cohens_kappa", "q_gini_sources")
+    "q_calibration_bins", "q_cohens_kappa", "q_gini_sources",
+    "q_pad_waste", "q_alpha_mixture", "q_chi2_independence")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
