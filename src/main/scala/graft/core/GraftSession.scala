@@ -11,10 +11,11 @@ import org.apache.spark.sql.SparkSession
   *     timezone-naive (isAdjustedToUTC=false); pinning UTC makes Spark's
   *     session-local interpretation agree with DuckDB's naive reading
   *     regardless of JVM default TZ.
-  *   - `spark.sql.legacy.parquet.nanosAsLong=true` — events.parquet stores
-  *     `ts` as TIMESTAMP(NANOS), which Spark cannot read as TimestampType;
-  *     with this flag it reads as LongType (nanoseconds since epoch) and
-  *     [[Tables.load]] derives an event-time column from it.
+  *   - `spark.sql.legacy.parquet.nanosAsLong=true` — some testdata
+  *     generations store events.ts as TIMESTAMP(NANOS), which Spark cannot
+  *     read as TimestampType; with this flag a NANOS column reads as
+  *     LongType (raw int64), micros generations read their raw int64
+  *     directly, and [[Tables.load]] normalizes either to canonical µs.
   *   - `spark.sql.shuffle.partitions=32` — matches local[32]; 200 would
   *     produce tiny partitions at test scale. On a real cluster this is
   *     superseded by AQE coalescing (enabled).

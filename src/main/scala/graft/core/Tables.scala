@@ -69,11 +69,12 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampNTZType)))
 
-  // events.ts is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false): Spark has
-  // no nanosecond timestamp type, so (with
-  // spark.sql.legacy.parquet.nanosAsLong=true, set by GraftSession) the
-  // column is read as raw nanoseconds-since-epoch; load() derives a usable
-  // microsecond-precision `event_time` column alongside it.
+  // events.ts is a timezone-naive parquet TIMESTAMP whose physical unit has
+  // varied across testdata generations (NANOS in earlier drops, MICROS in
+  // the current one). Declaring LongType reads the raw int64 either way
+  // (NANOS needs spark.sql.legacy.parquet.nanosAsLong=true, set by
+  // GraftSession; MICROS reads its raw value directly), and load()
+  // normalizes to canonical MICROSECONDS — see usNormalized.
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -100,19 +101,37 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 
+  /** Epoch values >= this are nanoseconds: 4e16 µs is year 3237 while
+    * 4e16 ns is April 1971 — no plausible event time is ambiguous, so one
+    * integral comparison classifies the stored unit per row (codegen'd,
+    * branch-free cost; no footer-sniffing, no data-dependent plan).
+    */
+  val NanosThreshold = 40000000000000000L
+
+  /** Normalize a raw int64 epoch `ts` (micros OR nanos, whichever the
+    * parquet generation stored) to canonical MICROSECONDS. SQL fragment so
+    * both batch and streaming readers share the exact same expression.
+    */
+  val tsToMicrosSql: String =
+    s"CASE WHEN ts >= ${NanosThreshold}L THEN ts div 1000 ELSE ts END"
+
   /** Read one synthetic table with its declared schema. Column pruning +
     * predicate pushdown then apply at the parquet scan via Catalyst.
     *
-    * For `events`, `ts` stays raw nanos (exact, sortable, joinable) and a
-    * derived `event_time: TimestampType` (micros precision; session TZ is
-    * pinned UTC by GraftSession so it behaves as naive UTC) is appended.
+    * For `events`, `ts` is normalized to canonical integral MICROSECONDS
+    * (exact, sortable, joinable — and the unit DuckDB's epoch_us() yields,
+    * which is what the oracle side of every gate uses) and a derived
+    * `event_time: TimestampType` (micros precision; session TZ is pinned
+    * UTC by GraftSession so it behaves as naive UTC) is appended.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     GraftSession.ensureConfigured(spark)
     val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
     if (name == "events")
-      df.withColumn("event_time",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      df.withColumn("ts",
+          org.apache.spark.sql.functions.expr(tsToMicrosSql))
+        .withColumn("event_time",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts)"))
     else df
   }
 }

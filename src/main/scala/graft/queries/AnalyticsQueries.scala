@@ -409,9 +409,9 @@ object AnalyticsQueries extends QueryModule {
         // time-weighted average of a sampled metric per user (the
         // correct aggregate for irregularly-sampled series — a plain
         // AVG over-weights burst periods): hold each value until the
-        // next observation, weight by the exact nanosecond interval.
+        // next observation, weight by the exact microsecond interval.
         // Weighted sums accumulate as exact decimals (value
-        // fixed-pointed to 1e6, dt in integer nanos, DECIMAL(18,0)
+        // fixed-pointed to 1e6, dt in integer micros, DECIMAL(18,0)
         // products — order-independent), one double division at the
         // end. Per-user window + one grouped agg; parallelism = |users|.
         val ev = T(s, dir, "events")
@@ -421,10 +421,9 @@ object AnalyticsQueries extends QueryModule {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))
         val d18 = DecimalType(18, 0)
-        // microsecond resolution on both sides: DuckDB reads the nanos
-        // parquet timestamp at micro precision, so the shared exact
-        // domain is floor(ns/1000)
-        val tUs = expr("ts div 1000")
+        // shared exact domain: `ts` is canonical integral micros
+        // (Tables.load), which is exactly DuckDB's epoch_us(ts)
+        val tUs = col("ts")
         val dt = (lead(tUs, 1).over(w) - tUs).cast(d18)
         val vScaled = floor(col("value") * 1e6).cast(d18)
         ev.withColumn("__dt", dt)
@@ -614,6 +613,140 @@ object AnalyticsQueries extends QueryModule {
              |    WHERE l_returnflag NOT IN ('A','N','R'))
              | ORDER BY "check" """.stripMargin),
       "data-quality constraint battery: uniqueness/RI/not-null/range/" +
-        "accepted-values violation counts in one report")
+        "accepted-values violation counts in one report"),
+
+    "q_unpivot_melt" -> QueryDef(
+      (s, dir) => {
+        // UNPIVOT/melt — the inverse of q_a15_pivot: wide measures to
+        // long form via stack(), then one grouped profile pass. stack is
+        // a map-side Expand (4 output rows per input row, no shuffle
+        // until the 4-group aggregate), so the 100 TB cost is the scan
+        // plus an expansion that partial aggregation collapses
+        // immediately — never a per-measure re-scan.
+        val li = T(s, dir, "lineitem")
+        li.select(expr(
+            "stack(4, 'quantity', l_quantity, " +
+              "'extendedprice', l_extendedprice, " +
+              "'discount', l_discount, 'tax', l_tax) as (measure, val)"))
+          .groupBy(col("measure"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("val").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("total"),
+            min(col("val")).as("mn"), max(col("val")).as("mx"))
+          .orderBy(col("measure"))
+      },
+      Some("""WITH long AS (
+             |   SELECT 'quantity' AS measure, l_quantity AS val
+             |     FROM lineitem
+             |   UNION ALL SELECT 'extendedprice', l_extendedprice
+             |     FROM lineitem
+             |   UNION ALL SELECT 'discount', l_discount FROM lineitem
+             |   UNION ALL SELECT 'tax', l_tax FROM lineitem)
+             | SELECT measure, COUNT(*) AS n,
+             |   CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |   MIN(val) AS mn, MAX(val) AS mx
+             | FROM long GROUP BY measure ORDER BY measure""".stripMargin),
+      "UNPIVOT/melt via stack(): map-side Expand to long form, one " +
+        "grouped profile pass over all measures"),
+
+    "q_weighted_median" -> QueryDef(
+      (s, dir) => {
+        // exact weighted median (revenue-weighted quantity) per flag:
+        // reduce to (flag, quantity) grain with exact decimal weight
+        // sums FIRST — the ordered window then runs over <= 50 distinct
+        // quantities per flag, not over rows (the bounded-cardinality
+        // trick q_auc_rank uses), so there is no per-row sort anywhere.
+        // The crossing point 2*cum >= total stays in exact decimal.
+        val li = T(s, dir, "lineitem")
+        val g = li.groupBy(col("l_returnflag").as("flag"),
+            col("l_quantity").as("q"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .as("w"))
+        val cum = Window.partitionBy(col("flag")).orderBy(col("q"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = Window.partitionBy(col("flag"))
+        g.withColumn("cw", sum(col("w")).over(cum))
+          .withColumn("tw", sum(col("w")).over(tot))
+          .filter(col("cw") * 2 >= col("tw"))
+          .groupBy(col("flag"))
+          .agg(min(col("q")).as("wmedian"),
+            min(col("tw")).cast(DoubleType).as("total_weight"))
+          .orderBy(col("flag"))
+      },
+      Some("""WITH g AS (SELECT l_returnflag AS flag, l_quantity AS q,
+             |     SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+             |   FROM lineitem GROUP BY 1, 2),
+             | c AS (SELECT *, SUM(w) OVER (PARTITION BY flag ORDER BY q
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |       AS cw,
+             |     SUM(w) OVER (PARTITION BY flag) AS tw FROM g)
+             | SELECT flag, MIN(q) AS wmedian,
+             |   CAST(MIN(tw) AS DOUBLE) AS total_weight
+             | FROM c WHERE cw * 2 >= tw
+             | GROUP BY flag ORDER BY flag""".stripMargin),
+      "exact weighted median per group: pre-reduce to value grain, " +
+        "ordered window over distinct values only, exact-decimal " +
+        "crossing test"),
+
+    "q_welch_ttest" -> QueryDef(
+      (s, dir) => {
+        // Welch's two-sample t statistic over exact-decimal sufficient
+        // stats (n, sum, sum of squares per group — one partial+final
+        // agg pass); the floating formula is applied once at the end
+        // with an identical expression shape on both engines and
+        // rounded — the round-stats-then-apply recipe q_a18_corr_ols
+        // proved bit-stable. Groups: urgent/high-priority orders vs the
+        // rest, measure o_totalprice.
+        val o = T(s, dir, "orders")
+        val d2 = DecimalType(18, 2)
+        val d4 = DecimalType(38, 4)
+        val stats = o.select(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+              "high").otherwise("low").as("grp"),
+            col("o_totalprice").cast(d2).as("v"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("v")).cast(DoubleType).as("sv"),
+            sum(col("v").cast(d4) * col("v")).cast(DoubleType).as("svv"))
+        val w = stats.agg(
+          max(when(col("grp") === "high", col("n"))).as("n1"),
+          max(when(col("grp") === "high", col("sv"))).as("s1"),
+          max(when(col("grp") === "high", col("svv"))).as("ss1"),
+          max(when(col("grp") === "low", col("n"))).as("n2"),
+          max(when(col("grp") === "low", col("sv"))).as("s2"),
+          max(when(col("grp") === "low", col("svv"))).as("ss2"))
+        val m1 = col("s1") / col("n1")
+        val m2 = col("s2") / col("n2")
+        val se2 = (col("ss1") - col("s1") * col("s1") / col("n1")) /
+            (col("n1") - 1) / col("n1") +
+          (col("ss2") - col("s2") * col("s2") / col("n2")) /
+            (col("n2") - 1) / col("n2")
+        w.select(col("n1"), col("n2"),
+          round(m1 - m2, 6).as("mean_diff"),
+          round((m1 - m2) / sqrt(se2), 6).as("welch_t"))
+      },
+      Some("""WITH t AS (SELECT
+             |     CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |       THEN 'high' ELSE 'low' END AS grp,
+             |     CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+             | s AS (SELECT grp, COUNT(*) AS n,
+             |     CAST(SUM(v) AS DOUBLE) AS sv,
+             |     CAST(SUM(CAST(v AS DECIMAL(38,4)) * v) AS DOUBLE)
+             |       AS svv
+             |   FROM t GROUP BY grp),
+             | w AS (SELECT
+             |     MAX(CASE WHEN grp='high' THEN n END) AS n1,
+             |     MAX(CASE WHEN grp='high' THEN sv END) AS s1,
+             |     MAX(CASE WHEN grp='high' THEN svv END) AS ss1,
+             |     MAX(CASE WHEN grp='low' THEN n END) AS n2,
+             |     MAX(CASE WHEN grp='low' THEN sv END) AS s2,
+             |     MAX(CASE WHEN grp='low' THEN svv END) AS ss2 FROM s)
+             | SELECT n1, n2, ROUND(s1/n1 - s2/n2, 6) AS mean_diff,
+             |   ROUND((s1/n1 - s2/n2) / sqrt(
+             |     (ss1 - s1*s1/n1)/(n1-1)/n1
+             |       + (ss2 - s2*s2/n2)/(n2-1)/n2), 6) AS welch_t
+             | FROM w""".stripMargin),
+      "Welch two-sample t from exact-decimal sufficient stats, one " +
+        "pass, round-stats-then-apply float minting")
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, DoubleType}
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
 
 import graft.core.{QueryDef, QueryModule, Tables}
 import graft.operators.PrefixSum
@@ -23,9 +23,9 @@ import graft.operators.PrefixSum
   *   - the only genuinely global ordered computation (the concurrency
   *     sweep) goes through [[graft.operators.PrefixSum]], the two-phase
   *     scan, instead of a single-partition global window;
-  *   - all time arithmetic is integral nanoseconds (`ts` is a long via
-  *     nanosAsLong), so every intermediate is exact and
-  *     partitioning-independent — the QueryDef determinism contract.
+  *   - all time arithmetic is integral microseconds (`ts` is normalized
+  *     to canonical µs by Tables.load), so every intermediate is exact
+  *     and partitioning-independent — the QueryDef determinism contract.
   */
 object BehaviorQueries extends QueryModule {
 
@@ -35,17 +35,15 @@ object BehaviorQueries extends QueryModule {
   /** 30-minute session gap in integral microseconds. */
   private val GapUs = 30L * 60 * 1000000L
 
-  /** Nanoseconds per epoch-anchored week. */
-  private val WeekNs = 7L * 86400 * 1000000000L
+  /** Microseconds per epoch-anchored week. */
+  private val WeekUs = 7L * 86400 * 1000000L
 
   /** Gap-sessionized intervals, end-exclusive:
     * (user_id, __sess, s0 = min tu, e0 = max tu + 1), with `tu` the event
-    * timestamp truncated to integral MICROseconds. The truncation is the
-    * cross-engine precision contract: DuckDB's TIMESTAMP is µs-resolution
-    * (its epoch_ns() returns µs*1000 for these parquet files), so any
-    * query that EXPOSES an instant must not carry sub-µs digits. `ts div
-    * 1000` on the Spark side and `epoch_ns(ts) // 1000` on the oracle
-    * side truncate to the same integer. Same lag+cumsum construction as
+    * timestamp in integral MICROseconds — the canonical unit Tables.load
+    * normalizes `ts` to, and exactly what DuckDB's epoch_us(ts) yields on
+    * the oracle side, so instants can be EXPOSED by a gate without any
+    * sub-µs digits to disagree on. Same lag+cumsum construction as
     * q_sessionize_batch (EtlQueries), factored here for the interval
     * consumers.
     */
@@ -53,7 +51,7 @@ object BehaviorQueries extends QueryModule {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("tu"), col("event_id"))
     val running = byUser.rowsBetween(Window.unboundedPreceding, 0)
-    ev.select(col("user_id"), expr("ts div 1000").as("tu"), col("event_id"))
+    ev.select(col("user_id"), col("ts").as("tu"), col("event_id"))
       .withColumn("__new",
         when(lag(col("tu"), 1).over(byUser).isNull ||
           col("tu") - lag(col("tu"), 1).over(byUser) > GapUs, 1L)
@@ -95,15 +93,15 @@ object BehaviorQueries extends QueryModule {
             round(col("n_purchase").cast(DoubleType) / col("n_click"), 6)
               .as("click_to_purchase"))
       },
-      Some("""WITH v AS (SELECT user_id, MIN(epoch_ns(ts)) AS v_ts
+      Some("""WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS v_ts
              |   FROM events WHERE event_type = 'view' GROUP BY user_id),
-             | c AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS c_ts
+             | c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_ts
              |   FROM events e JOIN v ON e.user_id = v.user_id
-             |   WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.v_ts
+             |   WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.v_ts
              |   GROUP BY e.user_id),
-             | p AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS p_ts
+             | p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_ts
              |   FROM events e JOIN c ON e.user_id = c.user_id
-             |   WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.c_ts
+             |   WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_ts
              |   GROUP BY e.user_id)
              | SELECT
              |   (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
@@ -122,10 +120,10 @@ object BehaviorQueries extends QueryModule {
         // weekly cohort retention matrix: cohort = a user's first active
         // epoch-week; one row per (cohort, week offset) with distinct
         // active users and the retention fraction. Week index is integral
-        // ns `div` — exact, tz-free. Two keyed aggs + one join; the
+        // µs `div` — exact, tz-free. Two keyed aggs + one join; the
         // (user, week) dedup is the only wide op over raw events.
         val uw = T(s, dir, "events")
-          .select(col("user_id"), expr(s"ts div ${WeekNs}L").as("w"))
+          .select(col("user_id"), expr(s"ts div ${WeekUs}L").as("w"))
           .distinct()
         val cohort = uw.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
         val sizes = cohort.groupBy(col("cw"))
@@ -141,7 +139,7 @@ object BehaviorQueries extends QueryModule {
           .orderBy(col("cohort_week"), col("week_offset"))
       },
       Some("""WITH uw AS (SELECT DISTINCT user_id,
-             |     epoch_ns(ts) // 604800000000000 AS w FROM events),
+             |     epoch_us(ts) // 604800000000 AS w FROM events),
              | cohort AS (SELECT user_id, MIN(w) AS cw FROM uw
              |   GROUP BY user_id),
              | sizes AS (SELECT cw, COUNT(*) AS cohort_size FROM cohort
@@ -179,14 +177,14 @@ object BehaviorQueries extends QueryModule {
           .crossJoin(run.join(mx, col("conc") === col("max_concurrency"))
             .agg(min(col("t")).as("at_t")))
       },
-      Some("""WITH m AS (SELECT user_id, epoch_ns(ts) // 1000 AS tu,
+      Some("""WITH m AS (SELECT user_id, epoch_us(ts) AS tu,
              |     event_id,
-             |   CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL
-             |     OR epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000)
+             |   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |     OR epoch_us(ts) - lag(epoch_us(ts))
              |        OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
              |   FROM events
              |   WINDOW w AS (PARTITION BY user_id
-             |     ORDER BY epoch_ns(ts) // 1000, event_id)),
+             |     ORDER BY epoch_us(ts), event_id)),
              | s AS (SELECT user_id, tu,
              |   SUM(new_sess) OVER (PARTITION BY user_id
              |     ORDER BY tu, event_id
@@ -236,7 +234,7 @@ object BehaviorQueries extends QueryModule {
       },
       Some("""WITH nx AS (SELECT event_type AS from_type,
              |     lead(event_type) OVER (PARTITION BY user_id
-             |       ORDER BY epoch_ns(ts), event_id) AS to_type
+             |       ORDER BY epoch_us(ts), event_id) AS to_type
              |   FROM events),
              | pairs AS (SELECT from_type, to_type, COUNT(*) AS n
              |   FROM nx WHERE to_type IS NOT NULL
@@ -311,5 +309,132 @@ object BehaviorQueries extends QueryModule {
              |   n_orders
              | FROM iv ORDER BY o_custkey, version""".stripMargin),
       "SCD type-2 history build: lag-change detection, cumsum versions, " +
-        "lead valid_to intervals"))
+        "lead valid_to intervals"),
+
+    "q_rolling_dau" -> QueryDef(
+      (s, dir) => {
+        // 7-day rolling distinct users per day WITHOUT a distinct-over-
+        // range window (neither engine has one) and WITHOUT a day-range
+        // self-join: dedup to (user, day) grain first, then each user-day
+        // contributes to exactly the 7 window-end days it can influence
+        // via a map-side sequence+explode (bounded 7x blowup of the
+        // DEDUPED grain), and one grouped exact distinct per window-end
+        // day finishes it. At 100 TB the 7x expansion of user-day rows is
+        // far cheaper than a range join against the raw event log, and
+        // both shuffles key on small-domain columns (day).
+        val ud = T(s, dir, "events")
+          .select(expr("ts div 86400000000").as("day"), col("user_id"))
+          .distinct()
+        val bounds = ud.agg(max(col("day")).as("maxd"))
+        ud.select(explode(sequence(col("day"), col("day") + 6))
+            .as("wday"), col("user_id"))
+          .crossJoin(broadcast(bounds))
+          .filter(col("wday") <= col("maxd"))
+          .groupBy(col("wday"))
+          .agg(countDistinct(col("user_id")).as("dau7"))
+          .orderBy(col("wday"))
+      },
+      Some("""WITH ud AS (SELECT DISTINCT
+             |     epoch_us(ts) // 86400000000 AS day, user_id
+             |   FROM events),
+             | ex AS (SELECT ud.day + g.g AS wday, ud.user_id
+             |   FROM ud CROSS JOIN (SELECT UNNEST(range(0,7)) AS g) g),
+             | b AS (SELECT MAX(day) AS maxd FROM ud)
+             | SELECT wday, COUNT(DISTINCT user_id) AS dau7
+             | FROM ex, b WHERE wday <= b.maxd
+             | GROUP BY wday ORDER BY wday""".stripMargin),
+      "7-day rolling distinct users: dedup to user-day grain, bounded " +
+        "7x contribution explode, exact distinct per window-end day"),
+
+    "q_interval_union" -> QueryDef(
+      (s, dir) => {
+        // total covered time per user after merging overlapping usage
+        // intervals [ts, ts + value minutes] — the classic interval-union
+        // sweep, run entirely under per-user windows: a running max of
+        // prior interval ends marks island starts, a running sum numbers
+        // the islands, and each island reduces to (min start, max end).
+        // Start-tied intervals land in one island whatever their
+        // intra-tie order, so the result is partitioning-independent.
+        // All arithmetic in exact integral microseconds; parallelism =
+        // |users|, per-user state = one user's intervals.
+        val iv = T(s, dir, "events").select(col("user_id"),
+          col("event_id"), col("ts").as("s"),
+          (col("ts") + floor(col("value") * 60).cast(LongType) * 1000000L)
+            .as("e"))
+        val byU = Window.partitionBy(col("user_id"))
+          .orderBy(col("s"), col("e"), col("event_id"))
+        val prior = byU.rowsBetween(Window.unboundedPreceding, -1)
+        val run = byU.rowsBetween(Window.unboundedPreceding, 0)
+        iv.withColumn("pm", max(col("e")).over(prior))
+          .withColumn("nw",
+            when(col("pm").isNull || col("s") > col("pm"), 1L)
+              .otherwise(0L))
+          .withColumn("island", sum(col("nw")).over(run))
+          .groupBy(col("user_id"), col("island"))
+          .agg(min(col("s")).as("s0"), max(col("e")).as("e0"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("e0") - col("s0")).as("covered_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH iv AS (SELECT user_id, event_id,
+             |     epoch_us(ts) AS s,
+             |     epoch_us(ts) + CAST(FLOOR(value*60) AS BIGINT)*1000000
+             |       AS e
+             |   FROM events),
+             | m AS (SELECT *, MAX(e) OVER (PARTITION BY user_id
+             |     ORDER BY s, e, event_id
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |     AS pm FROM iv),
+             | isl AS (SELECT *,
+             |     SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+             |     OVER (PARTITION BY user_id ORDER BY s, e, event_id
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |     AS island FROM m),
+             | g AS (SELECT user_id, island, MIN(s) AS s0, MAX(e) AS e0
+             |   FROM isl GROUP BY 1, 2)
+             | SELECT user_id, COUNT(*) AS n_islands,
+             |   SUM(e0 - s0) AS covered_us
+             | FROM g GROUP BY 1 ORDER BY 1""".stripMargin),
+      "interval-union sweep per user: running-max island detection, " +
+        "exact covered-time totals, no global sort"),
+
+    "q_pattern_match" -> QueryDef(
+      (s, dir) => {
+        // MATCH_RECOGNIZE-style sequence pattern detection: each user's
+        // events collapse (per user — never a global sort) into a journey
+        // string of event-type initials ordered by (ts, event_id), and a
+        // regex counts non-overlapping view->clicks->purchase runs
+        // ('vc*p'). Java and RE2 regexes agree on greedy non-overlapping
+        // left-to-right scans of this pattern class. Per-user state is
+        // one journey string, bounded by that user's activity — the same
+        // contract as sessionization; hot users chunk the same way.
+        val j = T(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ch"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            concat_ws("", transform(
+              array_sort(collect_list(
+                struct(col("ts"), col("event_id"), col("ch")))),
+              x => x.getField("ch"))).as("journey"))
+        j.select(col("user_id"), col("n_events"),
+            size(expr("regexp_extract_all(journey, 'vc*p', 0)"))
+              .cast(LongType).as("n_matches"),
+            (size(expr("regexp_extract_all(journey, 'vc*p', 0)")) > 0)
+              .as("converted"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id,
+             |     substr(event_type, 1, 1) AS ch FROM events),
+             | j AS (SELECT user_id, COUNT(*) AS n_events,
+             |     string_agg(ch, '' ORDER BY tu, event_id) AS journey
+             |   FROM e GROUP BY user_id)
+             | SELECT user_id, n_events,
+             |   CAST(len(regexp_extract_all(journey, 'vc*p')) AS BIGINT)
+             |     AS n_matches,
+             |   len(regexp_extract_all(journey, 'vc*p')) > 0 AS converted
+             | FROM j ORDER BY user_id""".stripMargin),
+      "sequence pattern match (MATCH_RECOGNIZE shape): per-user ordered " +
+        "journey strings, regex-counted view->click*->purchase runs"))
 }

@@ -532,7 +532,8 @@ object EtlQueries extends QueryModule {
       Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt,
              | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
              | FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
-      "F4: event-time handling incl. nanos→micros derivation (Tables.load)"),
+      "F4: event-time handling incl. raw-int64→micros normalization " +
+        "(Tables.load)"),
 
     "q_f9_json_extract" -> QueryDef(
       (s, dir) =>
@@ -672,7 +673,7 @@ object EtlQueries extends QueryModule {
       (s, dir) => {
         // each purchase matched to the user's most recent prior (or
         // simultaneous) signup — oracle-checked against DuckDB's native
-        // ASOF JOIN; ts is exact nanos so comparisons are integral
+        // ASOF JOIN; ts is exact integral micros so comparisons are exact
         val ev = T(s, dir, "events")
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("ts"))
@@ -766,6 +767,64 @@ object EtlQueries extends QueryModule {
       "shard-wise HLL sketches union into the global distinct estimate " +
         "without re-scan — the mergeable-sketch cardinality pattern"),
 
+    "q_hll_overlap" -> QueryDef(
+      (s, dir) => {
+        // audience-overlap estimation from mergeable per-segment HLL
+        // sketches via inclusion–exclusion: |A∩B| ≈ est(A) + est(B) −
+        // est(A∪B), where A/B are the part×supplier combinations shipped
+        // under returnflag R/A (~19k each, ~10% true overlap). At 100 TB
+        // you keep ONE sketch per segment and answer ANY pairwise
+        // overlap by sketch union — no re-scan, no join. The gate
+        // carries exact counts (oracle-recomputed) plus error bands;
+        // inclusion–exclusion error scales with the UNION sizes, not
+        // the intersection, so the intersection band is 3% of the total
+        // sketched mass — the honest, documented caveat of the
+        // technique (use exact joins or theta sketches when the overlap
+        // is tiny relative to the sets).
+        val li = T(s, dir, "lineitem")
+        def side(flag: String) = li
+          .filter(col("l_returnflag") === flag)
+          .select((col("l_partkey") * 1000 + col("l_suppkey")).as("k"))
+        val a = side("R")
+        val b = side("A")
+        val skA = a.agg(hll_sketch_agg(col("k")).as("sk"))
+        val skB = b.agg(hll_sketch_agg(col("k")).as("sk"))
+        val estU = skA.unionByName(skB)
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_u"))
+        val estA = skA.select(hll_sketch_estimate(col("sk")).as("est_a"))
+        val estB = skB.select(hll_sketch_estimate(col("sk")).as("est_b"))
+        val da = a.distinct()
+        val db = b.distinct()
+        val exact = da.agg(count(lit(1)).as("n_a"))
+          .crossJoin(db.agg(count(lit(1)).as("n_b")))
+          .crossJoin(da.join(db, "k").agg(count(lit(1)).as("n_inter")))
+        val union = col("n_a") + col("n_b") - col("n_inter")
+        val interEst = col("est_a") + col("est_b") - col("est_u")
+        exact.crossJoin(broadcast(estA)).crossJoin(broadcast(estB))
+          .crossJoin(broadcast(estU))
+          .select(col("n_a"), col("n_b"), col("n_inter"),
+            (abs(col("est_a") - col("n_a")).cast(DoubleType) /
+              col("n_a") <= 0.05).as("a_ok"),
+            (abs(col("est_b") - col("n_b")).cast(DoubleType) /
+              col("n_b") <= 0.05).as("b_ok"),
+            (abs(col("est_u") - union).cast(DoubleType) / union <= 0.05)
+              .as("union_ok"),
+            (abs(interEst - col("n_inter")).cast(DoubleType) <=
+              (col("n_a") + col("n_b") + union).cast(DoubleType) * 0.03)
+              .as("inter_in_band"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT l_partkey*1000 + l_suppkey AS k
+             |   FROM lineitem WHERE l_returnflag = 'R'),
+             | b AS (SELECT DISTINCT l_partkey*1000 + l_suppkey AS k
+             |   FROM lineitem WHERE l_returnflag = 'A')
+             | SELECT (SELECT COUNT(*) FROM a) AS n_a,
+             |   (SELECT COUNT(*) FROM b) AS n_b,
+             |   (SELECT COUNT(*) FROM a JOIN b USING (k)) AS n_inter,
+             |   TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok,
+             |   TRUE AS inter_in_band""".stripMargin),
+      "set-overlap estimation from per-segment HLL sketches " +
+        "(inclusion-exclusion), error-banded vs exact intersection"),
+
     "q_a14_approx_stats" -> QueryDef(
       (s, dir) => {
         // the documented scale path for per-column profiling when
@@ -818,8 +877,8 @@ object EtlQueries extends QueryModule {
       (s, dir) => {
         // binned range join (operators.RangeJoin): purchase→signup pairs
         // within a 30-day lookback, hash-joined via time bins instead of
-        // Spark's nested-loop plan for range predicates; integral nanos.
-        val horizon = 30L * 24 * 3600 * 1000000000L
+        // Spark's nested-loop plan for range predicates; integral micros.
+        val horizon = 30L * 24 * 3600 * 1000000L
         val ev = T(s, dir, "events")
         val p = ev.filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"),
@@ -837,8 +896,8 @@ object EtlQueries extends QueryModule {
       Some("""SELECT p.user_id, COUNT(*) AS n_pairs
              | FROM events p JOIN events s ON s.user_id = p.user_id
              |  AND p.event_type = 'purchase' AND s.event_type = 'signup'
-             |  AND epoch_ns(s.ts)
-             |    BETWEEN epoch_ns(p.ts) - 2592000000000000 AND epoch_ns(p.ts)
+             |  AND epoch_us(s.ts)
+             |    BETWEEN epoch_us(p.ts) - 2592000000000 AND epoch_us(p.ts)
              | GROUP BY p.user_id ORDER BY p.user_id""".stripMargin),
       "binned range join == naive range join (oracle); hash not nested-loop"),
 
@@ -846,9 +905,9 @@ object EtlQueries extends QueryModule {
       (s, dir) => {
         // batch twin of streaming EventStream.sessionize, oracle-checked:
         // gap > 30 min starts a new session (lag + running sum, all
-        // integral nanos arithmetic — exact at any scale). Parallelism =
+        // integral micros arithmetic — exact at any scale). Parallelism =
         // |users|; the window state is one user's events.
-        val gapNs = 30L * 60 * 1000000000L
+        val gapUs = 30L * 60 * 1000000L
         val byUser = org.apache.spark.sql.expressions.Window
           .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         val runningW = byUser.rowsBetween(
@@ -857,7 +916,7 @@ object EtlQueries extends QueryModule {
           .select(col("user_id"), col("ts"), col("event_id"))
           .withColumn("__new",
             when(lag(col("ts"), 1).over(byUser).isNull ||
-              col("ts") - lag(col("ts"), 1).over(byUser) > gapNs, 1L)
+              col("ts") - lag(col("ts"), 1).over(byUser) > gapUs, 1L)
               .otherwise(0L))
           .withColumn("__sess", sum(col("__new")).over(runningW))
           .groupBy(col("user_id"))
@@ -865,13 +924,13 @@ object EtlQueries extends QueryModule {
             count(lit(1)).as("n_events"))
           .orderBy(col("user_id"))
       },
-      Some("""WITH m AS (SELECT user_id, epoch_ns(ts) AS ts, event_id,
-             |   CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
-             |     OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+      Some("""WITH m AS (SELECT user_id, epoch_us(ts) AS ts, event_id,
+             |   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
              |     THEN 1 ELSE 0 END AS new_sess
              |   FROM events
              |   WINDOW w AS (PARTITION BY user_id
-             |     ORDER BY epoch_ns(ts), event_id)),
+             |     ORDER BY epoch_us(ts), event_id)),
              | s AS (SELECT user_id,
              |   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
              |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess

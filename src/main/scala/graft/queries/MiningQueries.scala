@@ -384,5 +384,52 @@ object MiningQueries extends QueryModule {
              | FROM rfm CROSS JOIN th
              | GROUP BY 1 ORDER BY segment""".stripMargin),
       "RFM segmentation: exact-percentile quartile thresholds " +
-        "broadcast, integer-comparison scores, per-segment rollup"))
+        "broadcast, integer-comparison scores, per-segment rollup"),
+
+    "q_fuzzy_join" -> QueryDef(
+      (s, dir) => {
+        // blocked fuzzy record linkage (Levenshtein <= 1): a
+        // deterministically corrupted name column (one of the last two
+        // digits deleted, position keyed by custkey parity) links back
+        // to the clean customer table. Candidate generation is an
+        // equi-join on a 16-char blocking prefix — block size is bounded
+        // (<= 100 names share a prefix at ANY scale factor because the
+        // prefix pins all but the last two digits), so the quadratic
+        // edit-distance work is O(block^2) per block, never O(n^2)
+        // global, and the join itself is a plain hash join. The builtin
+        // levenshtein is codegen'd — no UDF in the hot path.
+        val c = T(s, dir, "customer")
+        val dirty = c.select(col("c_custkey").as("d_key"),
+          expr("concat(substring(c_name, 1, 16 + c_custkey % 2), " +
+            "substring(c_name, 18 + c_custkey % 2))").as("d_name"),
+          substring(col("c_name"), 1, 16).as("blk"))
+        val clean = c.select(col("c_custkey").as("c_key"),
+          col("c_name"), substring(col("c_name"), 1, 16).as("blk"))
+        dirty.join(clean, "blk")
+          .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
+          .filter(col("dist") <= 1)
+          .groupBy(col("d_key"))
+          .agg(count(lit(1)).as("n_cand"),
+            min(col("dist")).cast(LongType).as("min_dist"),
+            max(when(col("c_key") === col("d_key"), 1L).otherwise(0L))
+              .as("self_matched"))
+          .orderBy(col("d_key"))
+      },
+      Some("""WITH dirty AS (SELECT c_custkey AS d_key,
+             |     concat(substr(c_name, 1, 16 + (c_custkey % 2)),
+             |       substr(c_name, 18 + (c_custkey % 2))) AS d_name,
+             |     substr(c_name, 1, 16) AS blk FROM customer),
+             | clean AS (SELECT c_custkey AS c_key, c_name,
+             |     substr(c_name, 1, 16) AS blk FROM customer),
+             | cand AS (SELECT d_key, c_key,
+             |     levenshtein(d_name, c_name) AS dist
+             |   FROM dirty JOIN clean USING (blk)
+             |   WHERE levenshtein(d_name, c_name) <= 1)
+             | SELECT d_key, COUNT(*) AS n_cand,
+             |   CAST(MIN(dist) AS BIGINT) AS min_dist,
+             |   CAST(MAX(CASE WHEN c_key = d_key THEN 1 ELSE 0 END)
+             |     AS BIGINT) AS self_matched
+             | FROM cand GROUP BY d_key ORDER BY d_key""".stripMargin),
+      "blocked fuzzy join (edit distance <= 1): bounded-block candidate " +
+        "generation, codegen levenshtein, per-record match accounting"))
 }

@@ -36,7 +36,10 @@ object EventStream {
     spark.readStream
       .schema(Tables.events)
       .parquet(dir)
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      // same µs normalization as the batch reader (Tables.load): the raw
+      // int64 may be micros or nanos depending on the data generation
+      .withColumn("ts", expr(Tables.tsToMicrosSql))
+      .withColumn("event_time", expr("timestamp_micros(ts)"))
 
   /** Watermarked sliding-window counts + value totals per event type. */
   def windowedCounts(events: DataFrame,

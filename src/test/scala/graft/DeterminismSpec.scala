@@ -42,7 +42,14 @@ class DeterminismSpec extends SparkSpec {
     "q_market_basket", "q_triangle_count", "q_kl_shards",
     "q_entropy_profile", "q_rfm_segmentation", "q_auc_rank",
     "q_calibration_bins", "q_cohens_kappa", "q_gini_sources",
-    "q_pad_waste", "q_alpha_mixture", "q_chi2_independence")
+    "q_pad_waste", "q_alpha_mixture", "q_chi2_independence",
+    // round-5 additions: melt aggregation, bounded-cardinality weighted-
+    // median windows, sufficient-stat t, rolling-DAU explode+distinct,
+    // interval-union islands (incl. start-tie collapsing), journey-string
+    // regex counts, blocked levenshtein linkage, sketch-overlap bands
+    "q_unpivot_melt", "q_weighted_median", "q_welch_ttest",
+    "q_rolling_dau", "q_interval_union", "q_pattern_match",
+    "q_fuzzy_join", "q_hll_overlap")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)

@@ -7,7 +7,7 @@ import graft.core.Tables
 
 class RangeJoinSpec extends SparkSpec {
 
-  private val horizonNs = 7L * 24 * 3600 * 1000000000L // 7 days
+  private val horizonUs = 7L * 24 * 3600 * 1000000L // 7 days
 
   private def sides = {
     val ev = Tables.load(spark, sf0001, "events")
@@ -23,13 +23,13 @@ class RangeJoinSpec extends SparkSpec {
   test("binned range join equals the naive range join") {
     val (p, s) = sides
     val binned = RangeJoin.rangeJoin(p, s, Seq("user_id"),
-        "p_ts", "s_ts", lower = horizonNs, upper = 0L,
-        bin = horizonNs / 4)
+        "p_ts", "s_ts", lower = horizonUs, upper = 0L,
+        bin = horizonUs / 4)
       .select("purchase_id", "signup_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted
     val naive = p.join(s.withColumnRenamed("user_id", "u2"),
         col("user_id") === col("u2") &&
-          col("s_ts") >= col("p_ts") - horizonNs &&
+          col("s_ts") >= col("p_ts") - horizonUs &&
           col("s_ts") <= col("p_ts"))
       .select("purchase_id", "signup_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted
@@ -40,8 +40,8 @@ class RangeJoinSpec extends SparkSpec {
   test("plans as a hash join, not a nested loop") {
     val (p, s) = sides
     val plan = RangeJoin.rangeJoin(p, s, Seq("user_id"),
-        "p_ts", "s_ts", lower = horizonNs, upper = 0L,
-        bin = horizonNs / 4)
+        "p_ts", "s_ts", lower = horizonUs, upper = 0L,
+        bin = horizonUs / 4)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("CartesianProduct"))

@@ -59,7 +59,7 @@ class EventStreamSpec extends SparkSpec {
       .toMap
     // driver-side reference: per-user gap-split over the same events
     val expected = Tables.load(spark, sf0001, "events")
-      .selectExpr("user_id", "ts div 1000000 as ms").collect()
+      .selectExpr("user_id", "ts div 1000 as ms").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).map { case (u, rows) =>
         val ts = rows.map(_._2).sorted
