@@ -319,4 +319,59 @@ class PlanAuditSpec extends SparkSpec {
     // pushdown survives: the doc_id/n_chars filters reach the scan
     assert(p.contains("LessThan(doc_id,100)"), p.take(2000))
   }
+
+  test("q_unpivot_melt: one scan feeds the Expand; agg partial-aggregates") {
+    val p = planOf("q_unpivot_melt")
+    // stack() must plan as a map-side Generate over a SINGLE scan — four
+    // per-measure re-scans would read the fact table 4x at 100 TB
+    assert(p.contains("Generate"), p.take(2000))
+    // formatted explain names each node twice (tree + details): one
+    // physical scan == exactly 2 textual occurrences
+    assert(p.split("Scan parquet").length - 1 == 2, p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q_weighted_median: window input is the value-grain aggregate") {
+    val p = planOf("q_weighted_median")
+    // the ordered window must consume the (flag, quantity) aggregate
+    // (<= 50 rows per flag), never the raw fact rows — that pre-reduce
+    // is what keeps the exact median cheap at any scale
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+  }
+
+  test("q_fuzzy_join: blocked linkage is a hash join, never cartesian") {
+    val p = planOf("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
+  test("q_rolling_dau: contribution explode is map-side; bounds broadcast") {
+    val p = planOf("q_rolling_dau")
+    // the 7x window expansion must be a Generate (explode) with no
+    // extra shuffle of its own; the maxd bound joins as a broadcast
+    assert(p.contains("Generate"), p.take(3000))
+    assert(p.contains("Broadcast"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q_interval_union: every window hash-partitions by user") {
+    val p = planOf("q_interval_union")
+    // no single-partition funnel anywhere: islands and their rollup all
+    // run under hashpartitioning(user_id); the only range exchange is
+    // the final presentation sort
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+    assert(p.contains("hashpartitioning(user_id"), p.take(3000))
+  }
+
+  test("q_pattern_match: journey build is a partial object aggregate") {
+    val p = planOf("q_pattern_match")
+    assert(p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"), p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+  }
 }
