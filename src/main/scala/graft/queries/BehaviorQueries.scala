@@ -436,5 +436,57 @@ object BehaviorQueries extends QueryModule {
              |   len(regexp_extract_all(journey, 'vc*p')) > 0 AS converted
              | FROM j ORDER BY user_id""".stripMargin),
       "sequence pattern match (MATCH_RECOGNIZE shape): per-user ordered " +
-        "journey strings, regex-counted view->click*->purchase runs"))
+        "journey strings, regex-counted view->click*->purchase runs"),
+
+    "q_sliding_hll" -> QueryDef(
+      (s, dir) => {
+        // the 100 TB scale path for q_rolling_dau: per-day mergeable HLL
+        // sketches of the user set, then each day's SKETCH (not its
+        // rows) fans out to the 7 window-end days it influences and the
+        // per-window union estimates the rolling distinct count. Daily
+        // sketch state is ~KB regardless of row count, the fan-out
+        // carries 7x|days| sketches, and history never re-scans —
+        // day N+1 needs only day N+1's sketch. Gate: exact rolling
+        // counts (oracle-recomputed) + a 5% error band on the estimate
+        // (at sf cardinalities the sparse-mode sketch is exact).
+        val ev = T(s, dir, "events")
+        val daily = ev
+          .select(expr("ts div 86400000000").as("day"), col("user_id"))
+          .groupBy(col("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val bounds = daily.agg(max(col("day")).as("maxd"))
+        val est = daily
+          .select(explode(sequence(col("day"), col("day") + 6))
+            .as("wday"), col("sk"))
+          .crossJoin(broadcast(bounds))
+          .filter(col("wday") <= col("maxd"))
+          .groupBy(col("wday"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est7"))
+        val exact = ev
+          .select(expr("ts div 86400000000").as("day"), col("user_id"))
+          .distinct()
+          .select(explode(sequence(col("day"), col("day") + 6))
+            .as("wday"), col("user_id"))
+          .crossJoin(broadcast(bounds))
+          .filter(col("wday") <= col("maxd"))
+          .groupBy(col("wday"))
+          .agg(countDistinct(col("user_id")).as("exact7"))
+        exact.join(est, "wday")
+          .select(col("wday"), col("exact7"),
+            (abs(col("est7") - col("exact7")).cast(DoubleType) /
+              col("exact7") <= 0.05).as("est_ok"))
+          .orderBy(col("wday"))
+      },
+      Some("""WITH ud AS (SELECT DISTINCT
+             |     epoch_us(ts) // 86400000000 AS day, user_id
+             |   FROM events),
+             | ex AS (SELECT ud.day + g.g AS wday, ud.user_id
+             |   FROM ud CROSS JOIN (SELECT UNNEST(range(0,7)) AS g) g),
+             | b AS (SELECT MAX(day) AS maxd FROM ud)
+             | SELECT wday, COUNT(DISTINCT user_id) AS exact7,
+             |   TRUE AS est_ok
+             | FROM ex, b WHERE wday <= b.maxd
+             | GROUP BY wday ORDER BY wday""".stripMargin),
+      "sliding-window cardinality via mergeable per-day HLL sketches " +
+        "(sketch fan-out + window union), error-banded vs exact"))
 }

@@ -825,6 +825,48 @@ object EtlQueries extends QueryModule {
       "set-overlap estimation from per-segment HLL sketches " +
         "(inclusion-exclusion), error-banded vs exact intersection"),
 
+    "q_cdc_apply" -> QueryDef(
+      (s, dir) => {
+        // CDC log replay with latest-wins semantics (the MERGE half of
+        // lakehouse table maintenance; q_corpus_upsert covers the static
+        // upsert, this covers an ORDERED op log): events become
+        // I/U/D operations keyed by user, the last op per key wins
+        // (ordered by µs timestamp with event_id tiebreak), and deletes
+        // drop the key from the final state. One window partitioned by
+        // key — parallelism = |keys|, no global sort; at 100 TB this is
+        // exactly the shuffle MERGE INTO pays, nothing more.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        T(s, dir, "events")
+          .select(col("user_id"),
+            when(col("event_type") === "signup", "I")
+              .when(col("event_type") === "error", "D")
+              .otherwise("U").as("op"),
+            col("value").cast(DecimalType(18, 2)).as("v"),
+            col("ts"), col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("op") =!= "D")
+          .select(col("user_id"), col("op").as("last_op"),
+            col("v").cast(DoubleType).as("state_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ops AS (SELECT user_id,
+             |     CASE WHEN event_type='signup' THEN 'I'
+             |          WHEN event_type='error' THEN 'D'
+             |          ELSE 'U' END AS op,
+             |     CAST(value AS DECIMAL(18,2)) AS v,
+             |     epoch_us(ts) AS tu, event_id
+             |   FROM events),
+             | r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             |     ORDER BY tu DESC, event_id DESC) AS rn FROM ops),
+             | last AS (SELECT user_id, op, v FROM r WHERE rn = 1)
+             | SELECT user_id, op AS last_op, CAST(v AS DOUBLE)
+             |     AS state_value
+             | FROM last WHERE op <> 'D' ORDER BY user_id""".stripMargin),
+      "CDC latest-wins log replay: per-key ordered op resolution, " +
+        "delete suppression — the ordered half of MERGE semantics"),
+
     "q_a14_approx_stats" -> QueryDef(
       (s, dir) => {
         // the documented scale path for per-column profiling when

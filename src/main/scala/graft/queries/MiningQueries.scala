@@ -431,5 +431,63 @@ object MiningQueries extends QueryModule {
              |     AS BIGINT) AS self_matched
              | FROM cand GROUP BY d_key ORDER BY d_key""".stripMargin),
       "blocked fuzzy join (edit distance <= 1): bounded-block candidate " +
-        "generation, codegen levenshtein, per-record match accounting"))
+        "generation, codegen levenshtein, per-record match accounting"),
+
+    "q_bfs_reach" -> QueryDef(
+      (s, dir) => {
+        // bounded BFS over the part co-order graph — the recursive-CTE
+        // query shape (WITH RECURSIVE), expressed as the distributed
+        // iterative frontier pattern: per hop, join the frontier to the
+        // edge list, anti-join away already-visited nodes, dedup the new
+        // frontier. Min-hop semantics fall out of visiting each node at
+        // its first frontier. Every step is a keyed join/dedup — no
+        // driver-side state beyond the loop counter; at 100 TB each hop
+        // is one co-partitioned join (and the visited set stays
+        // partitioned by node, exactly connected-components' layout).
+        val li = T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val o = T(s, dir, "orders")
+        val seed = li.join(
+            o.filter(col("o_custkey") === 0).select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey").as("node")).distinct()
+        val edges = li.join(
+            li.select(col("l_orderkey").as("k2"),
+              col("l_partkey").as("dst")),
+            col("l_orderkey") === col("k2"))
+          .filter(col("l_partkey") =!= col("dst"))
+          .select(col("l_partkey").as("src"), col("dst")).distinct()
+        var visited = seed.withColumn("hop", lit(0L))
+        var frontier = seed
+        for (h <- 1 to 2) {
+          val next = frontier.join(edges, col("node") === col("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(visited.select(col("node").as("vn")),
+              col("node") === col("vn"), "left_anti")
+          frontier = next
+          visited = visited.unionByName(
+            next.withColumn("hop", lit(h.toLong)))
+        }
+        visited.groupBy(col("hop"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("hop"))
+      },
+      Some("""WITH RECURSIVE seed AS (SELECT DISTINCT l_partkey AS p
+             |   FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |   WHERE o_custkey = 0),
+             | edges AS (SELECT DISTINCT a.l_partkey AS src,
+             |     b.l_partkey AS dst
+             |   FROM lineitem a JOIN lineitem b
+             |     ON a.l_orderkey = b.l_orderkey
+             |   WHERE a.l_partkey <> b.l_partkey),
+             | bfs AS (SELECT p AS node, 0 AS hop FROM seed
+             |   UNION
+             |   SELECT e.dst, bfs.hop + 1 FROM bfs
+             |     JOIN edges e ON e.src = bfs.node
+             |   WHERE bfs.hop < 2),
+             | mh AS (SELECT node, MIN(hop) AS hop FROM bfs GROUP BY node)
+             | SELECT CAST(hop AS BIGINT) AS hop, COUNT(*) AS n_nodes
+             | FROM mh GROUP BY hop ORDER BY hop""".stripMargin),
+      "bounded BFS reachability (recursive-CTE shape) via iterative " +
+        "frontier joins with anti-join visited pruning, min-hop counts"))
 }

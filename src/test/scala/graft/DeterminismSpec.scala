@@ -49,7 +49,10 @@ class DeterminismSpec extends SparkSpec {
     // regex counts, blocked levenshtein linkage, sketch-overlap bands
     "q_unpivot_melt", "q_weighted_median", "q_welch_ttest",
     "q_rolling_dau", "q_interval_union", "q_pattern_match",
-    "q_fuzzy_join", "q_hll_overlap")
+    "q_fuzzy_join", "q_hll_overlap",
+    // ordered CDC resolution, iterative BFS frontiers, and sketch
+    // fan-out unions must all be partitioning-invariant
+    "q_cdc_apply", "q_bfs_reach", "q_sliding_hll")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)

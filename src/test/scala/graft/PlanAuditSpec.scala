@@ -374,4 +374,23 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("SortAggregate"), p.take(3000))
     assert(!p.contains("Exchange SinglePartition"), p.take(3000))
   }
+
+  test("q_cdc_apply: op resolution windows by key, never one task") {
+    val p = planOf("q_cdc_apply")
+    assert(p.contains("hashpartitioning(user_id"), p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+  }
+
+  test("q_bfs_reach: frontier hops are hash joins, never cartesian") {
+    val p = planOf("q_bfs_reach")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+  }
+
+  test("q_sliding_hll: sketches union via object agg; fan-out is a " +
+      "Generate") {
+    val p = planOf("q_sliding_hll")
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(p.contains("Generate"), p.take(3000))
+  }
 }
