@@ -781,27 +781,33 @@ object EtlQueries extends QueryModule {
         // sketched mass — the honest, documented caveat of the
         // technique (use exact joins or theta sketches when the overlap
         // is tiny relative to the sets).
+        // one scan -> one (flag, k) dedup; every downstream consumer
+        // (per-flag exact counts, per-flag sketches, union sketch,
+        // exact intersection) aggregates that same deduped frame, so
+        // the shared exchange is planned once and reused — never four
+        // re-scans of the fact table.
         val li = T(s, dir, "lineitem")
-        def side(flag: String) = li
-          .filter(col("l_returnflag") === flag)
-          .select((col("l_partkey") * 1000 + col("l_suppkey")).as("k"))
-        val a = side("R")
-        val b = side("A")
-        val skA = a.agg(hll_sketch_agg(col("k")).as("sk"))
-        val skB = b.agg(hll_sketch_agg(col("k")).as("sk"))
-        val estU = skA.unionByName(skB)
-          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_u"))
-        val estA = skA.select(hll_sketch_estimate(col("sk")).as("est_a"))
-        val estB = skB.select(hll_sketch_estimate(col("sk")).as("est_b"))
-        val da = a.distinct()
-        val db = b.distinct()
-        val exact = da.agg(count(lit(1)).as("n_a"))
-          .crossJoin(db.agg(count(lit(1)).as("n_b")))
-          .crossJoin(da.join(db, "k").agg(count(lit(1)).as("n_inter")))
+        val pairs = li.filter(col("l_returnflag").isin("R", "A"))
+          .select(col("l_returnflag").as("flag"),
+            (col("l_partkey") * 1000 + col("l_suppkey")).as("k"))
+          .distinct()
+        val perFlag = pairs.groupBy(col("flag"))
+          .agg(count(lit(1)).as("n"), hll_sketch_agg(col("k")).as("sk"))
+          .select(col("flag"), col("n"),
+            hll_sketch_estimate(col("sk")).as("est"), col("sk"))
+        val wide = perFlag.agg(
+          max(when(col("flag") === "R", col("n"))).as("n_a"),
+          max(when(col("flag") === "A", col("n"))).as("n_b"),
+          max(when(col("flag") === "R", col("est"))).as("est_a"),
+          max(when(col("flag") === "A", col("est"))).as("est_b"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_u"))
+        val inter = pairs.groupBy(col("k"))
+          .agg(count(lit(1)).as("nf"))
+          .filter(col("nf") === 2)
+          .agg(count(lit(1)).as("n_inter"))
         val union = col("n_a") + col("n_b") - col("n_inter")
         val interEst = col("est_a") + col("est_b") - col("est_u")
-        exact.crossJoin(broadcast(estA)).crossJoin(broadcast(estB))
-          .crossJoin(broadcast(estU))
+        wide.crossJoin(broadcast(inter))
           .select(col("n_a"), col("n_b"), col("n_inter"),
             (abs(col("est_a") - col("n_a")).cast(DoubleType) /
               col("n_a") <= 0.05).as("a_ok"),
