@@ -3,9 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.core.{QueryDef, QueryModule, Tables}
+import graft.functions.FixedPoint.ldiv
 
 /** OLAP/time-series analytics extensions: explicit GROUPING SETS (the
   * general form behind rollup/cube), time-series gap-filling with
@@ -747,6 +748,153 @@ object AnalyticsQueries extends QueryModule {
              |       + (ss2 - s2*s2/n2)/(n2-1)/n2), 6) AS welch_t
              | FROM w""".stripMargin),
       "Welch two-sample t from exact-decimal sufficient stats, one " +
-        "pass, round-stats-then-apply float minting")
+        "pass, round-stats-then-apply float minting"),
+
+    "q_wilson_ci" -> QueryDef(
+      (s, dir) => {
+        // Wilson 95% score interval per group — the binomial CI that
+        // stays inside [0,1] at small n (unlike the Wald interval), the
+        // right uncertainty band for per-segment success rates. One
+        // keyed count pass produces exact (n, k); the float formula is
+        // applied once with literal z-constants (1.96, z^2=3.8416,
+        // z^2/2=1.9208, z^4/4=0.9604) in an identical shape on both
+        // engines, rounded once.
+        val o = T(s, dir, "orders")
+        val st = o.groupBy(col("o_orderpriority").as("grp"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+              .as("k"))
+        val n = col("n").cast(DoubleType)
+        val p = col("k").cast(DoubleType) / n
+        val half = lit(1.96) * sqrt(p * (lit(1) - p) / n +
+          lit(0.9604) / (n * n))
+        val denom = lit(1) + lit(3.8416) / n
+        st.select(col("grp"), col("n"), col("k"),
+            round(p, 6).as("p_hat"),
+            round((p + lit(1.9208) / n - half) / denom, 6).as("wilson_lo"),
+            round((p + lit(1.9208) / n + half) / denom, 6).as("wilson_hi"))
+          .orderBy(col("grp"))
+      },
+      Some("""WITH s AS (SELECT o_orderpriority AS grp, COUNT(*) AS n,
+             |     CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+             |       END) AS BIGINT) AS k
+             |   FROM orders GROUP BY 1)
+             | SELECT grp, n, k,
+             |   ROUND(CAST(k AS DOUBLE)/n, 6) AS p_hat,
+             |   ROUND((CAST(k AS DOUBLE)/n + 1.9208/n
+             |     - 1.96*sqrt((CAST(k AS DOUBLE)/n)
+             |         *(1 - CAST(k AS DOUBLE)/n)/n + 0.9604/(n*n)))
+             |     / (1 + 3.8416/n), 6) AS wilson_lo,
+             |   ROUND((CAST(k AS DOUBLE)/n + 1.9208/n
+             |     + 1.96*sqrt((CAST(k AS DOUBLE)/n)
+             |         *(1 - CAST(k AS DOUBLE)/n)/n + 0.9604/(n*n)))
+             |     / (1 + 3.8416/n), 6) AS wilson_hi
+             | FROM s ORDER BY grp""".stripMargin),
+      "Wilson score interval per group: exact keyed counts, one float " +
+        "mint with literal z-constants"),
+
+    "q_autocorr_lag" -> QueryDef(
+      (s, dir) => {
+        // lag-1 autocorrelation of the daily value series — the
+        // burstiness/trend diagnostic for ingest monitoring. Day grain
+        // first (keyed agg), lag pairs via an ordered window over the
+        // BOUNDED day grain (30 rows here, |days| generally — never raw
+        // events), then Pearson over exact-decimal sufficient stats
+        // with the q_a18_corr_ols float recipe.
+        val d28 = DecimalType(28, 4)
+        val daily = T(s, dir, "events")
+          .groupBy(expr("ts div 86400000000").as("day"))
+          .agg(sum(col("value").cast(DecimalType(18, 2))).as("v"))
+        val w = Window.orderBy(col("day"))
+        val pairs = daily
+          .select(col("day"), col("v").cast(d28).as("x"),
+            lead(col("v"), 1).over(w).cast(d28).as("y"))
+          .filter(col("y").isNotNull)
+        val st = pairs.agg(count(lit(1)).as("n"),
+          sum(col("x")).cast(DoubleType).as("sx"),
+          sum(col("y")).cast(DoubleType).as("sy"),
+          sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
+          sum(col("y") * col("y")).cast(DoubleType).as("syy"),
+          sum(col("x") * col("y")).cast(DoubleType).as("sxy"))
+        val n = col("n").cast(DoubleType)
+        st.select(col("n").as("n_pairs"),
+          round((n * col("sxy") - col("sx") * col("sy")) /
+            sqrt((n * col("sxx") - col("sx") * col("sx")) *
+              (n * col("syy") - col("sy") * col("sy"))), 8)
+            .as("autocorr_lag1"))
+      },
+      Some("""WITH d AS (SELECT epoch_us(ts)//86400000000 AS day,
+             |     SUM(CAST(value AS DECIMAL(18,2))) AS v
+             |   FROM events GROUP BY 1),
+             | p AS (SELECT CAST(v AS DECIMAL(28,4)) AS x,
+             |     CAST(lead(v) OVER (ORDER BY day) AS DECIMAL(28,4)) AS y
+             |   FROM d),
+             | t AS (SELECT x, y FROM p WHERE y IS NOT NULL),
+             | s AS (SELECT COUNT(*) AS n,
+             |     CAST(SUM(x) AS DOUBLE) AS sx,
+             |     CAST(SUM(y) AS DOUBLE) AS sy,
+             |     CAST(SUM(x*x) AS DOUBLE) AS sxx,
+             |     CAST(SUM(y*y) AS DOUBLE) AS syy,
+             |     CAST(SUM(x*y) AS DOUBLE) AS sxy FROM t)
+             | SELECT n AS n_pairs,
+             |   ROUND((n*sxy - sx*sy)
+             |     / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)), 8)
+             |     AS autocorr_lag1
+             | FROM s""".stripMargin),
+      "lag-1 autocorrelation of the daily series: bounded day-grain " +
+        "window, exact-decimal sufficient stats"),
+
+    "q_benford_audit" -> QueryDef(
+      (s, dir) => {
+        // Benford first-significant-digit audit — the fraud/synthetic-
+        // data screen: observed first-digit counts vs the Benford
+        // expectation log10(1+1/d), carried as exact parts-per-million
+        // LITERALS (no in-query logarithms to disagree on). Deviation =
+        // floor(observed*1e6/total) − expected_ppm, all in exact long
+        // division (ldiv). One keyed count + a 9-row broadcast join.
+        import s.implicits._
+        val expected = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+            4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+            8 -> 51153L, 9 -> 45757L)
+          .toDF("digit", "expected_ppm")
+          .select(col("digit").cast(LongType).as("digit"),
+            col("expected_ppm"))
+        val digits = T(s, dir, "orders")
+          .filter(col("o_totalprice") >= 1)
+          .select(expr(
+            "cast(substring(cast(cast(floor(o_totalprice) as bigint) " +
+              "as string), 1, 1) as bigint)").as("digit"))
+        val obs = digits.groupBy(col("digit"))
+          .agg(count(lit(1)).as("observed"))
+        val tot = digits.agg(count(lit(1)).as("total"))
+        broadcast(expected).join(obs, Seq("digit"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("digit"),
+            coalesce(col("observed"), lit(0L)).as("observed"),
+            col("expected_ppm"),
+            (ldiv(coalesce(col("observed"), lit(0L)) * 1000000L,
+              col("total")) - col("expected_ppm")).as("dev_ppm"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH digits AS (SELECT CAST(substr(CAST(CAST(
+             |       FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+             |       AS BIGINT) AS digit
+             |   FROM orders WHERE o_totalprice >= 1),
+             | o AS (SELECT digit, COUNT(*) AS observed FROM digits
+             |   GROUP BY digit),
+             | n AS (SELECT COUNT(*) AS total FROM digits),
+             | e AS (SELECT * FROM (VALUES (1,301030),(2,176091),
+             |     (3,124939),(4,96910),(5,79181),(6,66947),(7,57992),
+             |     (8,51153),(9,45757)) AS t(digit, expected_ppm))
+             | SELECT CAST(e.digit AS BIGINT) AS digit,
+             |   COALESCE(o.observed, 0) AS observed,
+             |   CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+             |   CAST((COALESCE(o.observed,0)*1000000
+             |     - (COALESCE(o.observed,0)*1000000 % n.total)) // n.total
+             |     - e.expected_ppm AS BIGINT) AS dev_ppm
+             | FROM e LEFT JOIN o ON o.digit = e.digit CROSS JOIN n
+             | ORDER BY e.digit""".stripMargin),
+      "Benford first-digit audit: literal ppm expectations, exact " +
+        "long-division deviations, 9-row broadcast join")
   )
 }

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType,
+  LongType}
 
 import graft.core.{QueryDef, QueryModule, Tables}
 import graft.operators.PrefixSum
@@ -488,5 +489,80 @@ object BehaviorQueries extends QueryModule {
              | FROM ex, b WHERE wday <= b.maxd
              | GROUP BY wday ORDER BY wday""".stripMargin),
       "sliding-window cardinality via mergeable per-day HLL sketches " +
-        "(sketch fan-out + window union), error-banded vs exact"))
+        "(sketch fan-out + window union), error-banded vs exact"),
+
+    "q_cusum_drift" -> QueryDef(
+      (s, dir) => {
+        // CUSUM changepoint detection over the daily value series (the
+        // ingest-drift screen: where does the cumulative deviation from
+        // the series mean peak?). The float-free trick: cusum_t =
+        // S_t − t·mean has the same argmax as C_t = n·S_t − t·S_total
+        // (multiplied through by n>0), and C_t is EXACT integer cents —
+        // no mean rounding to disagree on. The ordered window runs over
+        // the day grain (|days| rows, 30 here), never raw events.
+        val daily = T(s, dir, "events")
+          .groupBy(expr("ts div 86400000000").as("day"))
+          .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+            .cast(LongType).as("cents"))
+        val w = Window.orderBy(col("day"))
+        val run = w.rowsBetween(Window.unboundedPreceding, 0)
+        val c = daily
+          .withColumn("st", sum(col("cents")).over(run))
+          .withColumn("t", row_number().over(w))
+          .crossJoin(broadcast(daily.agg(
+            sum(col("cents")).as("tot"), count(lit(1)).as("n"))))
+          .select(col("day"), (col("n") * col("st") -
+            col("t") * col("tot")).as("ct"))
+        val mx = c.agg(max(abs(col("ct"))).as("max_abs_c"))
+        c.agg(count(lit(1)).as("n_days"))
+          .crossJoin(broadcast(mx))
+          .crossJoin(broadcast(c.crossJoin(broadcast(mx))
+            .filter(abs(col("ct")) === col("max_abs_c"))
+            .agg(min(col("day")).as("change_day"))))
+      },
+      Some("""WITH d AS (SELECT epoch_us(ts)//86400000000 AS day,
+             |     CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+             |       AS BIGINT) AS cents
+             |   FROM events GROUP BY 1),
+             | w AS (SELECT day, cents,
+             |     SUM(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+             |       PRECEDING AND CURRENT ROW) AS st,
+             |     ROW_NUMBER() OVER (ORDER BY day) AS t,
+             |     SUM(cents) OVER () AS tot, COUNT(*) OVER () AS n
+             |   FROM d),
+             | c AS (SELECT day, n*st - t*tot AS ct FROM w)
+             | SELECT (SELECT COUNT(*) FROM c) AS n_days,
+             |   (SELECT CAST(MAX(ABS(ct)) AS BIGINT) FROM c)
+             |     AS max_abs_c,
+             |   (SELECT MIN(day) FROM c WHERE ABS(ct) =
+             |     (SELECT MAX(ABS(ct)) FROM c)) AS change_day"""
+        .stripMargin),
+      "CUSUM changepoint over daily totals: integer-exact n*S_t - " +
+        "t*S_total deviation, bounded day-grain window"),
+
+    "q_dow_profile" -> QueryDef(
+      (s, dir) => {
+        // day-of-week x hour activity heatmap — the calendar profile
+        // behind load shaping and anomaly baselines. Pure integral
+        // µs arithmetic (epoch day 0 = Thursday, so (day+3) % 7 makes
+        // 0 = Monday; hour = µs-of-day div 3600e6) — no timezone or
+        // date-library semantics to disagree on. Map + one keyed agg
+        // into a bounded 168-cell result.
+        T(s, dir, "events")
+          .groupBy(
+            expr("(ts div 86400000000 + 3) % 7").as("dow"),
+            expr("(ts % 86400000000) div 3600000000").as("hour"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("total"))
+          .orderBy(col("dow"), col("hour"))
+      },
+      Some("""SELECT (epoch_us(ts)//86400000000 + 3) % 7 AS dow,
+             |   (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+             |   COUNT(*) AS n,
+             |   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |     AS total
+             | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "day-of-week x hour activity heatmap: integral calendar " +
+        "bucketing, one keyed agg, bounded 168-cell output"))
 }

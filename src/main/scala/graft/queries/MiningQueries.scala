@@ -462,18 +462,28 @@ object MiningQueries extends QueryModule {
             o.filter(col("o_custkey") === 0).select(col("o_orderkey")),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("l_partkey").as("node")).distinct()
+        // materialize the edge list ONCE (localCheckpoint, as the
+        // components clusterer does): the co-order self-join + dedup is
+        // the expensive shuffle, and both hops reuse its result instead
+        // of rebuilding it. Each hop is then a broadcast-FRONTIER hash
+        // join streaming the materialized edges in place — the frontier
+        // is bounded by |nodes|, so edges never shuffle per hop (the
+        // classic distributed-BFS asymmetry; a frontier too big to
+        // broadcast would fall back to the shuffle join).
         val edges = li.join(
             li.select(col("l_orderkey").as("k2"),
               col("l_partkey").as("dst")),
             col("l_orderkey") === col("k2"))
           .filter(col("l_partkey") =!= col("dst"))
           .select(col("l_partkey").as("src"), col("dst")).distinct()
+          .localCheckpoint()
         var visited = seed.withColumn("hop", lit(0L))
         var frontier = seed
         for (h <- 1 to 2) {
-          val next = frontier.join(edges, col("node") === col("src"))
+          val next = broadcast(frontier)
+            .join(edges, col("node") === col("src"))
             .select(col("dst").as("node")).distinct()
-            .join(visited.select(col("node").as("vn")),
+            .join(broadcast(visited.select(col("node").as("vn"))),
               col("node") === col("vn"), "left_anti")
           frontier = next
           visited = visited.unionByName(

@@ -52,7 +52,12 @@ class DeterminismSpec extends SparkSpec {
     "q_fuzzy_join", "q_hll_overlap",
     // ordered CDC resolution, iterative BFS frontiers, and sketch
     // fan-out unions must all be partitioning-invariant
-    "q_cdc_apply", "q_bfs_reach", "q_sliding_hll")
+    "q_cdc_apply", "q_bfs_reach", "q_sliding_hll",
+    // stats battery: one-mint float formulas over exact keyed counts,
+    // integer-exact CUSUM deviations, ldiv ppm deviations, and the
+    // day-grain ordered windows must all be partitioning-invariant
+    "q_wilson_ci", "q_autocorr_lag", "q_benford_audit",
+    "q_cusum_drift", "q_dow_profile")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)

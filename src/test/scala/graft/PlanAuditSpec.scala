@@ -393,4 +393,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p.take(3000))
     assert(p.contains("Generate"), p.take(3000))
   }
+
+  test("q_benford_audit: expectation table broadcasts; one count pass") {
+    val p = planOf("q_benford_audit")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q_cusum_drift: ordered window consumes the day grain only") {
+    val p = planOf("q_cusum_drift")
+    // the global-order window is the documented bounded-grain pattern:
+    // its input must be the day aggregate (HashAggregate below Window),
+    // and the totals ride broadcast joins
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
