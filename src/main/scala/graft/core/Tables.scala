@@ -101,19 +101,22 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 
-  /** Epoch values >= this are nanoseconds: 4e16 µs is year 3237 while
-    * 4e16 ns is April 1971 — no plausible event time is ambiguous, so one
-    * integral comparison classifies the stored unit per row (codegen'd,
-    * branch-free cost; no footer-sniffing, no data-dependent plan).
-    */
-  val NanosThreshold = 40000000000000000L
-
-  /** Normalize a raw int64 epoch `ts` (micros OR nanos, whichever the
-    * parquet generation stored) to canonical MICROSECONDS. SQL fragment so
-    * both batch and streaming readers share the exact same expression.
+  /** Normalize a raw int64 epoch `ts` to canonical MICROSECONDS,
+    * whatever unit the parquet generation stored (the unit has already
+    * changed once between testdata drops — ns then µs). Seconds, millis,
+    * micros, and nanos since epoch live 1000x apart, so for any instant
+    * between 1973 and ~5100 the magnitude alone classifies the unit:
+    * >=1e17 is nanos (1e17 µs would be year 5138), >=1e14 is micros
+    * (1e14 ms would be 5138 too), >=1e11 is millis, else seconds. A
+    * per-row integral CASE ladder — codegen'd, deterministic, no
+    * footer-sniffing, no data-dependent plan. SQL fragment so batch and
+    * streaming readers share the exact same expression.
     */
   val tsToMicrosSql: String =
-    s"CASE WHEN ts >= ${NanosThreshold}L THEN ts div 1000 ELSE ts END"
+    "CASE WHEN ts >= 100000000000000000L THEN ts div 1000 " +
+      "WHEN ts >= 100000000000000L THEN ts " +
+      "WHEN ts >= 100000000000L THEN ts * 1000 " +
+      "ELSE ts * 1000000 END"
 
   /** Read one synthetic table with its declared schema. Column pruning +
     * predicate pushdown then apply at the parquet scan via Catalyst.

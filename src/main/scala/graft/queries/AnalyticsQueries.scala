@@ -895,6 +895,54 @@ object AnalyticsQueries extends QueryModule {
              | FROM e LEFT JOIN o ON o.digit = e.digit CROSS JOIN n
              | ORDER BY e.digit""".stripMargin),
       "Benford first-digit audit: literal ppm expectations, exact " +
-        "long-division deviations, 9-row broadcast join")
+        "long-division deviations, 9-row broadcast join"),
+
+    "q_f15_null_edge_funcs" -> QueryDef(
+      (s, dir) => {
+        // null-handling + edge scalar battery: NULLIF/COALESCE/IFNULL
+        // chains, null-safe equality (<=> vs IS NOT DISTINCT FROM),
+        // GREATEST/LEAST, bitwise and/xor/shift, negative-dividend mod
+        // (both engines follow the dividend sign), and SIGN. Cross-
+        // engine traps documented in the shapes: double->int casts go
+        // through FLOOR (DuckDB's CAST rounds, Spark truncates), and
+        // DuckDB's ^ is power so its xor() pairs with Spark's ^. Pure
+        // map over a pushed-down slice.
+        T(s, dir, "events").filter(col("event_id") < 1000)
+          .select(col("event_id"),
+            expr("coalesce(nullif(event_type, 'error'), 'fallback')")
+              .as("c_coalesce"),
+            expr("ifnull(nullif(user_id, 0), -1)").as("c_ifnull"),
+            (col("user_id") <=> expr("nullif(user_id, 0)"))
+              .as("c_nullsafe_eq"),
+            greatest(col("user_id") % 7,
+              expr("cast(floor(value) as bigint) % 7")).as("c_greatest"),
+            least(col("user_id") % 7,
+              expr("cast(floor(value) as bigint) % 7")).as("c_least"),
+            expr("user_id & 255").as("c_band"),
+            expr("user_id ^ 170").as("c_bxor"),
+            expr("shiftleft(user_id, 2)").as("c_shl"),
+            (expr("-user_id") % 7).as("c_negmod"),
+            expr("cast(sign(value - 250.0d) as bigint)").as("c_sign"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |   COALESCE(NULLIF(event_type, 'error'), 'fallback')
+             |     AS c_coalesce,
+             |   IFNULL(NULLIF(user_id, 0), -1) AS c_ifnull,
+             |   (user_id IS NOT DISTINCT FROM NULLIF(user_id, 0))
+             |     AS c_nullsafe_eq,
+             |   GREATEST(user_id % 7, CAST(FLOOR(value) AS BIGINT) % 7)
+             |     AS c_greatest,
+             |   LEAST(user_id % 7, CAST(FLOOR(value) AS BIGINT) % 7)
+             |     AS c_least,
+             |   (user_id & 255) AS c_band,
+             |   xor(user_id, 170) AS c_bxor,
+             |   (user_id << 2) AS c_shl,
+             |   (-user_id) % 7 AS c_negmod,
+             |   CAST(SIGN(value - 250.0) AS BIGINT) AS c_sign
+             | FROM events WHERE event_id < 1000
+             | ORDER BY event_id""".stripMargin),
+      "null-handling + edge scalar battery: nullif/coalesce/ifnull, " +
+        "null-safe equality, greatest/least, bit ops, signed mod, sign")
   )
 }
