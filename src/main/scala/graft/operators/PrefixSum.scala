@@ -73,4 +73,52 @@ object PrefixSum {
         StructField(valueCol, LongType, nullable = false),
         StructField(runName, LongType, nullable = false))))
   }
+
+  /** Running MAXIMUM of `valueCol` (long) ordered by `orderCol` (long,
+    * globally unique), plus a flag marking rows that strictly RAISE the
+    * running max — i.e. rows beating every value strictly before them.
+    * That flag is exactly the 2-D skyline/Pareto-front membership test
+    * (sort by the minimized dimension, keep maximizer improvements), so
+    * the front computation inherits this scan's scale shape instead of
+    * a single-task global window. Same two-phase structure as
+    * [[runningTotal]] with the (max, Long.MinValue) monoid — max is
+    * associative, so per-partition maxima + an exclusive driver scan of
+    * P values reconstruct the exact global scan.
+    */
+  def runningMax(df: DataFrame, orderCol: String, valueCol: String,
+      runName: String = "runmax",
+      flagName: String = "is_new_max"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .select(col(orderCol).cast(LongType).as("__k"),
+        col(valueCol).cast(LongType).as("__v"))
+      .repartitionByRange(col("__k"))
+      .sortWithinPartitions(col("__k"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rdd = sorted.rdd
+    val totals = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var m = Long.MinValue
+        it.foreach(r => m = math.max(m, r.getLong(1)))
+        Iterator.single((i, m))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(Long.MinValue)(math.max)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = bc.value(i)
+      it.map { r =>
+        val before = acc
+        val v = r.getLong(1)
+        acc = math.max(acc, v)
+        Row(r.getLong(0), v, acc, v > before)
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+        StructField(orderCol, LongType, nullable = false),
+        StructField(valueCol, LongType, nullable = false),
+        StructField(runName, LongType, nullable = false),
+        StructField(flagName,
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
+  }
 }

@@ -943,6 +943,40 @@ object AnalyticsQueries extends QueryModule {
              | FROM events WHERE event_id < 1000
              | ORDER BY event_id""".stripMargin),
       "null-handling + edge scalar battery: nullif/coalesce/ifnull, " +
-        "null-safe equality, greatest/least, bit ops, signed mod, sign")
+        "null-safe equality, greatest/least, bit ops, signed mod, sign"),
+
+    "q_skyline_pareto" -> QueryDef(
+      (s, dir) => {
+        // 2-D skyline / Pareto front (maximize quantity, minimize
+        // price): a point is on the front iff its quantity beats every
+        // strictly cheaper point's. Pre-reduce to price grain (max qty
+        // per exact cent price — decimal cents, since a double*100 cast
+        // truncates on Spark and rounds on DuckDB), then the front test
+        // is one distributed running-max scan (PrefixSum.runningMax,
+        // the two-phase range-partitioned form) — never a single-task
+        // global window over ~|distinct prices| rows.
+        val g = T(s, dir, "lineitem")
+          .groupBy((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("price_cents"))
+          .agg(max(col("l_quantity").cast(LongType)).as("qty"))
+        graft.operators.PrefixSum
+          .runningMax(g, "price_cents", "qty")
+          .filter(col("is_new_max"))
+          .select(col("price_cents"), col("qty"))
+          .orderBy(col("price_cents"))
+      },
+      Some("""WITH g AS (SELECT CAST(CAST(l_extendedprice AS
+             |       DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+             |     CAST(MAX(l_quantity) AS BIGINT) AS qty
+             |   FROM lineitem GROUP BY 1),
+             | w AS (SELECT price_cents, qty,
+             |     MAX(qty) OVER (ORDER BY price_cents
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |       AS pm FROM g)
+             | SELECT price_cents, qty FROM w
+             | WHERE pm IS NULL OR qty > pm
+             | ORDER BY price_cents""".stripMargin),
+      "2-D skyline/Pareto front via the distributed two-phase " +
+        "running-max scan (no single-task global window)")
   )
 }

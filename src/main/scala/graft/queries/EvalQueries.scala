@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampNTZType}
 
 import graft.core.{QueryDef, QueryModule, Tables}
 import graft.functions.FixedPoint.{ldiv, scaledDiv}
@@ -231,5 +231,70 @@ object EvalQueries extends QueryModule {
              |        * 1000000000) // (k * total) AS gini_scaled
              | FROM a""".stripMargin),
       "Gini concentration of per-source corpus contribution: keyed " +
-        "counts, bounded ordered window, split-division fixed point"))
+        "counts, bounded ordered window, split-division fixed point"),
+
+    "q_psi_drift" -> QueryDef(
+      (s, dir) => {
+        // Population Stability Index between a reference and a current
+        // period — the standard serving-drift monitor (PSI > 0.2 ⇒
+        // investigate): bucket the score proxy (order value) with
+        // literal bucket edges, add-1 smooth both period counts, and
+        // compute per-bucket (p−q)·ln(p/q) terms with the same
+        // fixed-point recipe as the KL-divergence gate: exact ppm
+        // shares via ldiv, one fixed-point ln of the exact-integer
+        // ratio, integer products. One scan, one keyed agg, a 10-row
+        // broadcast of period totals.
+        val o = T(s, dir, "orders").select(
+          when(col("o_orderdate") <
+            lit("1996-07-01 00:00:00").cast(TimestampNTZType), "p")
+            .otherwise("q").as("period"),
+          least(floor(col("o_totalprice") / 50000), lit(9))
+            .cast(LongType).as("bucket"))
+        val counts = o.groupBy(col("bucket")).agg(
+          sum(when(col("period") === "p", 1L).otherwise(0L)).as("cp"),
+          sum(when(col("period") === "q", 1L).otherwise(0L)).as("cq"))
+        val tot = o.agg(
+          sum(when(col("period") === "p", 1L).otherwise(0L)).as("np"),
+          sum(when(col("period") === "q", 1L).otherwise(0L)).as("nq"))
+        val pppm = ldiv((col("cp") + 1) * 1000000L, col("np") + 10)
+        val qppm = ldiv((col("cq") + 1) * 1000000L, col("nq") + 10)
+        counts.crossJoin(broadcast(tot))
+          .select(col("bucket"), col("cp"), col("cq"),
+            pppm.as("p_ppm"), qppm.as("q_ppm"))
+          .withColumn("term_scaled",
+            (col("p_ppm") - col("q_ppm")) *
+              floor(lit(1e6) * log(col("p_ppm").cast(DoubleType) /
+                col("q_ppm"))).cast(LongType))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH o AS (SELECT CASE WHEN o_orderdate <
+             |       TIMESTAMP '1996-07-01 00:00:00' THEN 'p' ELSE 'q'
+             |       END AS period,
+             |     CAST(LEAST(FLOOR(o_totalprice / 50000), 9) AS BIGINT)
+             |       AS bucket
+             |   FROM orders),
+             | c AS (SELECT bucket,
+             |     CAST(SUM(CASE WHEN period='p' THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS cp,
+             |     CAST(SUM(CASE WHEN period='q' THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS cq
+             |   FROM o GROUP BY bucket),
+             | t AS (SELECT
+             |     CAST(SUM(CASE WHEN period='p' THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS np,
+             |     CAST(SUM(CASE WHEN period='q' THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS nq FROM o),
+             | s AS (SELECT bucket, cp, cq,
+             |     ((cp+1)*1000000 - ((cp+1)*1000000 % (np+10)))
+             |       // (np+10) AS p_ppm,
+             |     ((cq+1)*1000000 - ((cq+1)*1000000 % (nq+10)))
+             |       // (nq+10) AS q_ppm
+             |   FROM c CROSS JOIN t)
+             | SELECT bucket, cp, cq, p_ppm, q_ppm,
+             |   (p_ppm - q_ppm) * CAST(FLOOR(1e6 *
+             |     ln(CAST(p_ppm AS DOUBLE) / q_ppm)) AS BIGINT)
+             |     AS term_scaled
+             | FROM s ORDER BY bucket""".stripMargin),
+      "Population Stability Index between periods: literal bucket " +
+        "edges, add-1 smoothed exact ppm shares, fixed-point ln terms"))
 }

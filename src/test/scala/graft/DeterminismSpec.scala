@@ -57,7 +57,10 @@ class DeterminismSpec extends SparkSpec {
     // integer-exact CUSUM deviations, ldiv ppm deviations, and the
     // day-grain ordered windows must all be partitioning-invariant
     "q_wilson_ci", "q_autocorr_lag", "q_benford_audit",
-    "q_cusum_drift", "q_dow_profile", "q_f15_null_edge_funcs")
+    "q_cusum_drift", "q_dow_profile", "q_f15_null_edge_funcs",
+    // the two-phase running-max front and the fixed-point PSI terms
+    // must survive a repartitioning unchanged
+    "q_skyline_pareto", "q_psi_drift")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)

@@ -44,4 +44,32 @@ class PrefixSumSpec extends SparkSpec {
     val total = input.agg(sum($"v")).collect()(0).getLong(0)
     assert(last === total)
   }
+
+  test("runningMax matches the single-partition window oracle, " +
+      "flag marks strict improvements") {
+    val got = PrefixSum.runningMax(input, "k", "v")
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val w = Window.orderBy($"k")
+    val want = input
+      .withColumn("rm", max($"v").over(w.rowsBetween(
+        Window.unboundedPreceding, 0)))
+      .withColumn("pm", max($"v").over(w.rowsBetween(
+        Window.unboundedPreceding, -1)))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(2), r.isNullAt(3) || r.getLong(1) > r.getLong(3))))
+      .toMap
+    assert(got === want)
+  }
+
+  test("runningMax is invariant to input partitioning") {
+    val a = PrefixSum.runningMax(input.repartition(1), "k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+      .sorted
+    val b = PrefixSum.runningMax(input.repartition(17, $"v"), "k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+      .sorted
+    assert(a === b)
+    assert(a.length === input.count())
+  }
 }
