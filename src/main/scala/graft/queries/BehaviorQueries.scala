@@ -564,5 +564,101 @@ object BehaviorQueries extends QueryModule {
              |     AS total
              | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       "day-of-week x hour activity heatmap: integral calendar " +
-        "bucketing, one keyed agg, bounded 168-cell output"))
+        "bucketing, one keyed agg, bounded 168-cell output"),
+
+    "q_top_paths" -> QueryDef(
+      (s, dir) => {
+        // top event paths: the most frequent length-3 event-type
+        // sequences across all users (the product-analytics "common
+        // journeys" view). lead() under per-user windows emits each
+        // trigram locally, one keyed count reduces, and the global
+        // top-k rides TakeOrderedAndProject — never a full sort.
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        T(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("t"))
+          .withColumn("t2", lead(col("t"), 1).over(byUser))
+          .withColumn("t3", lead(col("t"), 2).over(byUser))
+          .filter(col("t3").isNotNull)
+          .select(concat_ws(">", col("t"), col("t2"), col("t3"))
+            .as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("path")).limit(15)
+      },
+      Some("""WITH e AS (SELECT user_id, event_type AS t,
+             |     epoch_us(ts) AS tu, event_id FROM events),
+             | w AS (SELECT user_id, t,
+             |     lead(t, 1) OVER (PARTITION BY user_id
+             |       ORDER BY tu, event_id) AS t2,
+             |     lead(t, 2) OVER (PARTITION BY user_id
+             |       ORDER BY tu, event_id) AS t3
+             |   FROM e)
+             | SELECT t || '>' || t2 || '>' || t3 AS path,
+             |   COUNT(*) AS n
+             | FROM w WHERE t3 IS NOT NULL
+             | GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin),
+      "top event paths: per-user lead() trigrams, keyed counts, " +
+        "deterministic global top-k"),
+
+    "q_funnel_latency" -> QueryDef(
+      (s, dir) => {
+        // funnel time-to-convert distribution: per converting user the
+        // delay from first view to first subsequent purchase, then
+        // exact discrete percentiles with an EXPLICIT crossing rule
+        // (smallest delay with 100*cum >= q*n) evaluated identically on
+        // both engines — no engine-specific quantile semantics in the
+        // gate. Delays quantize to seconds first, so the ordered window
+        // runs over the bounded delay-seconds grain (the q_auc_rank
+        // knob), not per-user rows.
+        val ev = T(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(v, "user_id").filter(col("ts") > col("v_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+        val g = p.join(v, "user_id")
+          .select(expr("(p_ts - v_ts) div 1000000").as("delay_s"))
+          .groupBy(col("delay_s")).agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("delay_s"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = g
+          .withColumn("cum", sum(col("c")).over(w))
+          .withColumn("n", sum(col("c")).over(
+            Window.partitionBy()))
+        val stats = g.agg(sum(col("c")).as("n_converted"),
+          min(col("delay_s")).as("min_s"), max(col("delay_s")).as("max_s"))
+        val p50 = cum.filter(col("cum") * 100 >= col("n") * 50)
+          .agg(min(col("delay_s")).as("p50_s"))
+        val p90 = cum.filter(col("cum") * 100 >= col("n") * 90)
+          .agg(min(col("delay_s")).as("p90_s"))
+        stats.crossJoin(broadcast(p50)).crossJoin(broadcast(p90))
+          .select(col("n_converted"), col("min_s"), col("p50_s"),
+            col("p90_s"), col("max_s"))
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS v_ts
+             |   FROM events WHERE event_type = 'view' GROUP BY user_id),
+             | p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_ts
+             |   FROM events e JOIN v ON e.user_id = v.user_id
+             |   WHERE e.event_type = 'purchase'
+             |     AND epoch_us(e.ts) > v.v_ts
+             |   GROUP BY e.user_id),
+             | d AS (SELECT (p.p_ts - v.v_ts) // 1000000 AS delay_s
+             |   FROM p JOIN v USING (user_id)),
+             | g AS (SELECT delay_s, COUNT(*) AS c FROM d GROUP BY 1),
+             | w AS (SELECT delay_s, c,
+             |     SUM(c) OVER (ORDER BY delay_s ROWS BETWEEN UNBOUNDED
+             |       PRECEDING AND CURRENT ROW) AS cum,
+             |     SUM(c) OVER () AS n FROM g)
+             | SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM g)
+             |     AS n_converted,
+             |   (SELECT MIN(delay_s) FROM g) AS min_s,
+             |   (SELECT MIN(delay_s) FROM w WHERE cum*100 >= n*50)
+             |     AS p50_s,
+             |   (SELECT MIN(delay_s) FROM w WHERE cum*100 >= n*90)
+             |     AS p90_s,
+             |   (SELECT MAX(delay_s) FROM g) AS max_s""".stripMargin),
+      "funnel time-to-convert percentiles: explicit crossing rule over " +
+        "the bounded delay-seconds grain, identical on both engines"))
 }

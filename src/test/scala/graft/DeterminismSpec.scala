@@ -60,7 +60,10 @@ class DeterminismSpec extends SparkSpec {
     "q_cusum_drift", "q_dow_profile", "q_f15_null_edge_funcs",
     // the two-phase running-max front and the fixed-point PSI terms
     // must survive a repartitioning unchanged
-    "q_skyline_pareto", "q_psi_drift")
+    "q_skyline_pareto", "q_psi_drift",
+    // trigram path counts (tie-broken top-k) and the explicit
+    // percentile crossing rule must survive a repartitioning unchanged
+    "q_top_paths", "q_funnel_latency")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
