@@ -120,6 +120,28 @@ object EventStream {
       }
   }
 
+  /** Declarative sessionization via Spark's native `session_window` —
+    * the engine-managed form of [[sessionize]]'s custom state logic (and
+    * the declarative twin of the batch lag+cumsum gate,
+    * q_sessionize_batch). Works on batch AND streaming frames; in
+    * streaming the state store holds one merging window per open
+    * session, evicted by the watermark.
+    *
+    * Boundary semantics: session_window merges an event that lands
+    * STRICTLY inside [start, last+gap), i.e. it splits on inter-event
+    * gaps >= gap, while the lag+cumsum form splits on gaps > gap. The
+    * two differ only for events exactly gap apart (measure-zero on µs
+    * data; EventStreamSpec cross-checks equality on the fixture).
+    */
+  def sessionWindows(events: DataFrame,
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   /** Watermarked stream-stream interval join: each purchase event joined
     * to the same user's signup events that happened within `horizon`
     * before it. Both sides carry watermarks and the join condition bounds

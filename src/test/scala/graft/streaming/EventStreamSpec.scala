@@ -74,6 +74,34 @@ class EventStreamSpec extends SparkSpec {
     assert(expected.values.exists(_._2 > 1))
   }
 
+  test("native session_window matches the custom-state and lag+cumsum " +
+      "sessionizations") {
+    // batch mode: the declarative engine-managed sessionization must
+    // agree with the lag+cumsum construction on per-user session counts
+    // and event conservation (no 30-min-exact gaps exist in the fixture,
+    // so the boundary-semantics difference cannot bite)
+    val ev = Tables.load(spark, sf0001, "events")
+    val native = EventStream.sessionWindows(ev)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val gapUs = 30L * 60 * 1000000L
+    val lagged = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, rows) =>
+        val ts = rows.map(_._2).sorted
+        val nSessions = 1L + ts.sliding(2).count {
+          case Array(a, b) => b - a > gapUs
+          case _ => false
+        }
+        u -> (nSessions, ts.length.toLong)
+      }
+    assert(native === lagged)
+    assert(native.values.exists(_._1 > 1))
+  }
+
   test("streaming dedup drops watermark-window duplicates") {
     // stage the same documents file twice: every doc arrives twice with
     // identical event-time → the second copy must be dropped
