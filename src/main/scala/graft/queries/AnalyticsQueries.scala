@@ -977,6 +977,70 @@ object AnalyticsQueries extends QueryModule {
              | WHERE pm IS NULL OR qty > pm
              | ORDER BY price_cents""".stripMargin),
       "2-D skyline/Pareto front via the distributed two-phase " +
-        "running-max scan (no single-task global window)")
+        "running-max scan (no single-task global window)"),
+
+    "q_f16_lambda_funcs" -> QueryDef(
+      (s, dir) => {
+        // higher-order function battery: transform / filter / aggregate
+        // (fold) / size-of-filter with real lambdas, gated element-for-
+        // element against DuckDB's list lambdas. All lambda evaluation
+        // is codegen'd row-local array work — map-only, no shuffle
+        // before the presentation sort; arrays render to strings for
+        // the gate (the q_f14 lesson: the harness hashes scalar cells).
+        val d = T(s, dir, "documents").filter(col("doc_id") < 50)
+        val toks = split(trim(lower(col("text"))), "\\s+")
+        d.select(col("doc_id"),
+            concat_ws(" ",
+              transform(toks, x => length(x).cast("string"))).as("lens"),
+            concat_ws(" ", filter(toks, x => length(x) > 3))
+              .as("long_toks"),
+            aggregate(toks, lit(0), (a, x) => a + length(x))
+              .cast(LongType).as("total_len"),
+            size(filter(toks, x => x.contains("e"))).cast(LongType)
+              .as("n_with_e"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |     regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |   FROM documents WHERE doc_id < 50)
+             | SELECT doc_id,
+             |   COALESCE(array_to_string(list_transform(ts,
+             |     x -> CAST(len(x) AS VARCHAR)), ' '), '') AS lens,
+             |   COALESCE(array_to_string(list_filter(ts,
+             |     x -> len(x) > 3), ' '), '') AS long_toks,
+             |   CAST(list_reduce(list_prepend(0, list_transform(ts,
+             |     x -> len(x))), (a, b) -> a + b) AS BIGINT)
+             |     AS total_len,
+             |   CAST(len(list_filter(ts, x -> x LIKE '%e%')) AS BIGINT)
+             |     AS n_with_e
+             | FROM t ORDER BY doc_id""".stripMargin),
+      "higher-order lambda battery: transform/filter/fold over token " +
+        "arrays, element-for-element vs DuckDB list lambdas"),
+
+    "q_multi_distinct" -> QueryDef(
+      (s, dir) =>
+        // several DISTINCT aggregates + plain aggregates in ONE pass:
+        // Catalyst plans this via Expand (one projection per distinct
+        // group), so the fact table is scanned once and the shuffle
+        // carries |groups|x|projections| partial rows — the plan shape
+        // that makes multi-distinct reporting viable at 100 TB, pinned
+        // in PlanAuditSpec.
+        T(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("d_parts"),
+            countDistinct(col("l_suppkey")).as("d_supps"),
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_qty"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |   COUNT(DISTINCT l_partkey) AS d_parts,
+             |   COUNT(DISTINCT l_suppkey) AS d_supps,
+             |   COUNT(*) AS n,
+             |   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |     AS sum_qty
+             | FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+      "multi-distinct + plain aggregates in one Expand-planned pass " +
+        "(single scan, bounded shuffle)")
   )
 }

@@ -63,7 +63,10 @@ class DeterminismSpec extends SparkSpec {
     "q_skyline_pareto", "q_psi_drift",
     // trigram path counts (tie-broken top-k) and the explicit
     // percentile crossing rule must survive a repartitioning unchanged
-    "q_top_paths", "q_funnel_latency")
+    "q_top_paths", "q_funnel_latency",
+    // lambda folds and the Expand-planned multi-distinct must survive
+    // a repartitioning unchanged
+    "q_f16_lambda_funcs", "q_multi_distinct")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)

@@ -400,6 +400,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("q_multi_distinct: Expand plan, one scan, no per-distinct re-scan") {
+    val p = planOf("q_multi_distinct")
+    assert(p.contains("Expand"), p.take(3000))
+    assert(p.split("Scan parquet").length - 1 == 2, p.take(3000))
+  }
+
   test("q_cusum_drift: ordered window consumes the day grain only") {
     val p = planOf("q_cusum_drift")
     // the global-order window is the documented bounded-grain pattern:
