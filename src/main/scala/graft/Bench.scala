@@ -42,7 +42,11 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"))
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: repeated executor warnings (cache-manager,
+    // single-partition-window notices) add hundreds of lines to the
+    // merged output the driver captures; the bench result must not
+    // depend on how much of that noise fits the capture window
+    spark.sparkContext.setLogLevel("ERROR")
     // local-iteration aid: SPARK_GRAFT_ONLY=<regex> restricts the run to
     // matching query names (unset in the driver's per-round invocation)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
@@ -92,10 +96,13 @@ object Bench {
       s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$fullJson,"profiles":$profJson,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"failed":$failed}"""
     val fullPath = java.nio.file.Paths.get("bench_full.json")
     java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
-    // complete data for humans goes to stderr: stdout must carry exactly
-    // ONE JSON line (the driver json.loads stdout lines; see also the
-    // run / outputStrategy note in build.sbt)
-    System.err.println(fullLine)
+    // The full line goes ONLY to the file, never to stderr: sbt's
+    // StdoutOutput forwards the forked process's stderr into the same
+    // stream as stdout, and a ~10 KB stderr line can swamp or truncate
+    // the driver's bounded capture window — BENCH_r04 recorded
+    // parsed:null with its tail cut mid-full-line for exactly this
+    // reason. Stdout must end with the one compact JSON line below.
+    System.err.println(s"[bench] full per-query medians: $fullPath")
 
     // Final stdout line: compact enough (<1500 chars) to survive the tail
     // window intact. Lists failures first, then the costliest queries,
