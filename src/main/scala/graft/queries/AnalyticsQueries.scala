@@ -1041,6 +1041,54 @@ object AnalyticsQueries extends QueryModule {
              |     AS sum_qty
              | FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
       "multi-distinct + plain aggregates in one Expand-planned pass " +
-        "(single scan, bounded shuffle)")
+        "(single scan, bounded shuffle)"),
+
+    "q_f17_window_rank_funcs" -> QueryDef(
+      (s, dir) => {
+        // ranking/distribution window-function battery: row_number,
+        // rank/dense_rank over a tie-heavy ordering, ntile,
+        // percent_rank/cume_dist (rank-based — exact small-integer
+        // ratios, identical IEEE division on both engines), IGNORE
+        // NULLS first_value, and nth_value with its null-until-offset
+        // default frame. Two windows, both partitioned by supplier —
+        // parallelism = |suppliers|; the tie-capable ordering uses the
+        // value column (tied ranks are value-deterministic), every
+        // positional function uses a unique total order.
+        val u = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber"))
+        val q = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_quantity"))
+        T(s, dir, "lineitem").filter(col("l_suppkey") < 10)
+          .select(col("l_suppkey"),
+            row_number().over(u).as("rn"),
+            rank().over(q).as("rk"),
+            dense_rank().over(q).as("drk"),
+            ntile(4).over(u).as("nt"),
+            round(percent_rank().over(q), 6).as("pr"),
+            round(cume_dist().over(q), 6).as("cd"),
+            first(expr("nullif(l_quantity, 1.0d)"), ignoreNulls = true)
+              .over(u).as("fv"),
+            nth_value(col("l_quantity"), 3).over(u).as("nth3"))
+          .orderBy(col("l_suppkey"), col("rn"))
+      },
+      Some("""SELECT l_suppkey,
+             |   ROW_NUMBER() OVER u AS rn,
+             |   RANK() OVER q AS rk,
+             |   DENSE_RANK() OVER q AS drk,
+             |   NTILE(4) OVER u AS nt,
+             |   ROUND(PERCENT_RANK() OVER q, 6) AS pr,
+             |   ROUND(CUME_DIST() OVER q, 6) AS cd,
+             |   FIRST_VALUE(NULLIF(l_quantity, 1.0) IGNORE NULLS)
+             |     OVER u AS fv,
+             |   NTH_VALUE(l_quantity, 3) OVER u AS nth3
+             | FROM lineitem WHERE l_suppkey < 10
+             | WINDOW u AS (PARTITION BY l_suppkey
+             |     ORDER BY l_shipdate, l_orderkey, l_linenumber),
+             |   q AS (PARTITION BY l_suppkey ORDER BY l_quantity)
+             | ORDER BY l_suppkey, rn""".stripMargin),
+      "ranking/distribution window battery: row_number/rank/dense_rank/" +
+        "ntile/percent_rank/cume_dist/ignore-nulls first/nth_value, " +
+        "supplier-partitioned windows")
   )
 }

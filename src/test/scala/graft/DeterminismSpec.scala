@@ -66,7 +66,8 @@ class DeterminismSpec extends SparkSpec {
     "q_top_paths", "q_funnel_latency",
     // lambda folds and the Expand-planned multi-distinct must survive
     // a repartitioning unchanged
-    "q_f16_lambda_funcs", "q_multi_distinct")
+    "q_f16_lambda_funcs", "q_multi_distinct",
+    "q_f17_window_rank_funcs")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
