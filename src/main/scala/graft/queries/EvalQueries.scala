@@ -296,5 +296,75 @@ object EvalQueries extends QueryModule {
              |     AS term_scaled
              | FROM s ORDER BY bucket""".stripMargin),
       "Population Stability Index between periods: literal bucket " +
-        "edges, add-1 smoothed exact ppm shares, fixed-point ln terms"))
+        "edges, add-1 smoothed exact ppm shares, fixed-point ln terms"),
+
+    "q_decile_lift" -> QueryDef(
+      (s, dir) => {
+        // decile gains/lift table — the targeting-eval artifact next to
+        // AUC/calibration: rank by score descending, cut into 10 equal
+        // buckets, report per-decile response rate and cumulative lift
+        // vs the base rate. Same bounded-cardinality trick as
+        // q_auc_rank: the ordered window runs over quantized SCORE
+        // GROUPS, a whole group lands in the decile of its first row
+        // (ldiv(cum_before*10, n) — deterministic, no within-group
+        // order), and every ratio is exact via ldiv/scaledDiv. The
+        // decile rollup window is 10 rows. (At extreme counts
+        // cum_pos*n approaches long range — divide through or widen to
+        // decimal before reusing this shape above ~1e9 rows.)
+        val g = scored(s, dir).groupBy(col("sc"))
+          .agg(count(lit(1)).as("c"), sum(col("pos")).as("cp"))
+        val descW = Window.orderBy(col("sc").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val tot = Window.partitionBy()
+        val d = g
+          .withColumn("cb",
+            coalesce(sum(col("c")).over(descW), lit(0L)))
+          .withColumn("n", sum(col("c")).over(tot))
+          .withColumn("tp", sum(col("cp")).over(tot))
+          .select(ldiv(col("cb") * 10, col("n")).as("decile"),
+            col("c"), col("cp"), col("n"), col("tp"))
+        val byDec = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        d.groupBy(col("decile"))
+          .agg(sum(col("c")).as("n_rows"), sum(col("cp")).as("n_pos"),
+            max(col("n")).as("n"), max(col("tp")).as("tp"))
+          .withColumn("cum_pos", sum(col("n_pos")).over(byDec))
+          .withColumn("cum_rows", sum(col("n_rows")).over(byDec))
+          .select(col("decile"), col("n_rows"), col("n_pos"),
+            ldiv(col("n_pos") * 1000000L, col("n_rows")).as("rate_ppm"),
+            scaledDiv(col("cum_pos") * col("n"),
+              col("cum_rows") * col("tp"), 1000000L).as("cum_lift_ppm"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH sc AS (SELECT CAST(label < 5 AS BIGINT) AS pos,
+             |     CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 10000)
+             |       AS BIGINT) AS sc
+             |   FROM embeddings),
+             | g AS (SELECT sc, COUNT(*) AS c,
+             |     CAST(SUM(pos) AS BIGINT) AS cp FROM sc GROUP BY sc),
+             | w AS (SELECT sc, c, cp,
+             |     COALESCE(SUM(c) OVER (ORDER BY sc DESC ROWS BETWEEN
+             |       UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+             |     SUM(c) OVER () AS n, SUM(cp) OVER () AS tp FROM g),
+             | d AS (SELECT (cb*10 - (cb*10 % n)) // n AS decile,
+             |     c, cp, n, tp FROM w),
+             | a AS (SELECT decile, CAST(SUM(c) AS BIGINT) AS n_rows,
+             |     CAST(SUM(cp) AS BIGINT) AS n_pos,
+             |     MAX(n) AS n, MAX(tp) AS tp FROM d GROUP BY decile),
+             | r AS (SELECT decile, n_rows, n_pos,
+             |     SUM(n_pos) OVER (ORDER BY decile ROWS BETWEEN
+             |       UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+             |     SUM(n_rows) OVER (ORDER BY decile ROWS BETWEEN
+             |       UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows,
+             |     n, tp FROM a)
+             | SELECT CAST(decile AS BIGINT) AS decile, n_rows, n_pos,
+             |   (n_pos*1000000 - (n_pos*1000000 % n_rows)) // n_rows
+             |     AS rate_ppm,
+             |   CAST((cum_pos*n) // (cum_rows*tp) * 1000000
+             |     + ((cum_pos*n) % (cum_rows*tp)) * 1000000
+             |       // (cum_rows*tp) AS BIGINT) AS cum_lift_ppm
+             | FROM r ORDER BY decile""".stripMargin),
+      "decile gains/lift table: quantized-score-group deciles, exact " +
+        "ppm rates and cumulative lift via ldiv/scaledDiv")
+  )
 }

@@ -67,7 +67,7 @@ class DeterminismSpec extends SparkSpec {
     // lambda folds and the Expand-planned multi-distinct must survive
     // a repartitioning unchanged
     "q_f16_lambda_funcs", "q_multi_distinct",
-    "q_f17_window_rank_funcs")
+    "q_f17_window_rank_funcs", "q_decile_lift")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
