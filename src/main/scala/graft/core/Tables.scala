@@ -118,6 +118,29 @@ object Tables {
       "WHEN ts >= 100000000000L THEN ts * 1000 " +
       "ELSE ts * 1000000 END"
 
+  /** Era bounds for the ladder's validity: the magnitude bands only
+    * classify unambiguously for instants in ~1973–5100, and the driver's
+    * synthetic data has always generated 2024-era events. 1990–2100 in
+    * canonical µs. */
+  val tsEraLoUs: Long = 631152000000000L   // 1990-01-01T00:00Z
+  val tsEraHiUs: Long = 4102444800000000L  // 2100-01-01T00:00Z
+
+  /** The ladder plus a loud era assertion: a value that normalizes
+    * outside 1990–2100 means the generation moved outside the ladder's
+    * classifiable range (e.g. pre-epoch or 1971 instants, where the
+    * µs/ns bands alias) — fail the scan with a diagnostic instead of
+    * silently corrupting `ts` by 1000×. Two extra integer compares per
+    * row, codegen'd; nulls pass through untouched.
+    */
+  val tsToMicrosGuardedSql: String =
+    s"CASE WHEN ts IS NULL THEN CAST(NULL AS BIGINT) " +
+      s"WHEN ($tsToMicrosSql) BETWEEN ${tsEraLoUs}L AND ${tsEraHiUs}L " +
+      s"THEN ($tsToMicrosSql) " +
+      "ELSE raise_error(concat('events.ts=', CAST(ts AS STRING), " +
+      "' normalizes outside the 1990-2100 era: the testdata " +
+      "generation changed unit/era beyond Tables.tsToMicrosSql''s " +
+      "magnitude ladder — re-derive the ladder bands')) END"
+
   /** Read one synthetic table with its declared schema. Column pruning +
     * predicate pushdown then apply at the parquet scan via Catalyst.
     *
@@ -132,7 +155,7 @@ object Tables {
     val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
     if (name == "events")
       df.withColumn("ts",
-          org.apache.spark.sql.functions.expr(tsToMicrosSql))
+          org.apache.spark.sql.functions.expr(tsToMicrosGuardedSql))
         .withColumn("event_time",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts)"))
     else df

@@ -62,6 +62,19 @@ object BehaviorQueries extends QueryModule {
       .agg(min(col("tu")).as("s0"), (max(col("tu")) + 1).as("e0"))
   }
 
+  /** Session-cached sessionIntervals over a directory's events table:
+    * the per-user window pass + interval reduce is a common subplan of
+    * the sessionization consumers (q_max_concurrency here,
+    * q_sessionize_batch in EtlQueries), so it is materialized once per
+    * (session, dir) via [[graft.core.FrameCache]] and shared — one
+    * events shuffle total instead of one per consumer.
+    */
+  private[queries] def cachedSessionIntervals(
+      s: SparkSession, dir: String): DataFrame =
+    graft.core.FrameCache.cached(s, s"session_intervals:$GapUs:$dir") {
+      sessionIntervals(T(s, dir, "events"))
+    }
+
   def defs: Map[String, QueryDef] = Map(
 
     "q_funnel_conversion" -> QueryDef(
@@ -167,7 +180,7 @@ object BehaviorQueries extends QueryModule {
         // PrefixSum.runningTotal (range-partition + two-phase scan; see
         // that scaladoc). Input to the scan is |distinct boundary
         // instants| rows — already collapsed by the groupBy.
-        val iv = sessionIntervals(T(s, dir, "events"))
+        val iv = cachedSessionIntervals(s, dir)
         val nets = iv.select(col("s0").as("t"), lit(1L).as("d"))
           .unionByName(iv.select(col("e0").as("t"), lit(-1L).as("d")))
           .groupBy(col("t")).agg(sum(col("d")).as("net"))
@@ -395,7 +408,7 @@ object BehaviorQueries extends QueryModule {
              | g AS (SELECT user_id, island, MIN(s) AS s0, MAX(e) AS e0
              |   FROM isl GROUP BY 1, 2)
              | SELECT user_id, COUNT(*) AS n_islands,
-             |   SUM(e0 - s0) AS covered_us
+             |   CAST(SUM(e0 - s0) AS BIGINT) AS covered_us
              | FROM g GROUP BY 1 ORDER BY 1""".stripMargin),
       "interval-union sweep per user: running-max island detection, " +
         "exact covered-time totals, no global sort"),

@@ -269,6 +269,72 @@ object CorpusQueries extends QueryModule {
       "BM25 keyword retrieval: explode-filter-agg + broadcast globals, " +
         "fixed-order term sum, ranked top-10"),
 
+    "q_tfidf_topterms" -> QueryDef(
+      (s, dir) => {
+        // TF-IDF top-3 terms per document (first 30 docs exposed): one
+        // tokenize+explode scan reduces to (doc, term, tf); document
+        // frequencies reduce the SAME frame by term over the FULL
+        // corpus (idf must see every doc); only then does the small
+        // doc_id<30 slice join the df table, so the per-term join
+        // carries ~30 docs' vocabulary, not the corpus's. The score is
+        // fixed-point floor(1e6 * tf * ln(N/df)) from exact integer
+        // counts — the identical-expression-shape convention every
+        // fixed-point gate here uses (ties then break on the term
+        // string, so ranking is engine-independent). Top-3 via a
+        // per-doc row_number window — parallelism = |exposed docs|.
+        // At 100 TB: explode+agg is partial+final, df is one keyed
+        // reduce of |corpus vocab|, and the exposure filter prunes the
+        // join input BEFORE the shuffle — the corpus-sized frames never
+        // join each other.
+        val docs = T(s, dir, "documents")
+        val tf = docs.select(col("doc_id"),
+            explode(TextStats.tokens(lower(col("text")))).as("term"))
+          .filter(length(col("term")) >= 3)
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfs = tf.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val byDoc = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.filter(col("doc_id") < 30)
+          .join(dfs, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            floor(lit(1e6) * col("tf") *
+              log(col("n_docs").cast(DoubleType) / col("df")))
+              .cast("long"))
+          .withColumn("rn", row_number().over(byDoc))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn").as("rank"), col("term"),
+            col("tf"), col("df"), col("score"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, t AS term
+             |   FROM documents,
+             |     unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+             |       AS u(t)
+             |   WHERE len(t) >= 3),
+             | tf AS (SELECT doc_id, term, COUNT(*) AS tf
+             |   FROM tok GROUP BY doc_id, term),
+             | dfs AS (SELECT term, COUNT(*) AS df FROM tf
+             |   GROUP BY term),
+             | n AS (SELECT COUNT(*) AS n_docs FROM documents),
+             | scored AS (SELECT doc_id, term, tf, df,
+             |     CAST(FLOOR(1e6 * tf *
+             |       ln(CAST(n_docs AS DOUBLE) / df)) AS BIGINT) AS score,
+             |     row_number() OVER (PARTITION BY doc_id
+             |       ORDER BY CAST(FLOOR(1e6 * tf *
+             |         ln(CAST(n_docs AS DOUBLE) / df)) AS BIGINT) DESC,
+             |       term) AS rn
+             |   FROM tf JOIN dfs USING (term) CROSS JOIN n
+             |   WHERE doc_id < 30)
+             | SELECT doc_id, CAST(rn AS INT) AS rank, term, tf, df, score
+             | FROM scored WHERE rn <= 3
+             | ORDER BY doc_id, rank""".stripMargin),
+      "TF-IDF top-3 terms per doc: full-corpus idf, exposure-pruned " +
+        "join, fixed-point scores, per-doc rank window"),
+
     "q_embedding_centroid" -> QueryDef(
       (s, dir) => {
         // Per-label embedding centroid via exact fixed-point sums (see

@@ -772,7 +772,11 @@ object EtlQueries extends QueryModule {
         // audience-overlap estimation from mergeable per-segment HLL
         // sketches via inclusion–exclusion: |A∩B| ≈ est(A) + est(B) −
         // est(A∪B), where A/B are the part×supplier combinations shipped
-        // under returnflag R/A (~19k each, ~10% true overlap). At 100 TB
+        // under returnflag R/A (~19k each, ~10% true overlap); the
+        // segment key bit-packs (partkey << 32) | suppkey, injective
+        // for suppkey < 2^32 and partkey < 2^31 — i.e. at every
+        // realistic scale factor, unlike a decimal multiplier that a
+        // 10k-supplier SF>=1 generation would overflow. At 100 TB
         // you keep ONE sketch per segment and answer ANY pairwise
         // overlap by sketch union — no re-scan, no join. The gate
         // carries exact counts (oracle-recomputed) plus error bands;
@@ -789,7 +793,7 @@ object EtlQueries extends QueryModule {
         val li = T(s, dir, "lineitem")
         val pairs = li.filter(col("l_returnflag").isin("R", "A"))
           .select(col("l_returnflag").as("flag"),
-            (col("l_partkey") * 1000 + col("l_suppkey")).as("k"))
+            (col("l_partkey") * 4294967296L + col("l_suppkey")).as("k"))
           .distinct()
         val perFlag = pairs.groupBy(col("flag"))
           .agg(count(lit(1)).as("n"), hll_sketch_agg(col("k")).as("sk"))
@@ -819,9 +823,9 @@ object EtlQueries extends QueryModule {
               (col("n_a") + col("n_b") + union).cast(DoubleType) * 0.03)
               .as("inter_in_band"))
       },
-      Some("""WITH a AS (SELECT DISTINCT l_partkey*1000 + l_suppkey AS k
+      Some("""WITH a AS (SELECT DISTINCT l_partkey*4294967296 + l_suppkey AS k
              |   FROM lineitem WHERE l_returnflag = 'R'),
-             | b AS (SELECT DISTINCT l_partkey*1000 + l_suppkey AS k
+             | b AS (SELECT DISTINCT l_partkey*4294967296 + l_suppkey AS k
              |   FROM lineitem WHERE l_returnflag = 'A')
              | SELECT (SELECT COUNT(*) FROM a) AS n_a,
              |   (SELECT COUNT(*) FROM b) AS n_b,
@@ -952,24 +956,20 @@ object EtlQueries extends QueryModule {
     "q_sessionize_batch" -> QueryDef(
       (s, dir) => {
         // batch twin of streaming EventStream.sessionize, oracle-checked:
-        // gap > 30 min starts a new session (lag + running sum, all
-        // integral micros arithmetic — exact at any scale). Parallelism =
-        // |users|; the window state is one user's events.
-        val gapUs = 30L * 60 * 1000000L
-        val byUser = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val runningW = byUser.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        T(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"))
-          .withColumn("__new",
-            when(lag(col("ts"), 1).over(byUser).isNull ||
-              col("ts") - lag(col("ts"), 1).over(byUser) > gapUs, 1L)
-              .otherwise(0L))
-          .withColumn("__sess", sum(col("__new")).over(runningW))
-          .groupBy(col("user_id"))
-          .agg(max(col("__sess")).as("n_sessions"),
-            count(lit(1)).as("n_events"))
+        // gap > 30 min starts a new session (all integral micros
+        // arithmetic — exact at any scale). The per-user window pass is
+        // the shared sessionization subplan (FrameCache via
+        // BehaviorQueries.cachedSessionIntervals — one events shuffle
+        // serves this, q_max_concurrency, and any future interval
+        // consumer): n_sessions is the per-user interval count, and
+        // n_events comes from a windowless keyed count of raw events.
+        val iv = BehaviorQueries.cachedSessionIntervals(s, dir)
+        val nSess = iv.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"))
+        val nEv = T(s, dir, "events").groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        nSess.join(nEv, "user_id")
+          .select(col("user_id"), col("n_sessions"), col("n_events"))
           .orderBy(col("user_id"))
       },
       Some("""WITH m AS (SELECT user_id, epoch_us(ts) AS ts, event_id,

@@ -827,13 +827,15 @@ object LlmQueries extends QueryModule {
               .as("est_j"))
         val exact = NearDup.ngramJaccard(docs, "doc_id", "text", pairs,
           n = 3)
+        // ONE aggregate computes all three measures: a previous revision
+        // cross-joined a second est⨝exact aggregate for the MAE, which
+        // re-executed the whole signature+Jaccard subplan (Catalyst does
+        // not share common subplans across a join) — 2x the query's cost
         est.join(exact, Seq("id_a", "id_b"))
           .agg(count(lit(1)).as("n_pairs"),
             sum(floor(col("jaccard") * lit(1e6)).cast("long"))
-              .as("exact_j_sum_micro"))
-          .crossJoin(broadcast(
-            est.join(exact, Seq("id_a", "id_b"))
-              .agg(avg(abs(col("est_j") - col("jaccard"))).as("__mae"))))
+              .as("exact_j_sum_micro"),
+            avg(abs(col("est_j") - col("jaccard"))).as("__mae"))
           .select(col("n_pairs"), col("exact_j_sum_micro"),
             (col("__mae") <= 0.2).as("mae_ok"))
       },

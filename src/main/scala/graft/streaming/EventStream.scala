@@ -37,8 +37,9 @@ object EventStream {
       .schema(Tables.events)
       .parquet(dir)
       // same µs normalization as the batch reader (Tables.load): the raw
-      // int64 may be micros or nanos depending on the data generation
-      .withColumn("ts", expr(Tables.tsToMicrosSql))
+      // int64 may be micros or nanos depending on the data generation;
+      // era-guarded so an out-of-ladder generation fails the batch loudly
+      .withColumn("ts", expr(Tables.tsToMicrosGuardedSql))
       .withColumn("event_time", expr("timestamp_micros(ts)"))
 
   /** Watermarked sliding-window counts + value totals per event type. */

@@ -387,6 +387,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(3000))
   }
 
+  test("q_bfs_reach: broadcast hints sit on frontiers only — the " +
+      "unbounded visited union must stay shuffle-joinable") {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      LogicalPlan, Project, ResolvedHint, SubqueryAlias, Union}
+    val df = SparkEntry.queries("q_bfs_reach")(spark, sf001)
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project => strip(pr.child)
+      case a: SubqueryAlias => strip(a.child)
+      case other => other
+    }
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.nonEmpty, "frontier broadcast hints expected")
+    // a hint whose (projection-stripped) child is the visited Union is
+    // the round-5 scale-killer: visited grows toward |reachable nodes|
+    hints.foreach { h =>
+      assert(!strip(h.child).isInstanceOf[Union],
+        s"broadcast hint on the visited union:\n${h.treeString.take(2000)}")
+    }
+  }
+
+  test("q_triangle_count: degree-oriented — the only nested-loop joins " +
+      "are the two single-row scalar combines") {
+    val p = planOf("q_triangle_count")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // count numbered node headers — formatted explain also repeats each
+    // node in the tree sketch, which would double the count
+    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(bnlj == 2, s"expected exactly the 2 scalar cross-combines, got $bnlj")
+    // wedge generation and closure must stay equi-joins on real keys
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q_sliding_hll: sketches union via object agg; fan-out is a " +
       "Generate") {
     val p = planOf("q_sliding_hll")

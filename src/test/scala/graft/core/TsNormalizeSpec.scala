@@ -29,6 +29,28 @@ class TsNormalizeSpec extends SparkSpec {
     assert(out(0) === instantUs / 1000000L * 1000000L)
   }
 
+  test("era guard: in-era values pass, out-of-ladder instants fail " +
+      "loudly instead of normalizing 1000x wrong") {
+    import spark.implicits._
+    val ok = Seq(instantUs, instantUs * 1000L, instantUs / 1000L).toDF("ts")
+      .select(expr(Tables.tsToMicrosGuardedSql).as("us"))
+      .collect().map(_.getLong(0))
+    assert(ok.forall(u => u >= Tables.tsEraLoUs && u <= Tables.tsEraHiUs))
+    // null passes through
+    assert(Seq(Option.empty[Long]).toDF("ts")
+      .select(expr(Tables.tsToMicrosGuardedSql)).head().isNullAt(0))
+    // a 1971 µs instant falls in the ladder's seconds band -> year 33k
+    // after rescale -> must raise, not silently corrupt
+    val e = intercept[Exception] {
+      Seq(31536000000000L).toDF("ts")
+        .select(expr(Tables.tsToMicrosGuardedSql)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("normalizes outside the 1990-2100 era")),
+      msgs(e).mkString(" | "))
+  }
+
   test("loaded events.ts is micros and event_time lands in the data era") {
     val ev = Tables.load(spark, sf0001, "events")
     val r = ev.agg(min(col("ts")), max(col("ts")),

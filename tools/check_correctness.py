@@ -7,19 +7,37 @@ Reads each <name>/ parquet dumped by graft.Verify plus oracle_sql.json,
 runs each oracle against DuckDB views over the same sf parquet tables,
 and compares: row count, column names, and a hash over values with
 columns sorted by name. Prints one line per query + a summary.
+
+HARNESS FIDELITY (round-6 fix): both sides go through DuckDB's *pandas*
+path exactly like the driver's gate — the Spark dump via
+read_parquet(...).df(), the oracle via execute(...).df(). This is
+load-bearing in both directions:
+  - DuckDB types SUM(BIGINT) as HUGEINT, and pandas renders HUGEINT as
+    float64 ("1.439844e+11") while Spark's parquet int64 stays integral
+    ("143984402176") — so an un-cast oracle sum FAILS here, like it
+    fails the driver. Round 5 shipped exactly that bug
+    (q_interval_union) because this replica used fetchall() (HUGEINT ->
+    exact Python int) and stayed green where the driver failed.
+  - Both sides' DATE columns coerce to datetime64 alike; reading the
+    Spark dump with pyarrow instead yields datetime.date ("1998-05-05"
+    vs "1998-05-05 00:00:00"), four false reds the driver doesn't have.
 """
-import sys, os, json, hashlib
+import sys, os, json, hashlib, math
 import duckdb
-import pyarrow.parquet as pq
-import pyarrow as pa
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm_value(v):
+    # numpy scalar -> python scalar first (repr(np.float64(x)) is
+    # "np.float64(x)" under numpy 2.x, which would poison the hash)
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
     if v is None:
         return "NULL"
     if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
         return repr(v)
     if isinstance(v, bool):
         return str(int(v))
@@ -35,14 +53,21 @@ def frame_hash(names, rows):
         h.update(b"\x1e")
     return h.hexdigest()
 
-def read_spark_result(d):
-    files = [os.path.join(d, f) for f in sorted(os.listdir(d))
-             if f.endswith(".parquet")]
-    t = pa.concat_tables([pq.read_table(f) for f in files])
-    names = t.column_names
-    cols = [t.column(n).to_pylist() for n in names]
-    rows = list(zip(*cols)) if cols and t.num_rows else []
-    return names, rows
+def df_rows(df):
+    """pandas frame -> list of row tuples, preserving column order."""
+    return [tuple(row) for row in df.itertuples(index=False, name=None)]
+
+def read_spark_result(con, d):
+    """Read the Spark parquet dump through DuckDB's pandas path — the
+    SAME dtype coercion the oracle side gets. Reading it with pyarrow
+    instead renders DATE columns as datetime.date while the DuckDB side
+    renders datetime64, a false mismatch the driver does not have (its
+    r5 gate was green on every DATE-emitting query)."""
+    files = sorted(os.path.join(d, f) for f in os.listdir(d)
+                   if f.endswith(".parquet"))
+    sel = ", ".join(f"'{f}'" for f in files)
+    df = con.execute(f"SELECT * FROM read_parquet([{sel}])").df()
+    return list(df.columns), df_rows(df)
 
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
@@ -58,7 +83,7 @@ def main():
         if not os.path.isdir(d):
             continue
         try:
-            s_names, s_rows = read_spark_result(d)
+            s_names, s_rows = read_spark_result(con, d)
         except Exception as e:
             results[name] = {"error": f"spark result unreadable: {e}"}
             continue
@@ -66,9 +91,9 @@ def main():
             results[name] = {"rows": len(s_rows), "oracle": False}
             continue
         try:
-            cur = con.execute(oracle[name])
-            d_names = [c[0] for c in cur.description]
-            d_rows = cur.fetchall()
+            ddf = con.execute(oracle[name]).df()  # pandas path, like the driver
+            d_names = list(ddf.columns)
+            d_rows = df_rows(ddf)
         except Exception as e:
             results[name] = {"error": f"duckdb failed: {e}"}
             continue
@@ -98,6 +123,11 @@ def main():
                 "ROWS " if r.get("oracle") is False else "FAIL ")
         print(flag, name, json.dumps(r)[:300])
     print(f"\n{ok}/{len(results)} green")
+    # Persist for tools/check_docs.py: a driver-round red that this
+    # (harness-faithful) replica shows green was fixed since that round.
+    with open(os.path.join(out_dir, "replica_results.json"), "w") as f:
+        json.dump(results, f, indent=1, default=str)
+    sys.exit(0 if ok == len(results) else 1)
 
 if __name__ == "__main__":
     main()
