@@ -421,6 +421,14 @@ class PlanAuditSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q_sessionize_batch: consumes the shared sessionization frame " +
+      "from the in-memory cache (one events window pass per session)") {
+    // any interval consumer builds the FrameCache entry; this one's plan
+    // must then read the cached relation, not re-run the window subplan
+    val p = planOf("q_sessionize_batch")
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+  }
+
   test("q_sliding_hll: sketches union via object agg; fan-out is a " +
       "Generate") {
     val p = planOf("q_sliding_hll")
