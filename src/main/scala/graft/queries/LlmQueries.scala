@@ -65,6 +65,27 @@ object LlmQueries extends QueryModule {
       |   FROM g a JOIN g b ON b.doc_id = a.doc_id + 1)
       |""".stripMargin
 
+  /** Session-cached near-dup components over the lang-chain edge set
+    * (consecutive doc_ids sharing a language — long chains that exercise
+    * the multi-hop pointer-jumping path). The iterative clusterer is the
+    * dominant cost of BOTH q_neardup_components (cluster sizes) and
+    * q_canonical_select (per-cluster argmax), so it materializes once
+    * per (session, dir) via FrameCache — one O(log n)-round clustering
+    * job per session instead of one per consumer.
+    */
+  private def cachedLangChainComponents(
+      s: SparkSession, dir: String): DataFrame =
+    graft.core.FrameCache.cached(s, s"langchain_components:$dir") {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val a = d.select(col("doc_id").as("id_a"), col("lang").as("la"))
+      val b = d.select((col("doc_id") - 1).as("id_a"),
+        col("doc_id").as("id_b"), col("lang").as("lb"))
+      val edges = a.join(b, Seq("id_a"))
+        .filter(col("la") === col("lb"))
+        .select(col("id_a"), col("id_b"))
+      NearDup.connectedComponents(edges)
+    }
+
   def defs: Map[String, QueryDef] = Map(
 
     "q_dedup_exact_keep" -> QueryDef(
@@ -511,14 +532,7 @@ object LlmQueries extends QueryModule {
         // (similarity is transitive A~B~C). Edge set here: consecutive
         // doc_ids sharing a language — long chains that exercise the
         // multi-hop pointer-jumping path. Oracle: DuckDB recursive CTE.
-        val d = T(s, dir, "documents").select(col("doc_id"), col("lang"))
-        val a = d.select(col("doc_id").as("id_a"), col("lang").as("la"))
-        val b = d.select((col("doc_id") - 1).as("id_a"),
-          col("doc_id").as("id_b"), col("lang").as("lb"))
-        val edges = a.join(b, Seq("id_a"))
-          .filter(col("la") === col("lb"))
-          .select(col("id_a"), col("id_b"))
-        NearDup.connectedComponents(edges)
+        cachedLangChainComponents(s, dir)
           .groupBy(col("component"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("component"))
@@ -547,13 +561,7 @@ object LlmQueries extends QueryModule {
         // the argmax is a per-component window. Everything after
         // clustering shuffles |clustered docs| rows only.
         val d = T(s, dir, "documents")
-        val a = d.select(col("doc_id").as("id_a"), col("lang").as("la"))
-        val b = d.select((col("doc_id") - 1).as("id_a"),
-          col("doc_id").as("id_b"), col("lang").as("lb"))
-        val edges = a.join(b, Seq("id_a"))
-          .filter(col("la") === col("lb"))
-          .select(col("id_a"), col("id_b"))
-        val comp = NearDup.connectedComponents(edges)
+        val comp = cachedLangChainComponents(s, dir)
         val q = d.select(col("doc_id").as("id"),
           TextStats.qualityScore(col("text")).as("quality"))
         val w = Window.partitionBy(col("component"))

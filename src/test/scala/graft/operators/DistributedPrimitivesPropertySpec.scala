@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.text.NearDup
+
+/** ScalaCheck properties for the two distributed primitives whose
+  * correctness is least obvious from their plans: the two-phase
+  * prefix-sum scan (vs the single-task window cumsum it replaces) and
+  * pointer-jumping connected components (vs a driver-side union-find).
+  * Samples use fixed seeds (PropertiesSpec convention: no
+  * scalatest-scalacheck bridge in the offline cache), so failures are
+  * reproducible.
+  */
+class DistributedPrimitivesPropertySpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(2026L + i)))
+
+  // --- PrefixSum.runningTotal vs window cumsum -------------------------
+
+  private val deltasGen: Gen[List[Long]] =
+    Gen.choose(1, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-1000L, 1000L)))
+
+  test("property: runningTotal == single-task window cumsum on random " +
+      "deltas (distinct keys, negatives included)") {
+    for (deltas <- samples(deltasGen, 8)) {
+      // distinct, non-contiguous, unsorted keys: reverse + stride so the
+      // range partitioner sees arbitrary insertion order
+      val rows = deltas.zipWithIndex.map { case (v, i) =>
+        Row((deltas.size - i) * 7L, v)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 5),
+        StructType(Seq(StructField("t", LongType, nullable = false),
+          StructField("net", LongType, nullable = false))))
+      val got = PrefixSum.runningTotal(df, "t", "net", "run")
+        .orderBy(col("t")).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      val expect = df
+        .withColumn("run", sum(col("net")).over(
+          Window.orderBy(col("t"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy(col("t")).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      assert(got.toSeq === expect.toSeq)
+    }
+  }
+
+  // --- connectedComponents vs driver-side union-find -------------------
+
+  private val graphGen: Gen[(Int, List[(Long, Long)])] =
+    for {
+      n <- Gen.choose(2, 50)
+      m <- Gen.choose(0, 80)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield (n, edges.filter { case (a, b) => a != b })
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    ids.map(id => id -> find(id)).toMap
+  }
+
+  test("property: pointer-jumping components == union-find on random " +
+      "graphs (min-reachable-id labels)") {
+    for (((_, edges), k) <- samples(graphGen, 8).zipWithIndex
+         if edges.nonEmpty) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          edges.map { case (a, b) => Row(a, b) }, 3),
+        StructType(Seq(StructField("id_a", LongType, nullable = false),
+          StructField("id_b", LongType, nullable = false))))
+      val got = NearDup.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = unionFind(edges)
+      assert(got === expect, s"sample #$k edges=$edges")
+    }
+  }
+}
