@@ -65,6 +65,19 @@ object LlmQueries extends QueryModule {
       |   FROM g a JOIN g b ON b.doc_id = a.doc_id + 1)
       |""".stripMargin
 
+  /** Session-cached MinHash near-dup pair table (3-gram shingles, 8
+    * hash tables, jaccard >= 0.5) — the corpus's materialized dedup
+    * pair set. A production session persists exactly this artifact
+    * (every dedup decision reads it); here it serves q_minhash_neardup
+    * (its output), q_simhash_neardup (the recall denominator), and any
+    * future cluster consumer, one LSH+verify pass per session.
+    */
+  private def cachedMinHashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.core.FrameCache.cached(s, s"minhash_pairs:3:8:0.5:$dir") {
+      NearDup.minHashPairs(T(s, dir, "documents"), "doc_id", "text",
+        minJaccard = 0.5)
+    }
+
   /** Session-cached near-dup components over the lang-chain edge set
     * (consecutive doc_ids sharing a language — long chains that exercise
     * the multi-hop pointer-jumping path). The iterative clusterer is the
@@ -293,8 +306,7 @@ object LlmQueries extends QueryModule {
 
     "q_minhash_neardup" -> QueryDef(
       (s, dir) =>
-        NearDup.minHashPairs(T(s, dir, "documents"), "doc_id", "text",
-          minJaccard = 0.5)
+        cachedMinHashPairs(s, dir)
           .orderBy(col("id_a"), col("id_b")),
       // full-equality oracle vs exact all-pairs Jaccard: green means the
       // banded LSH candidate generation found EVERY true pair (the
@@ -306,6 +318,35 @@ object LlmQueries extends QueryModule {
           | ORDER BY id_a, id_b""".stripMargin),
       "MinHash-LSH near-dup pairs, bucket-local join + exact verify " +
         "(completeness-checked vs exact all-pairs)"),
+
+    "q_neardup_incremental" -> QueryDef(
+      (s, dir) => {
+        // ingest-time near-dup: an incoming batch (odd doc_ids) dedups
+        // against the standing corpus (even doc_ids) — candidates come
+        // only from cross-shard band-bucket collisions, never
+        // corpus x corpus (see NearDup.minHashPairsAcross). The
+        // completeness gate mirrors q_minhash_neardup: DuckDB recomputes
+        // the exact cross-pair set, so green means banding found EVERY
+        // true cross pair and the Jaccards agree bit-for-bit.
+        val d = T(s, dir, "documents")
+        val corpus = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val batch = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+        NearDup.minHashPairsAcross(corpus, batch, "doc_id", "text",
+            minJaccard = 0.5)
+          .select(col("id_a").as("corpus_id"), col("id_b").as("batch_id"),
+            col("jaccard"))
+          .orderBy(col("corpus_id"), col("batch_id"))
+      },
+      Some(ExactNearDupPairsSql +
+        """SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END
+          |     AS corpus_id,
+          |   CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS batch_id,
+          |   jaccard
+          | FROM p
+          | WHERE jaccard >= 0.5 AND (id_a % 2 = 0) != (id_b % 2 = 0)
+          | ORDER BY corpus_id, batch_id""".stripMargin),
+      "incremental cross-shard near-dup: batch-vs-corpus band-bucket " +
+        "candidates only, exact verify, completeness vs exact truth"),
 
     "q_simhash_neardup" -> QueryDef(
       (s, dir) => {
@@ -333,8 +374,7 @@ object LlmQueries extends QueryModule {
         // (~1e-15/pair — see hashJaccard), so recall = |found| / |truth|;
         // truth via the minhash path, whose own gate row proves it
         // equals the exact pair set
-        val truth = NearDup.minHashPairs(docs, "doc_id", "text",
-          minJaccard = 0.5)
+        val truth = cachedMinHashPairs(s, dir)
         found.agg(count(lit(1)).as("__found"))
           .crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
           .select(col("n_true_pairs"),

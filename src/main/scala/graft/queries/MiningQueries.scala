@@ -40,18 +40,13 @@ object MiningQueries extends QueryModule {
     li.select(col("l_orderkey"), col(itemCol).as("item")).distinct()
 
   /** Oriented co-occurrence pairs (a < b) within each basket with their
-    * co-occurrence count. The self-join key is the basket id, so the
-    * shuffle is one hash partition by orderkey and the blow-up is
-    * bounded by max basket size squared (TPC-H: 7). At 100 TB a
-    * mega-basket guard (cap items per basket or salt the key) bounds
-    * the worst case.
+    * co-occurrence count — operators.CoOccur.pairs, uncapped: basket
+    * sizes here are TPC-H order sizes (max 7), so the mega-basket guard
+    * (CoOccur's deterministic cap, spec'd in CoOccurSpec) stays off and
+    * the gates keep exact semantics.
     */
-  private def coPairs(b: DataFrame): DataFrame = {
-    val l = b.select(col("l_orderkey"), col("item").as("pa"))
-    val r = b.select(col("l_orderkey"), col("item").as("pb"))
-    l.join(r, Seq("l_orderkey")).filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cab"))
-  }
+  private def coPairs(b: DataFrame): DataFrame =
+    graft.operators.CoOccur.pairs(b, "l_orderkey", "item")
 
   /** Session-cached co-occurrence pairs of the part co-order graph:
     * the basket self-join + pair reduce is the shared dominant subplan

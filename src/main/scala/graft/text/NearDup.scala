@@ -135,6 +135,38 @@ object NearDup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Incremental (cross-shard) MinHash-LSH near-dup: candidate pairs
+    * connect a BATCH document to a CORPUS document only — never corpus ×
+    * corpus — which is the ingest-time dedup shape: the standing corpus
+    * is already deduped, so re-banding it against itself every increment
+    * would be O(|corpus|²) wasted candidates. Cost per increment is
+    * banding both sides (numHashes rows per doc; at 100 TB the corpus
+    * signatures are computed once and stored, so only the batch side is
+    * fresh work) plus a band-bucket equi-join whose small side is the
+    * batch — AQE broadcasts it when it fits. Verification is the same
+    * exact hashed-shingle Jaccard as [[minHashPairs]]: the signature
+    * step affects completeness only, never precision.
+    *
+    * Caller guarantees corpus and batch id sets are disjoint.
+    *
+    * @return (id_a = corpus id, id_b = batch id, jaccard >= minJaccard)
+    */
+  def minHashPairsAcross(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numHashTables: Int = 8,
+      minJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
+    def banded(df: DataFrame, as: String) =
+      minHashSignatures(df, idCol, textCol, n, numHashTables, seed)
+        .select(col("__id"), posexplode(col("__sig"))
+          .as(Seq("__band", "__h")))
+        .select(col("__band"), col("__h"), col("__id").as(as))
+    val cand = banded(corpus, "id_a")
+      .join(banded(batch, "id_b"), Seq("__band", "__h"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    hashJaccard(corpus.unionByName(batch), idCol, textCol, cand, n, seed)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Exact n-gram Jaccard over the hashed shingle sets — identical to
     * [[ngramJaccard]] up to 64-bit hash collisions inside a document
     * pair's shingle union (probability ~|set|²·2⁻⁶⁴ ≈ 1e-15 per pair at
