@@ -335,6 +335,73 @@ object CorpusQueries extends QueryModule {
       "TF-IDF top-3 terms per doc: full-corpus idf, exposure-pruned " +
         "join, fixed-point scores, per-doc rank window"),
 
+    "q_vocab_coverage" -> QueryDef(
+      (s, dir) => {
+        // tokenizer-budget planning: corpus token coverage and OOV rate
+        // at candidate vocab sizes (256/512/1024 most-frequent terms).
+        // One tokenize+explode scan reduces to term counts; terms get a
+        // global frequency rank (top-1024 slice only — the ranking
+        // window sees a bounded frame, the corpus-sized term table is
+        // pruned by a broadcast threshold join, never globally sorted);
+        // per-size coverage is then three conditional sums over the
+        // ranked slice plus the exact total from the same count pass.
+        // At 100 TB: the only corpus-sized shuffles are the two keyed
+        // reduces (doc,term)->tf and term->count; everything ranked is
+        // <= 1024 rows.
+        val docs = T(s, dir, "documents")
+        val counts = docs.select(
+            explode(TextStats.tokens(lower(col("text")))).as("term"))
+          .filter(length(col("term")) >= 1)
+          .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum(col("n")).as("total_tokens"))
+        // bounded top slice: take the 1024 most frequent terms (count
+        // desc, term asc tiebreak) — orderBy+limit plans as TakeOrdered,
+        // a per-partition top-k + driver merge, not a global sort
+        val top = counts.orderBy(col("n").desc, col("term")).limit(1024)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("n").desc, col("term"))))
+        val sizes = Seq(256, 512, 1024)
+        val covered = top.agg(
+          sum(when(col("rk") <= sizes.head, col("n")).otherwise(0L))
+            .as(s"cov_${sizes.head}"),
+          sizes.tail.map(k =>
+            sum(when(col("rk") <= k, col("n")).otherwise(0L))
+              .as(s"cov_$k")): _*)
+        covered.crossJoin(broadcast(total))
+          .select(explode(array(sizes.map(k => struct(
+              lit(k).as("vocab_size"),
+              col(s"cov_$k").as("covered_tokens"))): _*)).as("r"),
+            col("total_tokens"))
+          .select(col("r.vocab_size"), col("r.covered_tokens"),
+            col("total_tokens"),
+            round(col("r.covered_tokens").cast(DoubleType) /
+              col("total_tokens"), 6).as("coverage"))
+          .orderBy(col("vocab_size"))
+      },
+      Some("""WITH tok AS (SELECT t AS term FROM documents,
+             |     unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+             |       AS u(t)
+             |   WHERE len(t) >= 1),
+             | c AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+             | tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens
+             |   FROM c),
+             | top AS (SELECT n, row_number()
+             |     OVER (ORDER BY n DESC, term) AS rk
+             |   FROM c ORDER BY n DESC, term LIMIT 1024),
+             | sizes AS (SELECT unnest([256, 512, 1024]) AS vocab_size)
+             | SELECT s.vocab_size,
+             |   CAST(SUM(CASE WHEN t.rk <= s.vocab_size THEN t.n
+             |     ELSE 0 END) AS BIGINT) AS covered_tokens,
+             |   (SELECT total_tokens FROM tot) AS total_tokens,
+             |   ROUND(CAST(SUM(CASE WHEN t.rk <= s.vocab_size THEN t.n
+             |       ELSE 0 END) AS DOUBLE)
+             |     / (SELECT total_tokens FROM tot), 6) AS coverage
+             | FROM sizes s CROSS JOIN top t
+             | GROUP BY s.vocab_size ORDER BY s.vocab_size"""
+        .stripMargin),
+      "vocab-size coverage planning: bounded top-k term slice, " +
+        "conditional coverage sums, exact totals"),
+
     "q_embedding_centroid" -> QueryDef(
       (s, dir) => {
         // Per-label embedding centroid via exact fixed-point sums (see
