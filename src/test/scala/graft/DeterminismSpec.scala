@@ -67,7 +67,11 @@ class DeterminismSpec extends SparkSpec {
     // lambda folds and the Expand-planned multi-distinct must survive
     // a repartitioning unchanged
     "q_f16_lambda_funcs", "q_multi_distinct",
-    "q_f17_window_rank_funcs", "q_decile_lift")
+    "q_f17_window_rank_funcs", "q_decile_lift",
+    // round-6 additions: fixed-point tf-idf ranks (ln-ulp ties broken by
+    // term), the bounded top-k vocab slice, and cross-shard band-bucket
+    // candidate generation must all survive a repartitioning unchanged
+    "q_tfidf_topterms", "q_vocab_coverage", "q_neardup_incremental")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
