@@ -74,6 +74,62 @@ object PrefixSum {
         StructField(runName, LongType, nullable = false))))
   }
 
+  /** Running totals of SEVERAL long-valued columns in ONE two-phase scan
+    * over a shared global order — the shape a two-sample ECDF comparison
+    * needs (cumulative counts of population A and B over the pooled value
+    * axis). Same structure as [[runningTotal]] with a vector accumulator:
+    * pass A reduces each partition to a W-vector of local sums (P×W longs
+    * to the driver), the driver exclusive-scans component-wise, pass B
+    * streams each partition once seeded with its offset vector. Returns
+    * (orderCol, v0, run0, v1, run1, ...) with INCLUSIVE prefix sums.
+    *
+    * `orderCol` must be globally unique (pre-reduce to value grain first);
+    * value columns must be non-null.
+    */
+  def runningTotals(df: DataFrame, orderCol: String,
+      valueCols: Seq[String], runNames: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty && valueCols.length == runNames.length,
+      "valueCols and runNames must align")
+    val w = valueCols.length
+    val spark = df.sparkSession
+    val sorted = df
+      .select(col(orderCol).cast(LongType).as("__k") +:
+        valueCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast(LongType).as(s"__v$i") }: _*)
+      .repartitionByRange(col("__k"))
+      .sortWithinPartitions(col("__k"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rdd = sorted.rdd
+    val totals = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val s = new Array[Long](w)
+        it.foreach { r =>
+          var j = 0
+          while (j < w) { s(j) += r.getLong(j + 1); j += 1 }
+        }
+        Iterator.single((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(new Array[Long](w)) { (a, b) =>
+      Array.tabulate(w)(j => a(j) + b(j))
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      val acc = bc.value(i).clone()
+      it.map { r =>
+        var j = 0
+        while (j < w) { acc(j) += r.getLong(j + 1); j += 1 }
+        Row.fromSeq(r.getLong(0) +:
+          (0 until w).flatMap(j => Seq(r.getLong(j + 1), acc(j))))
+      }
+    }
+    spark.createDataFrame(out, StructType(
+      StructField(orderCol, LongType, nullable = false) +:
+        (0 until w).flatMap(j => Seq(
+          StructField(valueCols(j), LongType, nullable = false),
+          StructField(runNames(j), LongType, nullable = false)))))
+  }
+
   /** Running MAXIMUM of `valueCol` (long) ordered by `orderCol` (long,
     * globally unique), plus a flag marking rows that strictly RAISE the
     * running max — i.e. rows beating every value strictly before them.

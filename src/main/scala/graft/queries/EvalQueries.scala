@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampNTZType}
 
 import graft.core.{QueryDef, QueryModule, Tables}
 import graft.functions.FixedPoint.{ldiv, scaledDiv}
+import graft.operators.PrefixSum
 
 /** Model-evaluation battery: exact ROC AUC, calibration bins, Cohen's
   * kappa inter-rater agreement, and Gini concentration — the metrics a
@@ -297,6 +298,86 @@ object EvalQueries extends QueryModule {
              | FROM s ORDER BY bucket""".stripMargin),
       "Population Stability Index between periods: literal bucket " +
         "edges, add-1 smoothed exact ppm shares, fixed-point ln terms"),
+
+    "q_ks_drift" -> QueryDef(
+      (s, dir) => {
+        // exact two-sample Kolmogorov–Smirnov distance between the
+        // order-value distributions of two eras (the distribution-level
+        // drift monitor next to the bucketed PSI): D = max over the
+        // pooled value axis of |ECDF_a − ECDF_b|. Scale shape: reduce to
+        // VALUE GRAIN first (one keyed agg; cents is then a unique order
+        // key), run BOTH cumulative counts in one two-phase
+        // PrefixSum.runningTotals scan — no single-task global window
+        // anywhere — and maximize the exact integer deviation
+        // |ca·nb − cb·na| (the /na·nb division happens once, at the
+        // end). Ties on the max deviation break to the smallest value,
+        // so the argmax row is deterministic. (Products reach
+        // na·nb ≈ 1e18 at ~1e9 rows per side — widen to decimal beyond
+        // that, same note as q_decile_lift.)
+        val era = col("o_orderdate") <
+          lit("1998-01-01 00:00:00").cast(TimestampNTZType)
+        val grain = T(s, dir, "orders")
+          .select(floor(col("o_totalprice") * 100).cast(LongType)
+              .as("cents"),
+            when(era, 1L).otherwise(0L).as("ia"))
+          .groupBy(col("cents"))
+          .agg(sum(col("ia")).as("da"),
+            sum(lit(1L) - col("ia")).as("db"))
+        val scanned = PrefixSum.runningTotals(grain, "cents",
+          Seq("da", "db"), Seq("ca", "cb"))
+        val tot = scanned.agg(max(col("ca")).as("na"),
+          max(col("cb")).as("nb"))
+        val dev = scanned.crossJoin(broadcast(tot))
+          .select(col("cents"), col("na"), col("nb"),
+            abs(col("ca") * col("nb") - col("cb") * col("na"))
+              .as("dstar"))
+        val m = dev.agg(max(col("dstar")).as("md"))
+        val naD = col("na").cast(DoubleType)
+        val nbD = col("nb").cast(DoubleType)
+        dev.crossJoin(broadcast(m))
+          .filter(col("dstar") === col("md"))
+          .groupBy(col("na"), col("nb"), col("md"))
+          .agg(min(col("cents")).as("at_cents"))
+          .select(col("na"), col("nb"), col("at_cents"),
+            round(col("md").cast(DoubleType) / (naD * nbD), 6)
+              .as("ks_d"),
+            round(lit(1.358) *
+              sqrt((col("na") + col("nb")).cast(DoubleType) /
+                (naD * nbD)), 6).as("ks_crit"))
+      },
+      Some("""WITH g AS (SELECT
+             |     CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+             |     CAST(SUM(CASE WHEN o_orderdate <
+             |       TIMESTAMP '1998-01-01 00:00:00' THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS da,
+             |     CAST(SUM(CASE WHEN o_orderdate <
+             |       TIMESTAMP '1998-01-01 00:00:00' THEN 0 ELSE 1 END)
+             |       AS BIGINT) AS db
+             |   FROM orders GROUP BY 1),
+             | c AS (SELECT cents,
+             |     CAST(SUM(da) OVER (ORDER BY cents ROWS BETWEEN
+             |       UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |       AS ca,
+             |     CAST(SUM(db) OVER (ORDER BY cents ROWS BETWEEN
+             |       UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |       AS cb
+             |   FROM g),
+             | t AS (SELECT MAX(ca) AS na, MAX(cb) AS nb FROM c),
+             | d AS (SELECT cents, na, nb,
+             |     ABS(ca * nb - cb * na) AS dstar
+             |   FROM c CROSS JOIN t),
+             | m AS (SELECT MAX(dstar) AS md FROM d)
+             | SELECT na, nb, MIN(cents) AS at_cents,
+             |   ROUND(CAST(md AS DOUBLE) /
+             |     (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_d,
+             |   ROUND(1.358 * sqrt(CAST(na + nb AS DOUBLE) /
+             |     (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+             |     AS ks_crit
+             | FROM d CROSS JOIN m WHERE dstar = md
+             | GROUP BY na, nb, md""".stripMargin),
+      "exact two-sample Kolmogorov–Smirnov drift: value-grain reduce, " +
+        "both ECDFs in one two-phase prefix-sum scan, integer deviation " +
+        "maximized before the single final division"),
 
     "q_decile_lift" -> QueryDef(
       (s, dir) => {

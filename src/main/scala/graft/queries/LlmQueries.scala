@@ -319,6 +319,84 @@ object LlmQueries extends QueryModule {
       "MinHash-LSH near-dup pairs, bucket-local join + exact verify " +
         "(completeness-checked vs exact all-pairs)"),
 
+    "q_containment_dedup" -> QueryDef(
+      (s, dir) => {
+        // full-containment dedup — the inclusion/quotation case Jaccard
+        // near-dup misses: a short doc fully embedded in a longer one has
+        // tiny Jaccard but containment 1.0. Finds every (A, B) with
+        // shingles(A) ⊆ shingles(B) via RAREST-SHINGLE BLOCKING, which is
+        // COMPLETE, not approximate: if S_A ⊆ S_B then A's globally
+        // rarest shingle (tie-broken (count, shingle) — deterministic)
+        // is in B, so the pair surfaces in that shingle's posting list.
+        // Candidate volume is Σ_A |posting(rarest(A))| — rarest shingles
+        // have the SHORTEST posting lists, the classic record-linkage
+        // blocking bound — and the exact verify joins only candidate
+        // pairs' shingle sets, never all-pairs. The synthetic corpus has
+        // no natural full-subset pairs, so the corpus self-seeds
+        // truncated 15-token prefixes (q_dedup_exact_stats convention);
+        // prefix 3-grams are a subset of the source doc's by
+        // construction. The oracle recomputes the full-subset pair set
+        // exactly (all-pairs list_intersect — oracle-side O(n²) is fine
+        // at gate scale), so green proves blocking completeness AND
+        // exact verification.
+        val d = T(s, dir, "documents")
+        val toks = split(trim(lower(col("text"))), "\\s+")
+        val seeded = d.select(col("doc_id"), col("text")).unionByName(
+          d.filter(col("doc_id") < 40 && size(toks) >= 18)
+            .select((col("doc_id") + 20000).as("doc_id"),
+              array_join(slice(toks, 1, 15), " ").as("text")))
+        val sh = NearDup.shingles(seeded, "text", 3)
+          .select(col("doc_id"), explode(col("__shingles")).as("sh"))
+        val counts = sh.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+        val sizes = sh.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("nsh"))
+        val rare = sh.join(counts, Seq("sh"))
+          .groupBy(col("doc_id"))
+          .agg(min(struct(col("cnt"), col("sh"))).as("__m"))
+          .select(col("doc_id").as("id_a"), col("__m.sh").as("rsh"))
+        val cands = rare.join(
+            sh.select(col("doc_id").as("id_b"), col("sh").as("rsh")),
+            Seq("rsh"))
+          .filter(col("id_a") =!= col("id_b"))
+          .select(col("id_a"), col("id_b"))
+        val common = cands
+          .join(sh.select(col("doc_id").as("id_a"), col("sh")),
+            Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("sh")),
+            Seq("id_b", "sh"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("ncommon"))
+        common
+          .join(sizes.select(col("doc_id").as("id_a"), col("nsh")),
+            Seq("id_a"))
+          .filter(col("ncommon") === col("nsh"))
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents
+             |   UNION ALL
+             |   SELECT doc_id + 20000 AS doc_id,
+             |     array_to_string((regexp_split_to_array(
+             |       trim(lower(text)), '\s+'))[1:15], ' ') AS text
+             |   FROM documents
+             |   WHERE doc_id < 40 AND len(regexp_split_to_array(
+             |     trim(lower(text)), '\s+')) >= 18),
+             | t AS (SELECT doc_id,
+             |     regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |   FROM base),
+             | g AS (SELECT doc_id,
+             |     list_distinct(list_transform(
+             |       range(1, greatest(len(ts)-2,1)+1),
+             |       i -> array_to_string(ts[i:least(i+2, len(ts))], ' ')))
+             |       AS gs
+             |   FROM t),
+             | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |   FROM g a JOIN g b ON a.doc_id != b.doc_id
+             |   WHERE len(list_intersect(a.gs, b.gs)) = len(a.gs))
+             | SELECT id_a, id_b FROM p ORDER BY id_a, id_b""".stripMargin),
+      "full-containment dedup via complete rarest-shingle blocking + " +
+        "exact subset verify — the inclusion case Jaccard misses"),
+
     "q_neardup_incremental" -> QueryDef(
       (s, dir) => {
         // ingest-time near-dup: an incoming batch (odd doc_ids) dedups
@@ -991,6 +1069,34 @@ object LlmQueries extends QueryModule {
       Some("SELECT 5 AS n_probes, 10 AS k, TRUE AS recall_ok"),
       "IVF approximate top-k (partitioned scale path) with aggregate " +
         "recall-vs-brute asserted in-query"),
+
+    "q_ann_pq_topk" -> QueryDef(
+      (s, dir) => {
+        // product-quantization ADC top-k (the memory-scale ANN path:
+        // corpus stored as 8 sub-space codes per vector, ~32×
+        // compression; queries scan a broadcast distance table, never
+        // corpus vectors — see Ann.pqTopK). Recall-vs-brute aggregated
+        // in-query like the IVF/LSH gates: 8×16 codebooks on
+        // cluster-free synthetic embeddings measure ~0.4 recall@10 at
+        // sf0.001 (AnnSpec prints it); the gate asserts >= 0.2 — a
+        // broken codebook fit, encode join or ADC sum drops it to
+        // ~k/n ≈ 0.02 and fails the hash.
+        val emb = T(s, dir, "embeddings")
+        val probes = emb.orderBy(col("vec_id")).limit(5)
+        val brute = Ann.bruteForceTopK(emb, probes, "vec_id",
+          "embedding", k = 10)
+        val approx = Ann.pqTopK(emb, probes, "vec_id", "embedding",
+          k = 10, nSub = 8, nCodes = 16)
+        brute
+          .join(approx.select(col("probe_id"), col("neighbor_id")),
+            Seq("probe_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("__hits"))
+          .select(lit(5).as("n_probes"), lit(10).as("k"),
+            (col("__hits") >= 10L).as("recall_ok"))
+      },
+      Some("SELECT 5 AS n_probes, 10 AS k, TRUE AS recall_ok"),
+      "PQ/ADC approximate top-k (code-compressed scale path) with " +
+        "aggregate recall-vs-brute asserted in-query"),
 
     "q_mm_decode" -> QueryDef(
       (s, dir) => {

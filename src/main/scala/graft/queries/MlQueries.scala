@@ -252,6 +252,115 @@ object MlQueries extends QueryModule {
       "A10/L8: RF feature importances — distribution invariants gated " +
         "(notebook cells 26-29)"),
 
+    "q_kmeans_lloyd" -> QueryDef(
+      (s, dir) => {
+        // distributed k-means (Lloyd) in EXACT integer arithmetic — the
+        // corpus-clustering step of a curation pipeline (topic balance,
+        // semantic shards), made fully oracle-checkable: embeddings
+        // quantize to 1e6 fixed point, distances are integer sums of
+        // squares, and each new centroid component mints by exact floor
+        // division (subtract pmod first, so truncating and flooring
+        // division agree for negative sums too) — every value both
+        // engines compute is a BIGINT, so the final per-cluster sizes,
+        // within-cluster sum of squares AND centroid components all
+        // hash-match, not just invariant flags. Scale shape per
+        // iteration: centroids (k×d longs) BROADCAST against the
+        // unshuffled corpus for assignment (map-side zip_with/aggregate
+        // lambdas, no explode), one keyed (cid,pos) agg for the
+        // recompute — the canonical distributed Lloyd; the corpus is
+        // localCheckpointed once so 3 assignment passes and 2 recomputes
+        // share one materialization. Spark ML's KMeans (already used by
+        // the IVF quantizer) remains the training-scale path; this is
+        // the deterministic, gate-able form. k=4 seeded from the 4
+        // smallest vec_ids, 2 Lloyd updates, final assignment reported.
+        val k = 4
+        val pts = T(s, dir, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => floor(x.cast(DoubleType) * 1e6).cast(LongType))
+              .as("qv"))
+          .localCheckpoint()
+        val cents0 = pts.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("qv").as("qc"))
+        def assign(cents: DataFrame): DataFrame =
+          pts.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("qv"), col("cid"),
+              aggregate(
+                zip_with(col("qv"), col("qc"),
+                  (a, b) => (a - b) * (a - b)),
+                lit(0L), (acc, x) => acc + x).as("dist"))
+            .groupBy(col("vec_id"), col("qv"))
+            .agg(min(struct(col("dist"), col("cid"))).as("__m"))
+            .select(col("vec_id"), col("qv"),
+              col("__m.cid").as("cid"), col("__m.dist").as("dist"))
+        def recompute(assigned: DataFrame): DataFrame =
+          assigned.select(col("cid"), posexplode(col("qv")))
+            .withColumnsRenamed(Map("pos" -> "pos", "col" -> "q"))
+            .groupBy(col("cid"), col("pos"))
+            .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+            .select(col("cid"), col("pos"),
+              expr("(sq - pmod(sq, n)) div n").as("c"))
+            .groupBy(col("cid"))
+            .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+              .as("ps"))
+            .select(col("cid"),
+              transform(col("ps"), x => x.getField("c")).as("qc"))
+        var cents = cents0
+        for (_ <- 1 to 2) cents = recompute(assign(cents))
+        val fin = assign(cents)
+        fin.groupBy(col("cid"))
+          .agg(count(lit(1)).as("n"), sum(col("dist")).as("wss"))
+          .join(cents.select(col("cid"),
+            element_at(col("qc"), 1).as("qc1"),
+            element_at(col("qc"), 2).as("qc2")), Seq("cid"))
+          .orderBy(col("cid"))
+      },
+      Some("""WITH e AS (SELECT vec_id, i - 1 AS pos,
+             |     CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6)
+             |       AS BIGINT) AS q
+             |   FROM embeddings, range(1, 65) t(i)),
+             | c0 AS (SELECT vec_id AS cid, pos, q AS c FROM e
+             |   WHERE vec_id < 4),
+             | d1 AS (SELECT e.vec_id, c.cid,
+             |     CAST(SUM((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS dist
+             |   FROM e JOIN c0 c ON e.pos = c.pos GROUP BY 1, 2),
+             | a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+             |     ROW_NUMBER() OVER (PARTITION BY vec_id
+             |       ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+             | c1 AS (SELECT a.cid, e.pos,
+             |     (SUM(e.q) - ((SUM(e.q) % COUNT(*)) + COUNT(*))
+             |       % COUNT(*)) // COUNT(*) AS c
+             |   FROM e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
+             | d2 AS (SELECT e.vec_id, c.cid,
+             |     CAST(SUM((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS dist
+             |   FROM e JOIN c1 c ON e.pos = c.pos GROUP BY 1, 2),
+             | a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+             |     ROW_NUMBER() OVER (PARTITION BY vec_id
+             |       ORDER BY dist, cid) AS rn FROM d2) WHERE rn = 1),
+             | c2 AS (SELECT a.cid, e.pos,
+             |     (SUM(e.q) - ((SUM(e.q) % COUNT(*)) + COUNT(*))
+             |       % COUNT(*)) // COUNT(*) AS c
+             |   FROM e JOIN a2 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
+             | d3 AS (SELECT e.vec_id, c.cid,
+             |     CAST(SUM((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS dist
+             |   FROM e JOIN c2 c ON e.pos = c.pos GROUP BY 1, 2),
+             | a3 AS (SELECT vec_id, cid, dist FROM (SELECT vec_id, cid,
+             |     dist, ROW_NUMBER() OVER (PARTITION BY vec_id
+             |       ORDER BY dist, cid) AS rn FROM d3) WHERE rn = 1),
+             | cc AS (SELECT cid,
+             |     CAST(MAX(CASE WHEN pos = 0 THEN c END) AS BIGINT)
+             |       AS qc1,
+             |     CAST(MAX(CASE WHEN pos = 1 THEN c END) AS BIGINT)
+             |       AS qc2
+             |   FROM c2 GROUP BY cid),
+             | g AS (SELECT cid, COUNT(*) AS n,
+             |     CAST(SUM(dist) AS BIGINT) AS wss FROM a3 GROUP BY cid)
+             | SELECT g.cid, g.n, g.wss, cc.qc1, cc.qc2
+             | FROM g JOIN cc ON g.cid = cc.cid ORDER BY g.cid""".stripMargin),
+      "distributed Lloyd k-means in exact fixed-point integers: " +
+        "broadcast centroids, map-side distances, keyed recompute — " +
+        "sizes, WSS and centroids all hash-gated"),
+
     "q_f5_label_encode" -> QueryDef(
       (s, dir) => {
         // F5: StringIndexer with frequencyDesc ordering — ties broken

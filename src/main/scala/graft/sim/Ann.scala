@@ -144,6 +144,92 @@ object Ann {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Product-quantization (PQ/ADC) approximate top-k — the memory-scale
+    * ANN path: the corpus is stored as `nSub` per-sub-space CODES (one
+    * small int each) instead of `dim` floats, an ~32× compression at
+    * 8×8-dim sub-spaces, which is what lets a 100 TB embedding corpus
+    * fit a serving tier. Vectors are L2-normalized first (so ascending
+    * quantized-L2 ranking agrees with descending cosine), quantized to
+    * 1e6 fixed point, and each sub-space codebook trains with ONE exact
+    * integer Lloyd update (floor-div centroid minting, (dist, code)
+    * argmin tie-break, seeded from the `nCodes` smallest ids) — the same
+    * deterministic recipe as q_kmeans_lloyd, so results are
+    * partitioning-invariant. Queries never touch corpus vectors: each
+    * probe builds an nSub×nCodes distance TABLE (tiny, broadcast) and
+    * the scan is a hash-join on (sub, code) + a keyed sum — asymmetric
+    * distance computation. Output ranks by ascending ADC distance,
+    * ties by neighbor id.
+    */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, nSub: Int = 8,
+      nCodes: Int = 16): DataFrame = {
+    val dimRow = corpus
+      .select(size(col(vecCol)).as("d")).filter(col("d") > 0).take(1)
+    require(dimRow.nonEmpty, "pqTopK: empty corpus")
+    val dim = dimRow.head.getInt(0)
+    require(dim % nSub == 0, s"pqTopK: dim $dim not divisible by $nSub")
+    val subLen = dim / nSub
+    // L2-normalize, fix-point quantize, split into sub-vectors (long
+    // format: one row per (id, sub))
+    def l2(v: Column): Column =
+      sqrt(aggregate(v, lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+    def quant(df: DataFrame, id: String): DataFrame =
+      df.filter(l2(col(vecCol)) > 0.0d)
+        .select(col(idCol).as(id),
+          transform(col(vecCol),
+            x => floor(x.cast("double") / l2(col(vecCol)) * 1e6)
+              .cast("long")).as("__q"))
+        .select(col(id), posexplode(array((0 until nSub).map(s0 =>
+            slice(col("__q"), s0 * subLen + 1, subLen)): _*))
+          .as(Seq("sub", "sv")))
+    def sqdist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val cs = quant(corpus, "neighbor_id").localCheckpoint()
+    val init = cs.filter(col("neighbor_id") < nCodes)
+      .select(col("sub"), col("neighbor_id").as("code"),
+        col("sv").as("cv"))
+    def encode(cb: DataFrame): DataFrame =
+      cs.join(broadcast(cb), Seq("sub"))
+        .select(col("neighbor_id"), col("sub"), col("sv"),
+          struct(sqdist(col("sv"), col("cv")).as("d2"), col("code"))
+            .as("__dc"))
+        .groupBy(col("neighbor_id"), col("sub"), col("sv"))
+        .agg(min(col("__dc")).as("__m"))
+        .select(col("neighbor_id"), col("sub"), col("sv"),
+          col("__m.code").as("code"))
+    val cb1 = encode(init)
+      .select(col("sub"), col("code"), posexplode(col("sv"))
+        .as(Seq("pos", "qq")))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg(sum(col("qq")).as("sq"), count(lit(1)).as("n"))
+      .select(col("sub"), col("code"), col("pos"),
+        expr("(sq - pmod(sq, n)) div n").as("c"))
+      .groupBy(col("sub"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+        .as("ps"))
+      .select(col("sub"), col("code"),
+        transform(col("ps"), x => x.getField("c")).as("cv"))
+    val codes = encode(cb1)
+      .select(col("neighbor_id"), col("sub"), col("code"))
+    val tables = broadcast(quant(probes, "probe_id")
+      .join(broadcast(cb1), Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("code"),
+        sqdist(col("sv"), col("cv")).as("d2")))
+    val adc = codes.join(tables, Seq("sub", "code"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("dist"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(asc("dist"), asc("neighbor_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("dist"),
+        col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Approximate top-k via random-projection LSH on normalized vectors.
     * Same output shape as [[bruteForceTopK]]; recall asserted in AnnSpec.
     *

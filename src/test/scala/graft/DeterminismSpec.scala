@@ -71,7 +71,12 @@ class DeterminismSpec extends SparkSpec {
     // round-6 additions: fixed-point tf-idf ranks (ln-ulp ties broken by
     // term), the bounded top-k vocab slice, and cross-shard band-bucket
     // candidate generation must all survive a repartitioning unchanged
-    "q_tfidf_topterms", "q_vocab_coverage", "q_neardup_incremental")
+    "q_tfidf_topterms", "q_vocab_coverage", "q_neardup_incremental",
+    // the two-column prefix-sum KS scan, the integer-Lloyd argmin /
+    // floor-div centroid minting, and rarest-shingle blocking (struct-min
+    // tie-break) must survive a repartitioning unchanged
+    "q_ks_drift", "q_kmeans_lloyd", "q_containment_dedup",
+    "q_ann_pq_topk")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)

@@ -54,6 +54,32 @@ class DistributedPrimitivesPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: runningTotals (two columns, one scan) == two window " +
+      "cumsums on random deltas") {
+    for (deltas <- samples(deltasGen, 6)) {
+      val rows = deltas.zipWithIndex.map { case (v, i) =>
+        Row((deltas.size - i) * 3L, v, v * 2 - 7)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4),
+        StructType(Seq(StructField("t", LongType, nullable = false),
+          StructField("u", LongType, nullable = false),
+          StructField("v", LongType, nullable = false))))
+      val got = PrefixSum.runningTotals(df, "t", Seq("u", "v"),
+          Seq("ru", "rv"))
+        .orderBy(col("t")).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+      val w = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val expect = df
+        .withColumn("ru", sum(col("u")).over(w))
+        .withColumn("rv", sum(col("v")).over(w))
+        .orderBy(col("t")).collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+      assert(got.toSeq === expect.toSeq)
+    }
+  }
+
   // --- connectedComponents vs driver-side union-find -------------------
 
   private val graphGen: Gen[(Int, List[(Long, Long)])] =

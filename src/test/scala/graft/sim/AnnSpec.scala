@@ -46,6 +46,19 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.4, s"ivf recall $recall too low")
   }
 
+  test("PQ/ADC top-k achieves reasonable recall vs brute force") {
+    val emb = Tables.load(spark, sf0001, "embeddings").cache()
+    val probes = emb.orderBy(col("vec_id")).limit(5)
+    val exact = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Ann.pqTopK(emb, probes, "vec_id", "embedding", 10,
+        nSub = 8, nCodes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.2, s"pq recall $recall too low")
+    info(s"pq recall@10 = $recall")
+  }
+
   test("LSH top-k achieves reasonable recall vs brute force") {
     val emb = Tables.load(spark, sf0001, "embeddings").cache()
     val probes = emb.orderBy(col("vec_id")).limit(5)
