@@ -345,8 +345,18 @@ object LlmQueries extends QueryModule {
           d.filter(col("doc_id") < 40 && size(toks) >= 18)
             .select((col("doc_id") + 20000).as("doc_id"),
               array_join(slice(toks, 1, 15), " ").as("text")))
-        val sh = NearDup.shingles(seeded, "text", 3)
-          .select(col("doc_id"), explode(col("__shingles")).as("sh"))
+        // blocking and verification run on the 64-bit ROLLING-HASH
+        // shingles (the native codegen expression), not the gram
+        // strings: every downstream op is equality-only (counts, argmin
+        // tie-break, posting joins, intersection counting), so longs
+        // shuffle ~5× less than 30-char grams and stay codegen-friendly
+        // (hashJaccard precedent; ~1e-15 collision odds per pair at
+        // gate scale, deterministic). The incidence frame feeds four
+        // consumers (counts, sizes, rarest argmin, pair verify) —
+        // materialize it once.
+        val sh = NearDup.shingleHashes(seeded, "text", 3)
+          .select(col("doc_id"), explode(col("__shingle_hashes")).as("sh"))
+          .localCheckpoint()
         val counts = sh.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
         val sizes = sh.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("nsh"))

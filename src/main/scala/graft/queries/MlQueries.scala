@@ -252,6 +252,62 @@ object MlQueries extends QueryModule {
       "A10/L8: RF feature importances — distribution invariants gated " +
         "(notebook cells 26-29)"),
 
+    "q_cv_folds" -> QueryDef(
+      (s, dir) => {
+        // k-fold cross-validation protocol (k=3): fold assignment is
+        // pmod(l_orderkey, 3) — deterministic, leakage-free BY
+        // CONSTRUCTION (all lineitems of one order share a fold, the
+        // group-split discipline q_group_split gates in isolation), and
+        // exactly recomputable by the oracle. Per fold: prep+tree fit
+        // on the complement (ModelCache-tagged like the trainer family
+        // — one fit per session per fold), score the held-out fold.
+        // Gate: exact per-fold test sizes (DuckDB recomputes the modulo
+        // histogram) + sane-accuracy flags; raw scores stay
+        // spec-asserted. Scale shape: fold assignment is a map-side
+        // expression; each fit scans its complement once — the protocol
+        // parallelizes over folds with zero cross-fold state.
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{BooleanType, LongType => LT,
+          StructField, StructType}
+        val base = T(s, dir, "lineitem").select(
+          pmod(col("l_orderkey"), lit(3)).cast(LT).as("fold"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0)
+            .as("label"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax"))
+        val rows = (0L until 3L).map { f =>
+          val train = base.filter(col("fold") =!= f).drop("fold")
+          val test = base.filter(col("fold") === f).drop("fold")
+          val prep = ModelCache.fitted(s, dir, s"CV_PREP:fold=$f")(
+            PrepPipeline.fit(train, FeatureCols))
+            .asInstanceOf[org.apache.spark.ml.PipelineModel]
+          val clf = ModelCache.fitted(s, dir, s"CV_DT:fold=$f")(
+            Trainers.byName("D_TREE", Map("max_depth" -> "5"))
+              .fit(prep.transform(train)
+                .select(col("label"), col(PrepPipeline.FeaturesCol)))
+              .asInstanceOf[org.apache.spark.ml.Transformer])
+          val scored = clf.transform(prep.transform(test)
+            .select(col("label"), col(PrepPipeline.FeaturesCol)))
+          val r = scored.agg(count(lit(1)).as("n"),
+            sum(when(col("label") === col("prediction"), 1L)
+              .otherwise(0L)).as("ok")).head()
+          val n = r.getLong(0)
+          val acc = r.getLong(1).toDouble / n
+          Row(f, n, acc >= 0.3 && acc <= 1.0)
+        }
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows, 1),
+          StructType(Seq(StructField("fold", LT, nullable = false),
+            StructField("n_test", LT, nullable = false),
+            StructField("acc_ok", BooleanType, nullable = false))))
+          .orderBy(col("fold"))
+      },
+      Some("""SELECT l_orderkey % 3 AS fold, COUNT(*) AS n_test,
+             | TRUE AS acc_ok
+             | FROM lineitem GROUP BY 1 ORDER BY fold""".stripMargin),
+      "3-fold CV protocol: order-keyed fold split (leakage-free by " +
+        "construction), per-fold fit/score, exact fold sizes gated"),
+
     "q_kmeans_lloyd" -> QueryDef(
       (s, dir) => {
         // distributed k-means (Lloyd) in EXACT integer arithmetic — the

@@ -211,6 +211,9 @@ object Ann {
         .as("ps"))
       .select(col("sub"), col("code"),
         transform(col("ps"), x => x.getField("c")).as("cv"))
+      // nSub×nCodes rows; materialized so the corpus re-encode and the
+      // probe distance tables don't each replay the first encode pass
+      .localCheckpoint()
     val codes = encode(cb1)
       .select(col("neighbor_id"), col("sub"), col("code"))
     val tables = broadcast(quant(probes, "probe_id")

@@ -448,6 +448,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.split("Scan parquet").length - 1 == 2, p.take(3000))
   }
 
+  test("q_ks_drift: no window anywhere — both ECDFs ride the two-phase " +
+      "prefix-sum scan") {
+    val p = planOf("q_ks_drift")
+    // the whole point of PrefixSum.runningTotals: a global cumulative
+    // sum with NO per-row global window and no single-task funnel
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q_kmeans_lloyd: centroids broadcast into assignment; recompute " +
+      "partial-aggregates") {
+    val p = planOf("q_kmeans_lloyd")
+    // the corpus x centroids cross is a broadcast nested loop over the
+    // k-row centroid frame (never a shuffled cartesian), and the
+    // (cid, pos) recompute must map-side combine
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("partial_sum"), p.take(3000))
+  }
+
+  test("q_ann_pq_topk: ADC scan is a broadcast (sub, code) lookup join") {
+    val p = planOf("q_ann_pq_topk")
+    // the probe distance tables are tiny and explicitly broadcast; the
+    // corpus code table joins them by (sub, code) equality — a hash
+    // join, never a cartesian over corpus vectors
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q_containment_dedup: blocking + verify are equi-joins, never " +
+      "cartesian") {
+    val p = planOf("q_containment_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q_cusum_drift: ordered window consumes the day grain only") {
     val p = planOf("q_cusum_drift")
     // the global-order window is the documented bounded-grain pattern:
