@@ -345,42 +345,11 @@ object LlmQueries extends QueryModule {
           d.filter(col("doc_id") < 40 && size(toks) >= 18)
             .select((col("doc_id") + 20000).as("doc_id"),
               array_join(slice(toks, 1, 15), " ").as("text")))
-        // blocking and verification run on the 64-bit ROLLING-HASH
-        // shingles (the native codegen expression), not the gram
-        // strings: every downstream op is equality-only (counts, argmin
-        // tie-break, posting joins, intersection counting), so longs
-        // shuffle ~5× less than 30-char grams and stay codegen-friendly
-        // (hashJaccard precedent; ~1e-15 collision odds per pair at
-        // gate scale, deterministic). The incidence frame feeds four
-        // consumers (counts, sizes, rarest argmin, pair verify) —
-        // materialize it once.
-        val sh = NearDup.shingleHashes(seeded, "text", 3)
-          .select(col("doc_id"), explode(col("__shingle_hashes")).as("sh"))
-          .localCheckpoint()
-        val counts = sh.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
-        val sizes = sh.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("nsh"))
-        val rare = sh.join(counts, Seq("sh"))
-          .groupBy(col("doc_id"))
-          .agg(min(struct(col("cnt"), col("sh"))).as("__m"))
-          .select(col("doc_id").as("id_a"), col("__m.sh").as("rsh"))
-        val cands = rare.join(
-            sh.select(col("doc_id").as("id_b"), col("sh").as("rsh")),
-            Seq("rsh"))
-          .filter(col("id_a") =!= col("id_b"))
-          .select(col("id_a"), col("id_b"))
-        val common = cands
-          .join(sh.select(col("doc_id").as("id_a"), col("sh")),
-            Seq("id_a"))
-          .join(sh.select(col("doc_id").as("id_b"), col("sh")),
-            Seq("id_b", "sh"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("ncommon"))
-        common
-          .join(sizes.select(col("doc_id").as("id_a"), col("nsh")),
-            Seq("id_a"))
-          .filter(col("ncommon") === col("nsh"))
-          .select(col("id_a"), col("id_b"))
+        // blocking and verification live in NearDup.containmentPairs
+        // (64-bit rolling-hash shingles — equality-only downstream, so
+        // longs shuffle ~5× less than gram strings; completeness
+        // property-tested on random corpora)
+        NearDup.containmentPairs(seeded, "doc_id", "text", 3)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH base AS (SELECT doc_id, text FROM documents

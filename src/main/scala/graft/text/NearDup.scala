@@ -167,6 +167,53 @@ object NearDup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** All (id_a, id_b) pairs with shingles(A) ⊆ shingles(B), a ≠ b — the
+    * full-containment (inclusion/quotation) dedup case Jaccard near-dup
+    * misses: a short doc fully embedded in a longer one has tiny Jaccard
+    * but containment 1.0.
+    *
+    * Candidate generation is RAREST-SHINGLE BLOCKING and it is COMPLETE,
+    * not approximate: if S_A ⊆ S_B, then A's globally rarest shingle
+    * (tie-broken (count, hash) — deterministic) is in B, so the pair
+    * surfaces in that shingle's posting list. Candidate volume is
+    * Σ_A |posting(rarest(A))| — rarest shingles have the SHORTEST
+    * posting lists, the classic record-linkage blocking bound — and the
+    * exact subset verify joins only candidate pairs' shingle sets, never
+    * all-pairs. Runs entirely on the 64-bit rolling-hash shingles
+    * (equality-only ops; ~1e-15 collision odds per pair, deterministic).
+    * Completeness is property-tested against exhaustive all-pairs subset
+    * truth on random corpora (DistributedPrimitivesPropertySpec).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = shingleHashes(df, textCol, n)
+      .select(col(idCol).as("__id"),
+        explode(col("__shingle_hashes")).as("__sh"))
+      .localCheckpoint()
+    val counts = sh.groupBy(col("__sh")).agg(count(lit(1)).as("__cnt"))
+    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__nsh"))
+    val rare = sh.join(counts, Seq("__sh"))
+      .groupBy(col("__id"))
+      .agg(min(struct(col("__cnt"), col("__sh"))).as("__m"))
+      .select(col("__id").as("id_a"), col("__m.__sh").as("__rsh"))
+    val cands = rare
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__rsh")),
+        Seq("__rsh"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val common = cands
+      .join(sh.select(col("__id").as("id_a"), col("__sh")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh")),
+        Seq("id_b", "__sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__ncommon"))
+    common
+      .join(sizes.select(col("__id").as("id_a"), col("__nsh")),
+        Seq("id_a"))
+      .filter(col("__ncommon") === col("__nsh"))
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Exact n-gram Jaccard over the hashed shingle sets — identical to
     * [[ngramJaccard]] up to 64-bit hash collisions inside a document
     * pair's shingle union (probability ~|set|²·2⁻⁶⁴ ≈ 1e-15 per pair at

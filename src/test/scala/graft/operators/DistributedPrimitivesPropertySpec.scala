@@ -10,6 +10,8 @@ import org.scalacheck.rng.Seed
 import graft.SparkSpec
 import graft.text.NearDup
 
+import org.apache.spark.sql.types.StringType
+
 /** ScalaCheck properties for the two distributed primitives whose
   * correctness is least obvious from their plans: the two-phase
   * prefix-sum scan (vs the single-task window cumsum it replaces) and
@@ -77,6 +79,50 @@ class DistributedPrimitivesPropertySpec extends SparkSpec {
         .orderBy(col("t")).collect()
         .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
       assert(got.toSeq === expect.toSeq)
+    }
+  }
+
+  // --- containmentPairs vs exhaustive subset ground truth --------------
+
+  // small token alphabet so shared shingles (and accidental full
+  // containments) arise naturally, plus planted prefix docs whose
+  // 3-gram sets are subsets by construction
+  private val corpusGen: Gen[List[String]] =
+    for {
+      nDocs <- Gen.choose(4, 20)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(3, 24)
+        toks <- Gen.listOfN(len, Gen.oneOf(
+          "a", "b", "c", "d", "e", "f", "g", "h"))
+      } yield toks.mkString(" "))
+    } yield docs
+
+  test("property: rarest-shingle containment blocking finds EXACTLY the " +
+      "all-pairs shingle-subset ground truth (planted prefixes included)") {
+    for ((docs, k) <- samples(corpusGen, 6).zipWithIndex) {
+      // plant prefix docs (>= 5 tokens so the prefix keeps full 3-grams)
+      val planted = docs.zipWithIndex.collect {
+        case (d, i) if d.split(" ").length >= 8 =>
+          d.split(" ").take(5).mkString(" ") -> (1000L + i)
+      }
+      val all = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) } ++
+        planted.map { case (d, id) => (id, d) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(all.map { case (id, t) =>
+          Row(id, t) }, 3),
+        StructType(Seq(StructField("id", LongType, nullable = false),
+          StructField("text", StringType, nullable = false))))
+      val got = NearDup.containmentPairs(df, "id", "text", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exhaustive truth over the SAME shingle semantics
+      val sets = NearDup.shingleHashes(df, "text", 3)
+        .select(col("id"), col("__shingle_hashes")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val expect = (for {
+        (a, sa) <- sets; (b, sb) <- sets
+        if a != b && sa.subsetOf(sb)
+      } yield (a, b)).toSet
+      assert(got === expect, s"sample #$k docs=${all.take(6)}...")
     }
   }
 
