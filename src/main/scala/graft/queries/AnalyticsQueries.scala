@@ -750,6 +750,53 @@ object AnalyticsQueries extends QueryModule {
       "Welch two-sample t from exact-decimal sufficient stats, one " +
         "pass, round-stats-then-apply float minting"),
 
+    "q_k_anonymity" -> QueryDef(
+      (s, dir) => {
+        // k-anonymity audit — the governance counterpart to the PII
+        // scrub (q_pii_scrub removes direct identifiers; this measures
+        // re-identification risk from QUASI-identifiers): group by the
+        // QI tuple (nation, segment, account-balance band), then report
+        // the anonymity floor min_k, the count/mass of groups below
+        // k=5, and the at-risk row share in exact ppm (the suppression
+        // budget a release would need). One keyed agg + one O(groups)
+        // rollup — the QI-grain frame is the only shuffle, bounded by
+        // the QI domain, not the row count.
+        val g = T(s, dir, "customer")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 1000).cast(LongType).as("bal_band"))
+          .agg(count(lit(1)).as("k"))
+        g.agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"),
+            min(col("k")).as("min_k"),
+            sum(when(col("k") < 5, 1L).otherwise(0L))
+              .as("groups_below_5"),
+            sum(when(col("k") < 5, col("k")).otherwise(0L))
+              .as("rows_below_5"))
+          .select(col("n_groups"), col("n_rows"), col("min_k"),
+            col("groups_below_5"), col("rows_below_5"),
+            ldiv(col("rows_below_5") * 1000000L, col("n_rows"))
+              .as("risk_ppm"))
+      },
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment,
+             |     CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             |     COUNT(*) AS k
+             |   FROM customer GROUP BY 1, 2, 3),
+             | a AS (SELECT COUNT(*) AS n_groups,
+             |     CAST(SUM(k) AS BIGINT) AS n_rows,
+             |     CAST(MIN(k) AS BIGINT) AS min_k,
+             |     CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             |       AS groups_below_5,
+             |     CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             |       AS rows_below_5
+             |   FROM g)
+             | SELECT n_groups, n_rows, min_k, groups_below_5,
+             |   rows_below_5,
+             |   (rows_below_5 * 1000000
+             |     - (rows_below_5 * 1000000 % n_rows)) // n_rows
+             |     AS risk_ppm
+             | FROM a""".stripMargin),
+      "k-anonymity audit: QI-grain group sizes, anonymity floor, " +
+        "below-k mass and exact-ppm at-risk share"),
+
     "q_mann_whitney" -> QueryDef(
       (s, dir) => {
         // two-sample Mann–Whitney U (rank-sum) z-test between event-type

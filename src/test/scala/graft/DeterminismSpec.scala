@@ -76,7 +76,7 @@ class DeterminismSpec extends SparkSpec {
     // floor-div centroid minting, and rarest-shingle blocking (struct-min
     // tie-break) must survive a repartitioning unchanged
     "q_ks_drift", "q_kmeans_lloyd", "q_containment_dedup",
-    "q_ann_pq_topk", "q_mann_whitney", "q_cv_folds")
+    "q_ann_pq_topk", "q_mann_whitney", "q_cv_folds", "q_k_anonymity")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
