@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Plan-profile regression check: compare a fresh bench_full.json against
+the committed PLANS.md and flag queries whose REALIZED plan profile moved
+by more than a factor threshold — the diffable form of "did a plan-shape
+regression sneak in" (a shuffle that doubled its bytes, a scan that lost
+its pushdown and reads 10x the rows).
+
+Timed seconds are deliberately NOT compared (1.5-4x straggler noise on a
+shared box — see SCALE.md "Measurement honesty"); scan rows and shuffle
+bytes are deterministic realized metrics, so a >2x move there is a plan
+change, not noise. n_shuffles gets a +/-1 tolerance: AQE decides at
+runtime whether marginal exchanges coalesce or broadcast, so a
+single-shuffle delta with stable scan rows and bytes is realization
+variance (observed on untouched queries across same-code sweeps), while
+a 2+ jump means the plan actually changed shape.
+
+Usage: python3 tools/check_plans.py [bench_full.json] [PLANS.md]
+Exit 1 if any regression is flagged; new/removed queries are reported
+informationally only.
+"""
+import json, re, sys
+
+FACTOR = 2.0
+
+
+def parse_plans(path):
+    prof = {}
+    for line in open(path):
+        m = re.match(r"\| (q_\w+) \| [\d.]+ \| ([\d,—]+) \| ([\d,—]+) "
+                     r"\| ([\d,—]+) \|", line)
+        if m:
+            def num(s):
+                return None if s == "—" else int(s.replace(",", ""))
+            prof[m.group(1)] = (num(m.group(2)), num(m.group(3)),
+                                num(m.group(4)))
+    return prof
+
+
+def main():
+    bench = sys.argv[1] if len(sys.argv) > 1 else "bench_full.json"
+    plans = sys.argv[2] if len(sys.argv) > 2 else "PLANS.md"
+    b = json.load(open(bench))
+    fresh = {k: (v.get("scan_rows"), v.get("shuffle_bytes"),
+                 v.get("n_shuffles"))
+             for k, v in b.get("profiles", {}).items()}
+    pinned = parse_plans(plans)
+    flagged, new, gone = [], [], []
+    for name, f in sorted(fresh.items()):
+        p = pinned.get(name)
+        if p is None:
+            new.append(name)
+            continue
+        for label, i, exact in (("scan_rows", 0, False),
+                                ("shuffle_bytes", 1, False),
+                                ("n_shuffles", 2, True)):
+            a, c = p[i], f[i]
+            if a is None or c is None:
+                continue
+            if exact:
+                if abs(a - c) > 1:
+                    flagged.append((name, label, a, c))
+            # small absolute values jitter with AQE coalescing; only
+            # compare ratios above a materiality floor
+            elif max(a, c) >= 100_000 and (c > a * FACTOR or a > c * FACTOR):
+                flagged.append((name, label, a, c))
+    gone = sorted(set(pinned) - set(fresh))
+    for name, label, a, c in flagged:
+        print(f"REGRESSION {name}: {label} {a:,} -> {c:,}")
+    if new:
+        print(f"new (not pinned): {len(new)}: {', '.join(new)}")
+    if gone:
+        print(f"pinned but absent: {len(gone)}: {', '.join(gone)}")
+    if flagged:
+        print(f"{len(flagged)} profile regression(s) vs {plans}")
+        sys.exit(1)
+    print(f"profiles stable: {len(fresh) - len(new)} compared, "
+          f"0 regressions (factor {FACTOR}, n_shuffles +/-1)")
+
+
+if __name__ == "__main__":
+    main()
