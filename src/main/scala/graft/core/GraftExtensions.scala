@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, RollingFingerprint, UnicodeNorm, WordPieceTokenize}
+import graft.functions.{CosineSimilarity, RollingFingerprint, SqDistLong,
+  UnicodeNorm, WordPieceTokenize}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions into the SQL function registry so `spark.sql` queries can
@@ -25,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.rollingFingerprintDescriptor)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.sqDistLongDescriptor)
     ext.injectFunction(GraftExtensions.unicodeNormDescriptor)
     ext.injectFunction(GraftExtensions.wordpieceDescriptor)
   }
@@ -58,6 +60,17 @@ object GraftExtensions {
         "cosine_sim(a, b) takes exactly 2 arguments")
     })
 
+  /** sq_dist_long(a, b) over array<bigint> columns. */
+  val sqDistLongDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sq_dist_long"),
+    new ExpressionInfo(classOf[SqDistLong].getName, "sq_dist_long"),
+    (children: Seq[Expression]) => children match {
+      case Seq(a, b) => SqDistLong(a, b)
+      case _ => throw new IllegalArgumentException(
+        "sq_dist_long(a, b) takes exactly 2 arguments")
+    })
+
   /** unicode_norm(text, 'nfc'|'nfkc'|'strip_accents'). */
   val unicodeNormDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -87,7 +100,8 @@ object GraftExtensions {
     })
 
   private def descriptors = Seq(rollingFingerprintDescriptor,
-    cosineSimDescriptor, unicodeNormDescriptor, wordpieceDescriptor)
+    cosineSimDescriptor, sqDistLongDescriptor, unicodeNormDescriptor,
+    wordpieceDescriptor)
 
   /** Imperative registration for sessions created without extensions
     * (tests, notebooks).

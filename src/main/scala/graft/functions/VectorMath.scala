@@ -71,7 +71,77 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** Native Catalyst expression: squared L2 distance of two long arrays in
+  * one fused loop — the hot inner operation of the exact-integer
+  * quantized-vector family (`Ann.pqTopK` codebook train/encode/ADC
+  * tables, `q_kmeans_lloyd` assignment). The declarative form —
+  * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0L, _+_)` — pays the
+  * interpreted HigherOrderFunction path per element plus a zipped-array
+  * allocation per row; this is one branch-free long loop inside
+  * whole-stage codegen. Integer arithmetic is associative, so the result
+  * is bit-identical to the HOF form (asserted in VectorMathSpec).
+  *
+  * Semantics: null if either input is null; throws on length mismatch or
+  * null elements (the quantized pipelines construct dense equal-length
+  * arrays by construction — a mismatch is a bug, not data).
+  */
+case class SqDistLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sq_dist_long needs array<bigint> children, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.sqDistLong(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val cls = VectorMath.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (a, b) => s"$cls.sqDistLong($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SqDistLong =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sq_dist_long"
+}
+
 object VectorMath {
+
+  /** Fused squared-L2 over long arrays; called from interpreted eval and
+    * generated code.
+    */
+  def sqDistLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"sq_dist_long: length mismatch $n vs ${b.numElements()}")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Column-level entry point for [[SqDistLong]]. */
+  def sq_dist_long(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      SqDistLong(GraftColumnBridge.expression(a),
+        GraftColumnBridge.expression(b)))
 
   /** Fused dot + norms cosine; called from interpreted eval and generated
     * code. Sequential accumulation (see class doc for why the order is

@@ -341,10 +341,10 @@ object MlQueries extends QueryModule {
         def assign(cents: DataFrame): DataFrame =
           pts.crossJoin(broadcast(cents))
             .select(col("vec_id"), col("qv"), col("cid"),
-              aggregate(
-                zip_with(col("qv"), col("qc"),
-                  (a, b) => (a - b) * (a - b)),
-                lit(0L), (acc, x) => acc + x).as("dist"))
+              // native codegen'd fused loop (SqDistLong) — bit-identical
+              // to the HOF zip_with/aggregate form (integer arithmetic)
+              graft.functions.VectorMath
+                .sq_dist_long(col("qv"), col("qc")).as("dist"))
             .groupBy(col("vec_id"), col("qv"))
             .agg(min(struct(col("dist"), col("cid"))).as("__m"))
             .select(col("vec_id"), col("qv"),

@@ -183,9 +183,11 @@ object Ann {
         .select(col(id), posexplode(array((0 until nSub).map(s0 =>
             slice(col("__q"), s0 * subLen + 1, subLen)): _*))
           .as(Seq("sub", "sv")))
+    // native fused loop (graft.functions.SqDistLong, codegen'd) — the
+    // HOF formulation pays interpreted per-element lambdas on the
+    // n×nCodes encode fan-out
     def sqdist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
+      graft.functions.VectorMath.sq_dist_long(a, b)
     val cs = quant(corpus, "neighbor_id").localCheckpoint()
     val init = cs.filter(col("neighbor_id") < nCodes)
       .select(col("sub"), col("neighbor_id").as("code"),

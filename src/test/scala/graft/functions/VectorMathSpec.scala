@@ -72,11 +72,40 @@ class VectorMathSpec extends SparkSpec {
       .getDouble(0).isNaN)
   }
 
+  test("native sq_dist_long equals the zip_with/aggregate HOF form " +
+      "and survives codegen-off") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1000000L, 1000000L))
+    val pairs = (0 until 40).flatMap { i =>
+      for {
+        a <- vecGen(Gen.Parameters.default, Seed(100 + i * 2L))
+        b <- vecGen(Gen.Parameters.default, Seed(101 + i * 2L))
+      } yield (a.toArray, b.toArray)
+    }
+    val df = pairs.toDF("a", "b")
+    def check(): Unit = {
+      val rows = df.select(
+        VectorMath.sq_dist_long(col("a"), col("b")),
+        aggregate(zip_with(col("a"), col("b"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    }
+    check()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try check()
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("registered as a SQL function via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql(
       "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
       .head().getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
+    val d = spark.sql(
+      "SELECT sq_dist_long(array(3L, 0L), array(0L, 4L)) AS d")
+      .head().getLong(0)
+    assert(d === 25L)
   }
 }
