@@ -183,6 +183,69 @@ object EtlQueries extends QueryModule {
              | GROUP BY mktsegment ORDER BY mktsegment NULLS FIRST""".stripMargin),
       "U2: heterogeneous union, allowMissingColumns (notebook cell 33)"),
 
+    "q_survivorship_merge" -> QueryDef(
+      (s, dir) => {
+        // golden-record survivorship — the consolidation step DOWNSTREAM
+        // of duplicate detection (dedup finds the versions; this merges
+        // them under per-field rules, the MDM discipline): name and
+        // segment take the LATEST NON-NULL version, balance takes the
+        // GREATEST non-null, nation is pinned to the system-of-record
+        // (v0). Versions are synthesized deterministically from the
+        // customer table (a v1 partial update nulling the name, a v2
+        // rename with an unknown balance), so both engines see the same
+        // multi-version input. Every rule is one aggregate with a
+        // FILTER clause — max_by/arg_max keyed on the version — so the
+        // merge is ONE keyed agg over the unioned versions: no window,
+        // no self-join, shuffle bounded by |records|.
+        val c = T(s, dir, "customer")
+        val v0 = c.select(col("c_custkey").as("k"), lit(0L).as("v"),
+          col("c_name").as("name"), col("c_mktsegment").as("seg"),
+          col("c_acctbal").as("bal"), col("c_nationkey").as("nat"))
+        val v1 = c.filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey").as("k"), lit(1L).as("v"),
+            lit(null).cast(StringType).as("name"),
+            lit("MIGRATED").as("seg"),
+            (col("c_acctbal") + 100.0).as("bal"),
+            col("c_nationkey").as("nat"))
+        val v2 = c.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").as("k"), lit(2L).as("v"),
+            upper(col("c_name")).as("name"),
+            lit(null).cast(StringType).as("seg"),
+            lit(null).cast(DoubleType).as("bal"),
+            col("c_nationkey").as("nat"))
+        v0.unionByName(v1).unionByName(v2)
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_versions"),
+            expr("max_by(name, v) FILTER (WHERE name IS NOT NULL)")
+              .as("name"),
+            expr("max_by(seg, v) FILTER (WHERE seg IS NOT NULL)")
+              .as("seg"),
+            max(col("bal")).as("bal"),
+            expr("min_by(nat, v)").as("nat"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH versions AS (
+             |   SELECT c_custkey AS k, 0 AS v, c_name AS name,
+             |     c_mktsegment AS seg, c_acctbal AS bal,
+             |     c_nationkey AS nat FROM customer
+             |   UNION ALL
+             |   SELECT c_custkey, 1, CAST(NULL AS VARCHAR), 'MIGRATED',
+             |     c_acctbal + 100.0, c_nationkey FROM customer
+             |   WHERE c_custkey % 5 = 0
+             |   UNION ALL
+             |   SELECT c_custkey, 2, upper(c_name),
+             |     CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+             |     c_nationkey FROM customer WHERE c_custkey % 7 = 0)
+             | SELECT k, COUNT(*) AS n_versions,
+             |   arg_max(name, v) FILTER (WHERE name IS NOT NULL) AS name,
+             |   arg_max(seg, v) FILTER (WHERE seg IS NOT NULL) AS seg,
+             |   MAX(bal) AS bal,
+             |   arg_min(nat, v) AS nat
+             | FROM versions GROUP BY k ORDER BY k""".stripMargin),
+      "golden-record survivorship merge: per-field rules (latest " +
+        "non-null / greatest / system-of-record) as one keyed agg with " +
+        "FILTERed max_by — no window, no self-join"),
+
     "q_u4_except_duplicates" -> QueryDef(
       (s, dir) => {
         // the notebook's duplicate-inspection idiom (SURVEY §2.4): the

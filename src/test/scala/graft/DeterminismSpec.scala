@@ -76,7 +76,10 @@ class DeterminismSpec extends SparkSpec {
     // floor-div centroid minting, and rarest-shingle blocking (struct-min
     // tie-break) must survive a repartitioning unchanged
     "q_ks_drift", "q_kmeans_lloyd", "q_containment_dedup",
-    "q_ann_pq_topk", "q_mann_whitney", "q_cv_folds", "q_k_anonymity")
+    "q_ann_pq_topk", "q_mann_whitney", "q_cv_folds", "q_k_anonymity",
+    // FILTERed max_by/min_by survivorship rules must not depend on
+    // which partition sees a version first
+    "q_survivorship_merge")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
