@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType,
+  TimestampNTZType}
 
 import graft.core.{QueryDef, QueryModule, Tables}
 import graft.functions.FixedPoint.ldiv
@@ -749,6 +750,52 @@ object AnalyticsQueries extends QueryModule {
              | FROM w""".stripMargin),
       "Welch two-sample t from exact-decimal sufficient stats, one " +
         "pass, round-stats-then-apply float minting"),
+
+    "q_heavy_changes" -> QueryDef(
+      (s, dir) => {
+        // heavy-change detection — the LOCALIZATION companion to the
+        // distribution drift tests (KS/PSI/MW say "the distribution
+        // moved"; this says WHICH keys moved): per part, the shipped-row
+        // share of each era in exact ppm (ldiv over conditional counts
+        // from ONE scan — no per-era re-scan, no join), ranked by
+        // absolute share change. Scale shape: one keyed conditional
+        // agg (shuffle = |parts|), era totals ride a 1-row broadcast,
+        // and the top-k is TakeOrdered (no global sort materialized).
+        // Ties break by part key, so the cut is deterministic.
+        val era = col("l_shipdate") <
+          lit("1997-01-01 00:00:00").cast(TimestampNTZType)
+        val per = T(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(when(era, 1L).otherwise(0L)).as("cnt_a"),
+            sum(when(era, 0L).otherwise(1L)).as("cnt_b"))
+        val tot = per.agg(sum(col("cnt_a")).as("na"),
+          sum(col("cnt_b")).as("nb"))
+        val shareA = ldiv(col("cnt_a") * 1000000L, col("na"))
+        val shareB = ldiv(col("cnt_b") * 1000000L, col("nb"))
+        per.crossJoin(broadcast(tot))
+          .select(col("l_partkey"), col("cnt_a"), col("cnt_b"),
+            abs(shareA - shareB).as("delta_ppm"))
+          .orderBy(desc("delta_ppm"), col("l_partkey"))
+          .limit(15)
+      },
+      Some("""WITH per AS (SELECT l_partkey,
+             |     CAST(SUM(CASE WHEN l_shipdate <
+             |       TIMESTAMP '1997-01-01 00:00:00' THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS cnt_a,
+             |     CAST(SUM(CASE WHEN l_shipdate <
+             |       TIMESTAMP '1997-01-01 00:00:00' THEN 0 ELSE 1 END)
+             |       AS BIGINT) AS cnt_b
+             |   FROM lineitem GROUP BY 1),
+             | t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+             |     CAST(SUM(cnt_b) AS BIGINT) AS nb FROM per)
+             | SELECT l_partkey, cnt_a, cnt_b,
+             |   ABS((cnt_a * 1000000 - (cnt_a * 1000000 % na)) // na
+             |     - (cnt_b * 1000000 - (cnt_b * 1000000 % nb)) // nb)
+             |     AS delta_ppm
+             | FROM per CROSS JOIN t
+             | ORDER BY delta_ppm DESC, l_partkey LIMIT 15""".stripMargin),
+      "heavy-change detection: per-key era shares in exact ppm from one " +
+        "conditional-agg scan, deterministic top-k movers"),
 
     "q_k_anonymity" -> QueryDef(
       (s, dir) => {

@@ -77,9 +77,9 @@ class DeterminismSpec extends SparkSpec {
     // tie-break) must survive a repartitioning unchanged
     "q_ks_drift", "q_kmeans_lloyd", "q_containment_dedup",
     "q_ann_pq_topk", "q_mann_whitney", "q_cv_folds", "q_k_anonymity",
-    // FILTERed max_by/min_by survivorship rules must not depend on
-    // which partition sees a version first
-    "q_survivorship_merge")
+    // FILTERed max_by/min_by survivorship rules and the ldiv-ppm
+    // top-movers cut must not depend on physical partitioning
+    "q_survivorship_merge", "q_heavy_changes")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
