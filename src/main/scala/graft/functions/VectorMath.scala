@@ -130,6 +130,13 @@ object VectorMath {
     var acc = 0L
     var i = 0
     while (i < n) {
+      // ArrayData.getLong on a null slot silently reads 0 — that would
+      // turn a sparse array into a WRONG distance instead of an error,
+      // so nulls must fail loudly here (the doc'd contract); the branch
+      // is perfectly predicted on the dense arrays the pipelines build
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"sq_dist_long: null element at index $i — inputs must be dense")
       val d = a.getLong(i) - b.getLong(i)
       acc += d * d
       i += 1

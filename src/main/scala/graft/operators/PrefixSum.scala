@@ -26,9 +26,14 @@ import org.apache.spark.storage.StorageLevel
   * Both passes read the same persisted (MEMORY_AND_DISK) sorted RDD, so
   * the range partitioning is computed once; if an executor drops a block
   * the lineage recomputes with the SAME partitioner instance, so the
-  * offsets stay valid. All arithmetic is Long — exact, associative,
-  * partitioning-independent — which is what lets a prefix-sum result be
-  * oracle-gated at all.
+  * offsets stay valid. The result is eagerly localCheckpoint'ed and the
+  * sorted intermediate is unpersisted before returning — a session that
+  * runs many scans (determinism sweeps, the bench loop) must not
+  * accumulate one cached sorted frame per call; only the grain-sized
+  * output stays cached, and the ContextCleaner reclaims it once the
+  * consumer drops the frame. All arithmetic is Long — exact,
+  * associative, partitioning-independent — which is what lets a
+  * prefix-sum result be oracle-gated at all.
   *
   * Used by the interval max-concurrency sweep (q_max_concurrency), where
   * the input has already been aggregated to one net delta per distinct
@@ -68,10 +73,13 @@ object PrefixSum {
         Row(r.getLong(0), r.getLong(1), acc)
       }
     }
-    spark.createDataFrame(out, StructType(Seq(
+    val result = spark.createDataFrame(out, StructType(Seq(
         StructField(orderCol, LongType, nullable = false),
         StructField(valueCol, LongType, nullable = false),
         StructField(runName, LongType, nullable = false))))
+      .localCheckpoint() // eager: pass B runs now, off the cached sort
+    sorted.unpersist(blocking = false)
+    result
   }
 
   /** Running totals of SEVERAL long-valued columns in ONE two-phase scan
@@ -123,11 +131,14 @@ object PrefixSum {
           (0 until w).flatMap(j => Seq(r.getLong(j + 1), acc(j))))
       }
     }
-    spark.createDataFrame(out, StructType(
+    val result = spark.createDataFrame(out, StructType(
       StructField(orderCol, LongType, nullable = false) +:
         (0 until w).flatMap(j => Seq(
           StructField(valueCols(j), LongType, nullable = false),
           StructField(runNames(j), LongType, nullable = false)))))
+      .localCheckpoint()
+    sorted.unpersist(blocking = false)
+    result
   }
 
   /** Running MAXIMUM of `valueCol` (long) ordered by `orderCol` (long,
@@ -170,11 +181,14 @@ object PrefixSum {
         Row(r.getLong(0), v, acc, v > before)
       }
     }
-    spark.createDataFrame(out, StructType(Seq(
+    val result = spark.createDataFrame(out, StructType(Seq(
         StructField(orderCol, LongType, nullable = false),
         StructField(valueCol, LongType, nullable = false),
         StructField(runName, LongType, nullable = false),
         StructField(flagName,
           org.apache.spark.sql.types.BooleanType, nullable = false))))
+      .localCheckpoint()
+    sorted.unpersist(blocking = false)
+    result
   }
 }

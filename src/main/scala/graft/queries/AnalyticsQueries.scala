@@ -857,7 +857,11 @@ object AnalyticsQueries extends QueryModule {
         // and the tie-corrected normal approximation
         // z = (U − na·nb/2) / sqrt(na·nb/12·((n+1) − ΣT/(n(n−1)))),
         // ΣT = Σ(t³−t) over tie groups, mints float once, identically
-        // shaped on both engines, rounded once.
+        // shaped on both engines, rounded once. (The exact-BIGINT
+        // intermediates overflow Long at extreme scale: t³−t at ~2e6
+        // tied rows per cent bucket, 2U ≈ na·nb at ~3e9 rows per side —
+        // widen to decimal beyond that, same note as q_ks_drift and
+        // q_decile_lift.)
         val e = T(s, dir, "events")
           .filter(col("event_type").isin("click", "purchase"))
         val g = e.select(

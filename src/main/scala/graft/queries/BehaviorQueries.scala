@@ -621,9 +621,12 @@ object BehaviorQueries extends QueryModule {
         // exact discrete percentiles with an EXPLICIT crossing rule
         // (smallest delay with 100*cum >= q*n) evaluated identically on
         // both engines — no engine-specific quantile semantics in the
-        // gate. Delays quantize to seconds first, so the ordered window
-        // runs over the bounded delay-seconds grain (the q_auc_rank
-        // knob), not per-user rows.
+        // gate. Delays quantize to seconds first (one keyed agg to the
+        // delay-seconds grain), but unlike the other global-window
+        // grains (cents ≤1e4, days ≤30, deciles) distinct delay-seconds
+        // GROWS with the observation span (~2.6M for a month), so the
+        // cumulative count rides PrefixSum.runningTotal — the two-phase
+        // scan, no single-task window — exactly the q_ks_drift recipe.
         val ev = T(s, dir, "events")
           .select(col("user_id"), col("ts"), col("event_type"))
         val v = ev.filter(col("event_type") === "view")
@@ -634,12 +637,9 @@ object BehaviorQueries extends QueryModule {
         val g = p.join(v, "user_id")
           .select(expr("(p_ts - v_ts) div 1000000").as("delay_s"))
           .groupBy(col("delay_s")).agg(count(lit(1)).as("c"))
-        val w = Window.orderBy(col("delay_s"))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val cum = g
-          .withColumn("cum", sum(col("c")).over(w))
-          .withColumn("n", sum(col("c")).over(
-            Window.partitionBy()))
+        val scanned = PrefixSum.runningTotal(g, "delay_s", "c", "cum")
+        val tot = scanned.agg(max(col("cum")).as("n"))
+        val cum = scanned.crossJoin(broadcast(tot))
         val stats = g.agg(sum(col("c")).as("n_converted"),
           min(col("delay_s")).as("min_s"), max(col("delay_s")).as("max_s"))
         val p50 = cum.filter(col("cum") * 100 >= col("n") * 50)

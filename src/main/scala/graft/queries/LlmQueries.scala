@@ -1064,8 +1064,13 @@ object LlmQueries extends QueryModule {
         val probes = emb.orderBy(col("vec_id")).limit(5)
         val brute = Ann.bruteForceTopK(emb, probes, "vec_id",
           "embedding", k = 10)
+        // index-side frames (quantized corpus, codebooks, corpus codes)
+        // are FrameCache'd per (dir, nSub, nCodes) — the PQ index builds
+        // once per session, repeat queries pay only the probe-side ADC
+        // table + lookup join (the IVF gate's ModelCache treatment)
         val approx = Ann.pqTopK(emb, probes, "vec_id", "embedding",
-          k = 10, nSub = 8, nCodes = 16)
+          k = 10, nSub = 8, nCodes = 16,
+          cacheKey = Some(s"$dir:nSub=8:nCodes=16"))
         brute
           .join(approx.select(col("probe_id"), col("neighbor_id")),
             Seq("probe_id", "neighbor_id"), "left_semi")

@@ -495,14 +495,16 @@ object MiningQueries extends QueryModule {
         // materialize the edge list ONCE (localCheckpoint, as the
         // components clusterer does): the co-order self-join + dedup is
         // the expensive shuffle, and both hops reuse its result instead
-        // of rebuilding it. Each hop is then a broadcast-FRONTIER hash
-        // join streaming the materialized edges in place — per-hop
-        // frontiers are the small side of distributed BFS. The VISITED
-        // anti-join deliberately carries NO broadcast hint: visited grows
-        // monotonically toward the full reachable set, so at cluster
-        // scale it must co-partition with the dedup'd frontier as a
-        // shuffled anti-join (AQE still picks a broadcast at runtime
-        // while it is actually small — the safe direction of adaptivity).
+        // of rebuilding it. NEITHER side of the per-hop joins carries a
+        // broadcast hint: the frontier is usually the small side of
+        // distributed BFS, but its size is DATA-DEPENDENT — hop 1 from a
+        // hub seed on a dense graph can be a large fraction of the node
+        // set, and a forced broadcast of that frame OOMs executors at
+        // cluster scale. Same reasoning for VISITED, which grows
+        // monotonically toward the full reachable set. Both joins let
+        // AQE pick broadcast at runtime while the frame is actually
+        // small — the safe direction of adaptivity (PlanAuditSpec
+        // asserts no ResolvedHint survives anywhere in this query).
         // FrameCache: the co-order self-join + dedup is by far the
         // query's dominant cost and is a pure function of the input dir,
         // so one materialization serves every BFS run in the session
@@ -518,7 +520,7 @@ object MiningQueries extends QueryModule {
         var visited = seed.withColumn("hop", lit(0L))
         var frontier = seed
         for (h <- 1 to 2) {
-          val next = broadcast(frontier)
+          val next = frontier
             .join(edges, col("node") === col("src"))
             .select(col("dst").as("node")).distinct()
             .join(visited.select(col("node").as("vn")),

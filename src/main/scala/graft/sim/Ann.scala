@@ -159,10 +159,21 @@ object Ann {
     * the scan is a hash-join on (sub, code) + a keyed sum — asymmetric
     * distance computation. Output ranks by ascending ADC distance,
     * ties by neighbor id.
+    *
+    * `cacheKey`: when set (caller encodes the corpus identity — input
+    * dir — plus nSub/nCodes), the quantized corpus, the trained
+    * codebooks AND the corpus code table are FrameCache'd for the
+    * session, so repeat queries pay only the probe-side table build and
+    * the (sub, code) lookup join. That is the real PQ serving shape —
+    * the index is built once, queries never re-train — and the same
+    * treatment the IVF path gives its coarse quantizer via ModelCache.
+    * All three frames are pure deterministic functions of
+    * (corpus, nSub, nCodes), so a hit is observationally identical to a
+    * rebuild.
     */
   def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int = 10, nSub: Int = 8,
-      nCodes: Int = 16): DataFrame = {
+      nCodes: Int = 16, cacheKey: Option[String] = None): DataFrame = {
     val dimRow = corpus
       .select(size(col(vecCol)).as("d")).filter(col("d") > 0).take(1)
     require(dimRow.nonEmpty, "pqTopK: empty corpus")
@@ -188,7 +199,15 @@ object Ann {
     // n×nCodes encode fan-out
     def sqdist(a: Column, b: Column): Column =
       graft.functions.VectorMath.sq_dist_long(a, b)
-    val cs = quant(corpus, "neighbor_id").localCheckpoint()
+    // with a cacheKey the index-side frames live in FrameCache; without
+    // one they materialize per call (localCheckpoint) as before
+    def indexFrame(stage: String)(build: => DataFrame): DataFrame =
+      cacheKey match {
+        case Some(key) => graft.core.FrameCache.cached(
+          corpus.sparkSession, s"pq_$stage:$key")(build)
+        case None => build.localCheckpoint()
+      }
+    val cs = indexFrame("quant")(quant(corpus, "neighbor_id"))
     val init = cs.filter(col("neighbor_id") < nCodes)
       .select(col("sub"), col("neighbor_id").as("code"),
         col("sv").as("cv"))
@@ -201,23 +220,32 @@ object Ann {
         .agg(min(col("__dc")).as("__m"))
         .select(col("neighbor_id"), col("sub"), col("sv"),
           col("__m.code").as("code"))
-    val cb1 = encode(init)
-      .select(col("sub"), col("code"), posexplode(col("sv"))
-        .as(Seq("pos", "qq")))
-      .groupBy(col("sub"), col("code"), col("pos"))
-      .agg(sum(col("qq")).as("sq"), count(lit(1)).as("n"))
-      .select(col("sub"), col("code"), col("pos"),
-        expr("(sq - pmod(sq, n)) div n").as("c"))
-      .groupBy(col("sub"), col("code"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
-        .as("ps"))
-      .select(col("sub"), col("code"),
-        transform(col("ps"), x => x.getField("c")).as("cv"))
-      // nSub×nCodes rows; materialized so the corpus re-encode and the
-      // probe distance tables don't each replay the first encode pass
-      .localCheckpoint()
-    val codes = encode(cb1)
-      .select(col("neighbor_id"), col("sub"), col("code"))
+    // nSub×nCodes rows; materialized so the corpus re-encode and the
+    // probe distance tables don't each replay the first encode pass
+    val cb1 = indexFrame("codebook") {
+      encode(init)
+        .select(col("sub"), col("code"), posexplode(col("sv"))
+          .as(Seq("pos", "qq")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(col("qq")).as("sq"), count(lit(1)).as("n"))
+        .select(col("sub"), col("code"), col("pos"),
+          expr("(sq - pmod(sq, n)) div n").as("c"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+          .as("ps"))
+        .select(col("sub"), col("code"),
+          transform(col("ps"), x => x.getField("c")).as("cv"))
+    }
+    // the full-corpus assignment pass: cached only under a cacheKey
+    // (the serving shape); one-shot callers consume it lazily, exactly
+    // once, so a materialization would be pure overhead there
+    val codesLazy =
+      encode(cb1).select(col("neighbor_id"), col("sub"), col("code"))
+    val codes = cacheKey match {
+      case Some(key) => graft.core.FrameCache.cached(
+        corpus.sparkSession, s"pq_codes:$key")(codesLazy)
+      case None => codesLazy
+    }
     val tables = broadcast(quant(probes, "probe_id")
       .join(broadcast(cb1), Seq("sub"))
       .select(col("probe_id"), col("sub"), col("code"),

@@ -182,7 +182,17 @@ object NearDup {
     * all-pairs. Runs entirely on the 64-bit rolling-hash shingles
     * (equality-only ops; ~1e-15 collision odds per pair, deterministic).
     * Completeness is property-tested against exhaustive all-pairs subset
-    * truth on random corpora (DistributedPrimitivesPropertySpec).
+    * truth on random corpora — including empty/short docs —
+    * (DistributedPrimitivesPropertySpec).
+    *
+    * Degenerate-doc convention (inherited from TokenNgramHashes, and
+    * property-tested): a text with fewer than `n` tokens hashes as ONE
+    * whole-text gram, and an empty/whitespace text as one hash of the
+    * empty token — so NO document ever has an empty shingle set, and the
+    * vacuous-⊆ trap (a blank doc "contained in" the entire corpus) is
+    * structurally impossible. A short doc pairs exactly with docs whose
+    * sets contain its whole-text gram (its verbatim short duplicates),
+    * and blank docs pair only with other blank docs.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {

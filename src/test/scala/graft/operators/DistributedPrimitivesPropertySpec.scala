@@ -86,15 +86,20 @@ class DistributedPrimitivesPropertySpec extends SparkSpec {
 
   // small token alphabet so shared shingles (and accidental full
   // containments) arise naturally, plus planted prefix docs whose
-  // 3-gram sets are subsets by construction
+  // 3-gram sets are subsets by construction; ~1 in 5 docs is DEGENERATE
+  // (empty, whitespace-only, or < n tokens ⇒ zero shingles) to pin the
+  // documented empty-set convention — no shingles ⇒ no candidate pairs,
+  // vacuous ⊆ is never reported
   private val corpusGen: Gen[List[String]] =
     for {
       nDocs <- Gen.choose(4, 20)
-      docs <- Gen.listOfN(nDocs, for {
-        len <- Gen.choose(3, 24)
-        toks <- Gen.listOfN(len, Gen.oneOf(
-          "a", "b", "c", "d", "e", "f", "g", "h"))
-      } yield toks.mkString(" "))
+      docs <- Gen.listOfN(nDocs, Gen.frequency(
+        4 -> (for {
+          len <- Gen.choose(3, 24)
+          toks <- Gen.listOfN(len, Gen.oneOf(
+            "a", "b", "c", "d", "e", "f", "g", "h"))
+        } yield toks.mkString(" ")),
+        1 -> Gen.oneOf("", "   ", "a", "a b", "b c")))
     } yield docs
 
   test("property: rarest-shingle containment blocking finds EXACTLY the " +
@@ -118,9 +123,15 @@ class DistributedPrimitivesPropertySpec extends SparkSpec {
       val sets = NearDup.shingleHashes(df, "text", 3)
         .select(col("id"), col("__shingle_hashes")).collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      // sa.nonEmpty: the documented empty-set convention — a zero-shingle
+      // doc vacuously ⊆ everything but must emit no pairs. sets.toSeq is
+      // LOAD-BEARING: a for-comprehension over the Map would build a
+      // Map[id_a, id_b], silently collapsing every id_a contained in 2+
+      // docs to its last pair (a truth bug the degenerate-doc cases
+      // exposed — short docs are contained in many)
       val expect = (for {
-        (a, sa) <- sets; (b, sb) <- sets
-        if a != b && sa.subsetOf(sb)
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a != b && sa.nonEmpty && sa.subsetOf(sb)
       } yield (a, b)).toSet
       assert(got === expect, s"sample #$k docs=${all.take(6)}...")
     }

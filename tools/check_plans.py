@@ -64,6 +64,17 @@ def main():
             elif max(a, c) >= 100_000 and (c > a * FACTOR or a > c * FACTOR):
                 flagged.append((name, label, a, c))
     gone = sorted(set(pinned) - set(fresh))
+    # a silently-empty gate is worse than a failing one: if the PLANS.md
+    # table format drifted (parse found nothing) or nothing overlapped,
+    # "0 compared, 0 regressions" must be an ERROR, not a pass
+    if not pinned:
+        print(f"ERROR: no pinned profiles parsed from {plans} — "
+              "table format drift? regenerate with tools/plan_summary.py")
+        sys.exit(1)
+    if len(fresh) - len(new) == 0:
+        print(f"ERROR: 0 queries compared ({len(fresh)} fresh, "
+              f"{len(pinned)} pinned, no overlap) — stale inputs?")
+        sys.exit(1)
     for name, label, a, c in flagged:
         print(f"REGRESSION {name}: {label} {a:,} -> {c:,}")
     if new:
