@@ -1,7 +1,5 @@
 package graft.core
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -27,20 +25,27 @@ import org.apache.spark.storage.StorageLevel
   * deterministic, so a hit is observationally identical to a rebuild —
   * DeterminismSpec-style guarantees carry over.
   *
-  * Builds run under a coarse lock (same rationale as TrainingCache): a
-  * racing getOrElseUpdate would leak the loser's persisted frame in
-  * executor memory. Entries bound to a stopped SparkContext are dropped
-  * lazily; two concurrently live sessions never evict each other.
+  * Concurrency: `computeIfAbsent` gives the single-build-per-key
+  * guarantee with PER-BIN locking (the ModelCache policy, replacing the
+  * earlier coarse object lock): a racing second caller of the same key
+  * blocks until the winner's build materializes and then reads it — no
+  * duplicate persisted frame to leak — while a hit on one key never
+  * waits behind another key's multi-second build. Builders must not call
+  * `cached` recursively (ConcurrentHashMap forbids reentrant updates);
+  * obtain any prerequisite frame with its own `cached` call BEFORE
+  * starting the dependent build, as Ann.pqTopK does. Entries bound to a
+  * stopped SparkContext are dropped lazily; two concurrently live
+  * sessions never evict each other (ConcurrencySpec pins all of this).
   */
 object FrameCache {
 
-  private val cache = TrieMap.empty[(String, String), DataFrame]
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   def cached(spark: SparkSession, key: String)
-      (build: => DataFrame): DataFrame = synchronized {
-    cache.filterInPlace((_, df) =>
-      !df.sparkSession.sparkContext.isStopped)
-    cache.getOrElseUpdate((spark.sparkContext.applicationId, key), {
+      (build: => DataFrame): DataFrame = {
+    cache.values.removeIf(df => df.sparkSession.sparkContext.isStopped)
+    cache.computeIfAbsent((spark.sparkContext.applicationId, key), _ => {
       val df = build.persist(StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize now: consumers must only read
       df
@@ -48,8 +53,8 @@ object FrameCache {
   }
 
   /** Drop and unpersist everything (tests / memory pressure). */
-  def clear(): Unit = synchronized {
-    cache.values.foreach { df =>
+  def clear(): Unit = {
+    cache.values.forEach { df =>
       if (!df.sparkSession.sparkContext.isStopped)
         df.unpersist(blocking = false)
     }

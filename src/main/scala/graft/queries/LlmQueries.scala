@@ -1019,6 +1019,171 @@ object LlmQueries extends QueryModule {
              | GROUP BY source ORDER BY source""".stripMargin),
       "flagship corpus curation: lang gate + quality + dedup + accounting"),
 
+    "q_curation_pipeline" -> QueryDef(
+      (s, dir) => {
+        // END-TO-END curation gate: the real operator sequence a
+        // training-data run executes, chained through one registered
+        // query so operator COMPOSITION (schema handoffs, FrameCache
+        // reuse across stages, survivor-set threading) is itself
+        // oracle-checked — 200 isolated gates can all be green while a
+        // composition bug (killing against the wrong survivor set,
+        // resampling before dedup) goes unseen. Stages:
+        //   1 exact dedup (keep-first per content digest)
+        //   2 minhash near-dup kill (greedy keep-smallest-id over the
+        //     session's materialized pair set — FrameCache REUSE: the
+        //     same frame q_minhash_neardup/q_simhash_neardup read)
+        //   3 strict-containment kill (quotation case; rarest-shingle
+        //     blocking, also FrameCache'd for any later consumer)
+        //   4 quality + Gopher repetition gate (map-only)
+        //   5 benchmark decontamination (13-gram protocol)
+        //   6 deterministic mixture resample (hash-mod rates)
+        //   7 sequence packing of the survivors (shard-parallel)
+        // Each stage's kill rule is evaluated against the PREVIOUS
+        // stage's survivors (no cascading within a stage) — the
+        // deterministic, SQL-expressible convention. Scale shape: one
+        // digest shuffle (1), bucket-local pair joins (2, 3), map-only
+        // scans (4, 6), one broadcast semi-join (5), shard-partitioned
+        // windows (7) — nothing all-pairs, nothing single-task.
+        val docs = T(s, dir, "documents")
+        val w = Window.partitionBy(TextStats.fingerprintMd5(col("text")))
+          .orderBy(col("doc_id"))
+        val s1 = docs.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("doc_id"), col("source"), col("text"),
+            TextStats.tokenCount(col("text")).cast("long").as("__toks"))
+        val s1ids = s1.select(col("doc_id"))
+        val pairs = cachedMinHashPairs(s, dir) // (id_a < id_b, j >= 0.5)
+        val ndVictims = pairs
+          .join(s1ids.select(col("doc_id").as("id_a")), Seq("id_a"),
+            "left_semi")
+          .join(s1ids.select(col("doc_id").as("id_b")), Seq("id_b"),
+            "left_semi")
+          .select(col("id_b").as("doc_id")).distinct()
+        val s2 = s1.join(ndVictims, Seq("doc_id"), "left_anti")
+        val cont = graft.core.FrameCache.cached(s,
+          s"containment_pairs:$dir") {
+          NearDup.containmentPairs(docs, "doc_id", "text", 3)
+        }
+        // strict containment only (|S_a| < |S_b|): the equal-set case is
+        // jaccard 1.0 and already dead at stage 2
+        val sizes = NearDup.shingleHashes(docs, "text", 3)
+          .select(col("doc_id"), size(col("__shingle_hashes")).as("__nsh"))
+        val s2ids = s2.select(col("doc_id"))
+        val ctVictims = cont
+          .join(s2ids.select(col("doc_id").as("id_a")), Seq("id_a"),
+            "left_semi")
+          .join(s2ids.select(col("doc_id").as("id_b")), Seq("id_b"),
+            "left_semi")
+          .join(sizes.select(col("doc_id").as("id_a"),
+            col("__nsh").as("__na")), Seq("id_a"))
+          .join(sizes.select(col("doc_id").as("id_b"),
+            col("__nsh").as("__nb")), Seq("id_b"))
+          .filter(col("__na") < col("__nb"))
+          .select(col("id_a").as("doc_id")).distinct()
+        val s3 = s2.join(ctVictims, Seq("doc_id"), "left_anti")
+        val s4 = s3.filter(
+          TextStats.qualityScore(col("text")) >= 0.3 &&
+          TextStats.dupTokenFrac(col("text")) <= 0.55 &&
+          TextStats.topTokenFrac(col("text")) <= 0.15)
+        val toks = split(trim(lower(col("text"))), "\\s+")
+        val bench = docs
+          .filter(col("doc_id") % 20 === 0 && size(toks) >= 20)
+          .select(concat_ws(" ", slice(toks, 5, 16)).as("bench_text"))
+        val bg = Decontaminate.benchmarkNgrams(bench, "bench_text", n = 13)
+        val contam = Decontaminate
+          .contaminated(docs, bg, "doc_id", "text", n = 13)
+          .select(col("doc_id"))
+        val s5 = s4.join(contam, Seq("doc_id"), "left_anti")
+        val rate = element_at(
+          array(lit(100), lit(50), lit(25), lit(10)),
+          (pmod(substring(col("source"), 4, 10).cast("int"), lit(4)) +
+            lit(1)).cast("int"))
+        val s6 = s5.filter(pmod(col("doc_id"), lit(100)) < rate)
+        val wp = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        s6.select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+            col("__toks").as("toks"))
+          .withColumn("cum", sum(col("toks")).over(wp))
+          .withColumn("bin",
+            floor((col("cum") - col("toks")) / lit(512.0)).cast("long"))
+          .groupBy(col("shard"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("shard"), col("bin"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source, text,
+             |     regexp_split_to_array(trim(lower(text)), '\s+') AS lts,
+             |     len(regexp_split_to_array(trim(text), '\s+')) AS toks
+             |   FROM documents),
+             | s1 AS (SELECT doc_id, source, text, lts, toks FROM (
+             |     SELECT t.*, ROW_NUMBER() OVER (PARTITION BY md5(text)
+             |       ORDER BY doc_id) AS rn FROM t) WHERE rn = 1),
+             | g AS (SELECT doc_id,
+             |     list_distinct(list_transform(
+             |       range(1, greatest(len(lts)-2,1)+1),
+             |       i -> array_to_string(lts[i:least(i+2, len(lts))], ' ')))
+             |       AS gs
+             |   FROM s1),
+             | nd AS (SELECT DISTINCT b.doc_id AS victim
+             |   FROM g a JOIN g b ON a.doc_id < b.doc_id
+             |   WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+             |       / (len(a.gs) + len(b.gs)
+             |          - len(list_intersect(a.gs, b.gs))) >= 0.5),
+             | s2 AS (SELECT * FROM s1
+             |   WHERE doc_id NOT IN (SELECT victim FROM nd)),
+             | ct AS (SELECT DISTINCT a.doc_id AS victim
+             |   FROM g a JOIN g b ON a.doc_id != b.doc_id
+             |   WHERE a.doc_id IN (SELECT doc_id FROM s2)
+             |     AND b.doc_id IN (SELECT doc_id FROM s2)
+             |     AND len(a.gs) < len(b.gs)
+             |     AND len(list_intersect(a.gs, b.gs)) = len(a.gs)),
+             | s3 AS (SELECT * FROM s2
+             |   WHERE doc_id NOT IN (SELECT victim FROM ct)),
+             | s4 AS (SELECT doc_id, source, lts, toks FROM s3
+             |   WHERE 0.5 * (len(list_filter(lts,
+             |         x -> x IN ('the','a','of','and','to','in','is','it')))
+             |       / toks)
+             |     + 0.3 * (CASE WHEN toks BETWEEN 10 AND 1000
+             |         THEN 1.0 ELSE 0.0 END)
+             |     + 0.2 * (1.0 - LENGTH(regexp_replace(text,
+             |         '[a-z0-9\s]', '', 'g')) / LENGTH(text)) >= 0.3
+             |     AND 1.0 - CAST(len(list_distinct(lts)) AS DOUBLE)
+             |       / CAST(len(lts) AS DOUBLE) <= 0.55
+             |     AND CAST((SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt
+             |         FROM unnest(lts) AS u(tok) GROUP BY tok)) AS DOUBLE)
+             |       / CAST(len(lts) AS DOUBLE) <= 0.15),
+             | bench AS (SELECT array_to_string(lts[5:20], ' ') AS btext
+             |   FROM t WHERE doc_id % 20 = 0 AND len(lts) >= 20),
+             | bt AS (SELECT regexp_split_to_array(btext, '\s+') AS bts
+             |   FROM bench),
+             | bg AS (SELECT DISTINCT
+             |     unnest(list_transform(range(1, greatest(len(bts)-12,1)+1),
+             |       i -> array_to_string(bts[i:least(i+12, len(bts))], ' ')))
+             |     AS ng
+             |   FROM bt),
+             | contam AS (SELECT DISTINCT doc_id FROM (
+             |     SELECT doc_id, unnest(list_distinct(
+             |       list_transform(range(1, greatest(len(lts)-12,1)+1),
+             |         i -> array_to_string(lts[i:least(i+12, len(lts))], ' '))))
+             |       AS ng FROM t) tg
+             |   WHERE ng IN (SELECT ng FROM bg)),
+             | s5 AS (SELECT * FROM s4
+             |   WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+             | s6 AS (SELECT doc_id, doc_id % 8 AS shard, toks FROM s5
+             |   WHERE doc_id % 100 <
+             |     ([100, 50, 25, 10])[(CAST(substr(source, 4) AS INT) % 4) + 1]),
+             | c AS (SELECT doc_id, shard, toks,
+             |     SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+             |   FROM s6)
+             | SELECT shard, CAST(FLOOR((cum - toks) / 512.0) AS BIGINT) AS bin,
+             |   COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens,
+             |   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             | FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin),
+      "end-to-end curation pipeline gate: exact dedup -> minhash " +
+        "near-dup -> containment -> quality/Gopher -> decontaminate -> " +
+        "mixture resample -> seq-pack, one oracle over the packed output"),
+
     "q_ann_ivf_topk" -> QueryDef(
       (s, dir) => {
         // recall-in-query, aggregated: IVF scans nProbe=3 of 8 cells, so on

@@ -79,7 +79,11 @@ class DeterminismSpec extends SparkSpec {
     "q_ann_pq_topk", "q_mann_whitney", "q_cv_folds", "q_k_anonymity",
     // FILTERed max_by/min_by survivorship rules and the ldiv-ppm
     // top-movers cut must not depend on physical partitioning
-    "q_survivorship_merge", "q_heavy_changes")
+    "q_survivorship_merge", "q_heavy_changes",
+    // round-7: the composed curation chain threads survivor sets through
+    // six kill/filter stages into shard-packed bins — every handoff must
+    // survive a repartitioning unchanged
+    "q_curation_pipeline")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
