@@ -36,6 +36,13 @@ object BehaviorQueries extends QueryModule {
   /** 30-minute session gap in integral microseconds. */
   private val GapUs = 30L * 60 * 1000000L
 
+  /** Unique memory-sink table suffix per streaming-gate invocation (the
+    * result is deterministic; only the sink name must not collide when
+    * the gate runs repeatedly in one session — bench reps, determinism
+    * sweeps).
+    */
+  private val StreamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Microseconds per epoch-anchored week. */
   private val WeekUs = 7L * 86400 * 1000000L
 
@@ -673,5 +680,69 @@ object BehaviorQueries extends QueryModule {
              |     AS p90_s,
              |   (SELECT MAX(delay_s) FROM g) AS max_s""".stripMargin),
       "funnel time-to-convert percentiles: explicit crossing rule over " +
-        "the bounded delay-seconds grain, identical on both engines"))
+        "the bounded delay-seconds grain, identical on both engines"),
+
+    "q_stream_sessionize" -> QueryDef(
+      (s, dir) => {
+        // §2.10 promoted from spec-covered to ORACLE-covered: a REAL
+        // Structured Streaming run — file-source micro-batches,
+        // `session_window` + event-time watermark in APPEND mode,
+        // Trigger.AvailableNow termination — whose final sink table is
+        // hash-compared to a batch-SQL oracle. Append-mode semantics are
+        // part of the gate: a session is released only once the final
+        // watermark (max event time, ms-truncated, minus 10 min) passes
+        // its end, so the oracle recomputes batch sessionization AND the
+        // retention rule. Scale shape: the session state store holds one
+        // merging window per open session (bounded by active users, not
+        // event volume), evicted by the watermark; swap the file source
+        // for Kafka and this query runs unchanged on a cluster. The
+        // memory sink is the gate-scale harness; production writes
+        // parquet (spec-covered restart-exactly-once in EventStreamSpec).
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          tmp.resolve("events.parquet"))
+        val events = graft.streaming.EventStream.readEvents(s, tmp.toString)
+        val sess = graft.streaming.EventStream.sessionWindows(
+          events.withWatermark("event_time", "10 minutes"), "30 minutes")
+        val tbl = s"stream_sessions_${StreamSeq.incrementAndGet()}"
+        val q = sess.writeStream.format("memory").queryName(tbl)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000),
+          "q_stream_sessionize: streaming query did not terminate")
+        s.table(tbl)
+          .select(col("user_id"),
+            unix_micros(col("session_start")).as("start_us"),
+            unix_micros(col("session_end")).as("end_us"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+             | x AS (SELECT user_id, tu,
+             |     CASE WHEN LAG(tu) OVER (PARTITION BY user_id
+             |         ORDER BY tu) IS NULL
+             |       OR tu - LAG(tu) OVER (PARTITION BY user_id
+             |         ORDER BY tu) >= 1800000000
+             |       THEN 1 ELSE 0 END AS brk
+             |   FROM e),
+             | sgrp AS (SELECT user_id, tu,
+             |     SUM(brk) OVER (PARTITION BY user_id ORDER BY tu
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |       AS sid
+             |   FROM x),
+             | sess AS (SELECT user_id, MIN(tu) AS start_us,
+             |     MAX(tu) + 1800000000 AS end_us,
+             |     COUNT(*) AS n_events
+             |   FROM sgrp GROUP BY user_id, sid),
+             | wm AS (SELECT ((MAX(tu) // 1000) - 600000) * 1000 AS wm_us
+             |   FROM e)
+             | SELECT user_id, start_us, end_us,
+             |   CAST(n_events AS BIGINT) AS n_events
+             | FROM sess, wm WHERE end_us <= wm_us
+             | ORDER BY user_id, start_us""".stripMargin),
+      "streaming sessionization gate: session_window + watermark in " +
+        "append mode over file-source micro-batches, oracle recomputes " +
+        "sessions AND the watermark retention rule"))
 }

@@ -82,8 +82,10 @@ class DeterminismSpec extends SparkSpec {
     "q_survivorship_merge", "q_heavy_changes",
     // round-7: the composed curation chain threads survivor sets through
     // six kill/filter stages into shard-packed bins — every handoff must
-    // survive a repartitioning unchanged
-    "q_curation_pipeline")
+    // survive a repartitioning unchanged; the streaming sessionization
+    // gate (stateful session_window + watermark, append mode) must emit
+    // the identical session set at any shuffle-partition setting
+    "q_curation_pipeline", "q_stream_sessionize")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)

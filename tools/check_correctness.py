@@ -22,8 +22,34 @@ load-bearing in both directions:
     Spark dump with pyarrow instead yields datetime.date ("1998-05-05"
     vs "1998-05-05 00:00:00"), four false reds the driver doesn't have.
 """
-import sys, os, json, hashlib, math
+import sys, os, json, hashlib, math, threading
 import duckdb
+
+# Opt-in per-oracle timeout (seconds) for scale sweeps: several oracles
+# are DELIBERATELY O(n^2) (exact all-pairs near-dup ground truth —
+# "oracle-side O(n^2) is fine at gate scale") and do not terminate at
+# sf1. A timeout marks them SKIP (oracle-side cost, not an engine
+# failure) instead of hanging the sweep. Unset/0 = no timeout, the
+# driver-faithful default.
+ORACLE_TIMEOUT = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
+
+
+def execute_df(con, sql):
+    """con.execute(sql).df(), interrupted after ORACLE_TIMEOUT seconds."""
+    if not ORACLE_TIMEOUT:
+        return con.execute(sql).df()
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(ORACLE_TIMEOUT):
+            con.interrupt()
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        return con.execute(sql).df()
+    finally:
+        done.set()
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -91,9 +117,14 @@ def main():
             results[name] = {"rows": len(s_rows), "oracle": False}
             continue
         try:
-            ddf = con.execute(oracle[name]).df()  # pandas path, like the driver
+            ddf = execute_df(con, oracle[name])  # pandas path, like the driver
             d_names = list(ddf.columns)
             d_rows = df_rows(ddf)
+        except duckdb.InterruptException:
+            results[name] = {"skipped": f"oracle timeout (> {ORACLE_TIMEOUT}s)"
+                             " — oracle-side cost, not an engine failure",
+                             "n_spark": len(s_rows)}
+            continue
         except Exception as e:
             results[name] = {"error": f"duckdb failed: {e}"}
             continue
@@ -118,16 +149,19 @@ def main():
                     break
     ok = sum(1 for r in results.values()
              if r.get("hash_match") or (r.get("oracle") is False and r.get("rows", 0) > 0))
+    skipped = sum(1 for r in results.values() if "skipped" in r)
     for name, r in sorted(results.items()):
         flag = ("OK   " if r.get("hash_match") else
-                "ROWS " if r.get("oracle") is False else "FAIL ")
+                "ROWS " if r.get("oracle") is False else
+                "SKIP " if "skipped" in r else "FAIL ")
         print(flag, name, json.dumps(r)[:300])
-    print(f"\n{ok}/{len(results)} green")
+    print(f"\n{ok}/{len(results)} green"
+          + (f" ({skipped} oracle-timeout skips)" if skipped else ""))
     # Persist for tools/check_docs.py: a driver-round red that this
     # (harness-faithful) replica shows green was fixed since that round.
     with open(os.path.join(out_dir, "replica_results.json"), "w") as f:
         json.dump(results, f, indent=1, default=str)
-    sys.exit(0 if ok == len(results) else 1)
+    sys.exit(0 if ok + skipped == len(results) else 1)
 
 if __name__ == "__main__":
     main()
