@@ -55,13 +55,19 @@ object EtlQueries extends QueryModule {
     "q_p4_case_label" -> QueryDef(
       (s, dir) => {
         val li = T(s, dir, "lineitem")
+        // ORDER BY every output column: (l_orderkey, l_linenumber) is NOT
+        // unique in the driver data (143k duplicate pairs at sf0.1), so a
+        // two-key sort leaves the tie order engine-defined — it happened
+        // to agree at sf0.01/sf0.1 and flipped at the sf1 scale sweep
+        // (round-7 catch, the q_p9_limit bug class)
         Preprocess.deriveLabel(li, "l_returnflag", "R", "state")
           .select(col("l_orderkey"), col("l_linenumber"), col("state"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("state"))
       },
       Some("""SELECT l_orderkey, l_linenumber,
              | CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS state
-             | FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             | FROM lineitem
+             | ORDER BY l_orderkey, l_linenumber, state""".stripMargin),
       "P4: CASE label derivation (reference preprocess.py:84)"),
 
     "q_p5_inf_to_null" -> QueryDef(
@@ -94,11 +100,13 @@ object EtlQueries extends QueryModule {
             lit("1997-06-01 00:00:00").cast(TimestampNTZType))
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_shipdate").cast(DateType).as("ship_day"))
-          .orderBy(col("l_orderkey"), col("l_linenumber")),
+          // total order over the output: (l_orderkey, l_linenumber) has
+          // duplicate pairs in the driver data (see q_p4's note)
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_day")),
       Some("""SELECT l_orderkey, l_linenumber,
              | CAST(l_shipdate AS DATE) AS ship_day FROM lineitem
              | WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
-             | ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             | ORDER BY l_orderkey, l_linenumber, ship_day""".stripMargin),
       "P6+F4: pushed timestamp-NTZ filter + date cast"),
 
     "q_p7_duplicate_rows" -> QueryDef(
