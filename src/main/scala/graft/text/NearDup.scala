@@ -117,22 +117,53 @@ object NearDup {
     * no sparse-vector UDTs, no per-row hash-UDF calls, no persisted TF
     * frame — measured ~3× faster end to end at sf0.1.)
     *
+    * Duplicate-collapsed (round-7 sf1 sweep finding): banding and the
+    * Jaccard verify run on DISTINCT texts (64-bit text fingerprint), and
+    * member ids join back only at the end — on duplicate-heavy corpora
+    * the raw-id form is quadratic in copy count (10 exact copies ⇒ 100×
+    * the candidate pairs for zero information). Identical-text pairs
+    * have Jaccard exactly 1.0 by definition (same shingle set), so the
+    * within-group expansion emits the constant the verify would compute.
+    *
     * @return (id_a, id_b, jaccard) with id_a < id_b and jaccard >= minJaccard
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashTables: Int = 8,
       minJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val sigs = minHashSignatures(df, idCol, textCol, n, numHashTables, seed)
+    val fp = xxhash64(col(textCol))
+    val members = df.select(fp.as("__fp"), col(idCol).as("__mid"))
+      .localCheckpoint()
+    val dist = df.select(fp.as("__fp"), col(textCol))
+      .dropDuplicates("__fp")
+    val sigs = minHashSignatures(dist, "__fp", textCol, n, numHashTables,
+      seed)
     val banded = sigs.select(col("__id"),
       posexplode(col("__sig")).as(Seq("__band", "__h")))
-    val a = banded.select(col("__band"), col("__h"), col("__id").as("id_a"))
-    val b = banded.select(col("__band"), col("__h"), col("__id").as("id_b"))
+    val a = banded.select(col("__band"), col("__h"), col("__id").as("__fa"))
+    val b = banded.select(col("__band"), col("__h"), col("__id").as("__fb"))
     val cand = a.join(b, Seq("__band", "__h"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    hashJaccard(df, idCol, textCol, cand, n)
+      .filter(col("__fa") < col("__fb"))
+      .select(col("__fa"), col("__fb"))
+      .dropDuplicates("__fa", "__fb")
+    val fpPairs = hashJaccard(dist, "__fp", textCol,
+        cand.select(col("__fa").as("id_a"), col("__fb").as("id_b")), n)
       .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a").as("__fa"), col("id_b").as("__fb"),
+        col("jaccard"))
+    val cross = fpPairs
+      .join(members.select(col("__fp").as("__fa"),
+        col("__mid").as("__ia")), Seq("__fa"))
+      .join(members.select(col("__fp").as("__fb"),
+        col("__mid").as("__ib")), Seq("__fb"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("jaccard"))
+    val within = members.select(col("__fp"), col("__mid").as("id_a"))
+      .join(members.select(col("__fp"), col("__mid").as("id_b")),
+        Seq("__fp"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0d).as("jaccard"))
+      .filter(lit(1.0d) >= lit(minJaccard))
+    cross.unionByName(within)
   }
 
   /** Incremental (cross-shard) MinHash-LSH near-dup: candidate pairs
@@ -154,17 +185,41 @@ object NearDup {
   def minHashPairsAcross(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, n: Int = 3, numHashTables: Int = 8,
       minJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
+    // duplicate-collapsed like minHashPairs: band and verify DISTINCT
+    // texts per side, expand member ids last — the raw-id form is
+    // quadratic in per-side copy counts. A text present on BOTH sides
+    // shares one fingerprint; the verify self-joins that row (exact 1.0)
+    // and the dedup'd union keeps the shingle frame one-row-per-text.
+    val fp = xxhash64(col(textCol))
+    val cMembers = corpus.select(fp.as("__fa"), col(idCol).as("__cid"))
+      .localCheckpoint()
+    val bMembers = batch.select(fp.as("__fb"), col(idCol).as("__bid"))
+      .localCheckpoint()
+    val cDist = corpus.select(fp.as("__fp"), col(textCol))
+      .dropDuplicates("__fp")
+    val bDist = batch.select(fp.as("__fp"), col(textCol))
+      .dropDuplicates("__fp")
     def banded(df: DataFrame, as: String) =
-      minHashSignatures(df, idCol, textCol, n, numHashTables, seed)
+      minHashSignatures(df, "__fp", textCol, n, numHashTables, seed)
         .select(col("__id"), posexplode(col("__sig"))
           .as(Seq("__band", "__h")))
         .select(col("__band"), col("__h"), col("__id").as(as))
-    val cand = banded(corpus, "id_a")
-      .join(banded(batch, "id_b"), Seq("__band", "__h"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    hashJaccard(corpus.unionByName(batch), idCol, textCol, cand, n, seed)
+    val cand = banded(cDist, "__fa")
+      .join(banded(bDist, "__fb"), Seq("__band", "__h"))
+      .select(col("__fa"), col("__fb"))
+      .dropDuplicates("__fa", "__fb")
+    val union = cDist.unionByName(bDist).dropDuplicates("__fp")
+    val fpPairs = hashJaccard(union, "__fp", textCol,
+        cand.select(col("__fa").as("id_a"), col("__fb").as("id_b")),
+        n, seed)
       .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a").as("__fa"), col("id_b").as("__fb"),
+        col("jaccard"))
+    fpPairs
+      .join(cMembers, Seq("__fa"))
+      .join(bMembers, Seq("__fb"))
+      .select(col("__cid").as("id_a"), col("__bid").as("id_b"),
+        col("jaccard"))
   }
 
   /** All (id_a, id_b) pairs with shingles(A) ⊆ shingles(B), a ≠ b — the
@@ -196,32 +251,65 @@ object NearDup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val sh = shingleHashes(df, textCol, n)
-      .select(col(idCol).as("__id"),
-        explode(col("__shingle_hashes")).as("__sh"))
+    // DUPLICATE-COLLAPSED blocking (round-7 sf1 sweep finding): web
+    // corpora are duplicate-heavy, and running blocking + verify on raw
+    // ids is QUADRATIC in copy count — 10 exact copies of every doc
+    // multiplied the candidate volume 100× and took the 10× sweep 65×
+    // longer. Identical shingle SETS collapse to one representative
+    // (64-bit digest of the sorted-distinct hash array — same ~1e-15
+    // collision budget as the shingle hashes themselves); blocking,
+    // posting lists and the subset verify all run on DISTINCT sets, and
+    // only the final expansion joins the member ids back in. The OUTPUT
+    // is inherently copy-quadratic (every copy pair must be listed) —
+    // after this change that is the only quadratic-in-duplication step
+    // left, and it is pure output materialization.
+    val g = shingleHashes(df, textCol, n)
+      .select(col(idCol).as("__id"), col("__shingle_hashes").as("__hs"))
+      .withColumn("__did", xxhash64(col("__hs")))
+    val members = g.select(col("__did"), col("__id")).localCheckpoint()
+    // one row per distinct set (all __hs in a group are identical)
+    val sh = g.groupBy(col("__did")).agg(min(col("__hs")).as("__hs"))
+      .select(col("__did"), explode(col("__hs")).as("__sh"))
       .localCheckpoint()
     val counts = sh.groupBy(col("__sh")).agg(count(lit(1)).as("__cnt"))
-    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__nsh"))
+    val sizes = sh.groupBy(col("__did")).agg(count(lit(1)).as("__nsh"))
+    // completeness argument unchanged in the distinct-set universe: if
+    // S_a ⊆ S_b, a's rarest-among-distinct-sets shingle is still in b
     val rare = sh.join(counts, Seq("__sh"))
-      .groupBy(col("__id"))
+      .groupBy(col("__did"))
       .agg(min(struct(col("__cnt"), col("__sh"))).as("__m"))
-      .select(col("__id").as("id_a"), col("__m.__sh").as("__rsh"))
+      .select(col("__did").as("__da"), col("__m.__sh").as("__rsh"))
     val cands = rare
-      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__rsh")),
+      .join(sh.select(col("__did").as("__db"), col("__sh").as("__rsh")),
         Seq("__rsh"))
+      .filter(col("__da") =!= col("__db"))
+      .select(col("__da"), col("__db"))
+    val common = cands
+      .join(sh.select(col("__did").as("__da"), col("__sh")), Seq("__da"))
+      .join(sh.select(col("__did").as("__db"), col("__sh")),
+        Seq("__db", "__sh"))
+      .groupBy(col("__da"), col("__db"))
+      .agg(count(lit(1)).as("__ncommon"))
+    // distinct digests ⇒ distinct sets ⇒ these are STRICT containments
+    val setPairs = common
+      .join(sizes.select(col("__did").as("__da"), col("__nsh")),
+        Seq("__da"))
+      .filter(col("__ncommon") === col("__nsh"))
+      .select(col("__da"), col("__db"))
+    val cross = setPairs
+      .join(members.select(col("__did").as("__da"), col("__id").as("id_a")),
+        Seq("__da"))
+      .join(members.select(col("__did").as("__db"), col("__id").as("id_b")),
+        Seq("__db"))
+      .select(col("id_a"), col("id_b"))
+    // equal sets (same digest) contain each other: every ordered pair
+    // within a duplicate group, both directions
+    val within = members.select(col("__did"), col("__id").as("id_a"))
+      .join(members.select(col("__did"), col("__id").as("id_b")),
+        Seq("__did"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
-    val common = cands
-      .join(sh.select(col("__id").as("id_a"), col("__sh")), Seq("id_a"))
-      .join(sh.select(col("__id").as("id_b"), col("__sh")),
-        Seq("id_b", "__sh"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("__ncommon"))
-    common
-      .join(sizes.select(col("__id").as("id_a"), col("__nsh")),
-        Seq("id_a"))
-      .filter(col("__ncommon") === col("__nsh"))
-      .select(col("id_a"), col("id_b"))
+    cross.unionByName(within)
   }
 
   /** Exact n-gram Jaccard over the hashed shingle sets — identical to
@@ -386,23 +474,54 @@ object NearDup {
     require(64 % numBands == 0, s"numBands must divide 64, got $numBands")
     val width = 64 / numBands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val sh = simHash(df, idCol, textCol, shingleN)
-    val banded = sh.select(col("__id"), col("simhash"),
+    // two-level duplicate collapse (round-7 sf1 sweep finding, same
+    // rationale as minHashPairs): (1) the 64-sum simhash aggregation
+    // runs once per DISTINCT text (identical texts have identical
+    // hashes by construction); (2) banding + hamming verify run once
+    // per DISTINCT simhash VALUE — near-dup-heavy corpora collapse
+    // further here, since different texts often share a simhash. Member
+    // ids expand only at the end; equal-value pairs are hamming 0 by
+    // definition.
+    val fp = xxhash64(col(textCol))
+    val fpMembers = df.select(fp.as("__fp"), col(idCol).as("__mid"))
+      .localCheckpoint()
+    val dist = df.select(fp.as("__fp"), col(textCol))
+      .dropDuplicates("__fp")
+    val shDist = simHash(dist, "__fp", textCol, shingleN)
+    val members = fpMembers
+      .join(shDist.select(col("__id").as("__fp"), col("simhash")),
+        Seq("__fp"))
+      .select(col("__mid").as("__id"), col("simhash"))
+      .localCheckpoint()
+    val values = members.select(col("simhash")).dropDuplicates("simhash")
+    val banded = values.select(col("simhash"),
       explode(array((0 until numBands).map(i =>
         struct(lit(i).as("band"),
           shiftright(col("simhash"), i * width).bitwiseAND(mask)
             .as("chunk"))): _*)).as("bc"))
-      .select(col("__id"), col("simhash"),
-        col("bc.band"), col("bc.chunk"))
+      .select(col("simhash"), col("bc.band"), col("bc.chunk"))
     val a = banded.select(col("band"), col("chunk"),
-      col("__id").as("id_a"), col("simhash").as("sh_a"))
+      col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("chunk"),
-      col("__id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      col("simhash").as("sh_b"))
+    val valuePairs = a.join(b, Seq("band", "chunk"))
+      .filter(col("sh_a") < col("sh_b"))
+      .dropDuplicates("sh_a", "sh_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    val cross = valuePairs
+      .join(members.select(col("simhash").as("sh_a"),
+        col("__id").as("__ia")), Seq("sh_a"))
+      .join(members.select(col("simhash").as("sh_b"),
+        col("__id").as("__ib")), Seq("sh_b"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    val within = members.select(col("simhash"), col("__id").as("id_a"))
+      .join(members.select(col("simhash"), col("__id").as("id_b")),
+        Seq("simhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionByName(within)
   }
 }

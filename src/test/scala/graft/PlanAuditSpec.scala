@@ -472,6 +472,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q_curation_pipeline: composed chain stays cartesian-free with " +
+      "shard-partitioned packing windows and no single-task funnel") {
+    val p = planOf("q_curation_pipeline")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the packing window must carry the shard partition key
+    assert("""windowspecdefinition\(shard""".r.findFirstIn(p).isDefined,
+      p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+    // the minhash pair set must come from the session FrameCache, not a
+    // fresh LSH pass per pipeline run
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+  }
+
   test("q_containment_dedup: blocking + verify are equi-joins, never " +
       "cartesian") {
     val p = planOf("q_containment_dedup")

@@ -36,6 +36,17 @@ SHIFTS = {
 }
 COPY_AS_IS = ["region", "nation"]
 
+# Key-DERIVED value columns, re-derived from the shifted key so replicas
+# don't carry verbatim copies of values that are unique per key in the
+# real data (10 identical c_names per customer would make name-blocked
+# operators look quadratic when real scaled data keeps names unique).
+# expression template receives the already-shifted key expression.
+DERIVED = {
+    ("customer", "c_name"): "printf('Customer#%09d', {k})",
+    ("supplier", "s_name"): "printf('Supplier#%09d', {k})",
+}
+DERIVED_KEY = {"c_name": "c_custkey", "s_name": "s_suppkey"}
+
 
 def main():
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
@@ -53,12 +64,25 @@ def main():
     for t, shifts in SHIFTS.items():
         cols = [r[0] for r in con.sql(
             f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]
-        sel = ", ".join(
-            f'("{c}" + __r.i * {bases[shifts[c]]}) AS "{c}"' if c in shifts
-            else f'"{c}"' for c in cols)
+        def col_expr(c):
+            if c in shifts:
+                return f'("{c}" + __r.i * {bases[shifts[c]]}) AS "{c}"'
+            if (t, c) in DERIVED:
+                k = DERIVED_KEY[c]
+                shifted = f'("{k}" + __r.i * {bases[shifts[k]]})'
+                return DERIVED[(t, c)].format(k=shifted) + f' AS "{c}"'
+            return f'"{c}"'
+        sel = ", ".join(col_expr(c) for c in cols)
+        # bounded row groups (~32 per table): parquet splits at row-group
+        # boundaries, so DuckDB's default (everything in one group for
+        # small tables) would funnel the whole table through ONE Spark
+        # task and poison every per-row timing with fake serialization —
+        # exactly the layout bug a real ingest pipeline must also avoid
+        rg = max(4096, (bases[t] * factor) // 32)
         con.sql(f"COPY (SELECT {sel} FROM '{src}/{t}.parquet', "
                 f"(SELECT unnest(range({factor})) AS i) __r) "
-                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+                f"TO '{dst}/{t}.parquet' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE {rg})")
         n = con.sql(f"SELECT COUNT(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {bases[t]} -> {n} rows "
               f"(shifted: {', '.join(shifts)})")
