@@ -137,6 +137,99 @@ class DistributedPrimitivesPropertySpec extends SparkSpec {
     }
   }
 
+  // --- duplicate-collapsed near-dup == raw-id reference ----------------
+
+  // duplication-HEAVY corpora: base docs from the small alphabet, then
+  // each doc appears 1-4 times verbatim (distinct ids) — the shape that
+  // made raw-id candidate generation quadratic and that the round-7
+  // collapse rewrites must handle without changing one output row
+  private val dupCorpusGen: Gen[List[String]] =
+    for {
+      nDocs <- Gen.choose(3, 10)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(3, 18)
+        toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e"))
+      } yield toks.mkString(" "))
+      reps <- Gen.listOfN(nDocs, Gen.choose(1, 4))
+    } yield docs.zip(reps).flatMap { case (d, r) => List.fill(r)(d) }
+
+  private def docsDf(docs: Seq[String]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.zipWithIndex.map {
+        case (d, i) => Row(i.toLong, d) }, 3),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("text", StringType, nullable = false))))
+
+  test("property: duplicate-collapsed minHashPairs == the raw-id " +
+      "reference algorithm on duplication-heavy corpora") {
+    for ((docs, k) <- samples(dupCorpusGen, 6).zipWithIndex) {
+      val df = docsDf(docs)
+      val got = NearDup.minHashPairs(df, "id", "text", minJaccard = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // the pre-collapse algorithm, re-expressed from the same public
+      // primitives: band raw ids, verify raw candidate pairs
+      val sigs = NearDup.minHashSignatures(df, "id", "text")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val cand = (for {
+        (a, sa) <- sigs.toSeq; (b, sb) <- sigs.toSeq
+        if a < b && sa.zip(sb).exists { case (x, y) => x == y }
+      } yield (a, b)).toSet
+      val sets = NearDup.shingleHashes(df, "text", 3)
+        .select(col("id"), col("__shingle_hashes")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val expect = cand.flatMap { case (a, b) =>
+        val inter = sets(a).intersect(sets(b)).size.toDouble
+        val j = inter / (sets(a).size + sets(b).size - inter)
+        if (j >= 0.5) Some((a, b, j)) else None
+      }
+      assert(got === expect, s"sample #$k docs=${docs.take(6)}...")
+    }
+  }
+
+  test("property: duplicate-collapsed simHashPairs == the raw-id " +
+      "reference algorithm on duplication-heavy corpora") {
+    for ((docs, k) <- samples(dupCorpusGen, 6).zipWithIndex) {
+      val df = docsDf(docs)
+      val maxHamming = 6
+      val numBands = 4
+      val got = NearDup.simHashPairs(df, "id", "text", maxHamming,
+          numBands, shingleN = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val hashes = NearDup.simHash(df, "id", "text", shingleN = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val width = 64 / numBands
+      val mask = (1L << width) - 1L
+      def chunks(h: Long) =
+        (0 until numBands).map(i => (i, (h >>> (i * width)) & mask)).toSet
+      val expect = (for {
+        (a, ha) <- hashes.toSeq; (b, hb) <- hashes.toSeq
+        if a < b && chunks(ha).intersect(chunks(hb)).nonEmpty
+        hd = java.lang.Long.bitCount(ha ^ hb)
+        if hd <= maxHamming
+      } yield (a, b, hd)).toSet
+      assert(got === expect, s"sample #$k docs=${docs.take(6)}...")
+    }
+  }
+
+  test("property: duplicate-collapsed containmentPairs still matches " +
+      "exhaustive subset truth on duplication-heavy corpora") {
+    for ((docs, k) <- samples(dupCorpusGen, 6).zipWithIndex) {
+      val df = docsDf(docs)
+      val got = NearDup.containmentPairs(df, "id", "text", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = NearDup.shingleHashes(df, "text", 3)
+        .select(col("id"), col("__shingle_hashes")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val expect = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a != b && sa.nonEmpty && sa.subsetOf(sb)
+      } yield (a, b)).toSet
+      assert(got === expect, s"sample #$k docs=${docs.take(6)}...")
+    }
+  }
+
   // --- connectedComponents vs driver-side union-find -------------------
 
   private val graphGen: Gen[(Int, List[(Long, Long)])] =
