@@ -92,8 +92,26 @@ object Bench {
         ",\"shuffle_bytes\":" + p.shuffleBytes +
         ",\"n_shuffles\":" + p.nShuffles + "}"
     }.mkString("{", ",", "}")
+    // Shared-cache build attribution (round-7 verdict): FrameCache /
+    // ModelCache / TrainingCache builds happen during whichever consumer
+    // query runs FIRST (its warmup invocation), so per-query medians are
+    // clean of build cost — but the build time itself swung invisible
+    // between rounds. Report every build as its own ledger line so the
+    // bench total decomposes into query time + cache-build time.
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val cacheBuilds: Seq[(String, Double)] =
+      graft.core.FrameCache.buildLog.toSeq.map { case ((_, k), s) =>
+        s"frame:$k" -> s } ++
+      graft.ml.ModelCache.buildLog.toSeq.map { case ((_, k, tag), s) =>
+        s"model:$k:$tag" -> s } ++
+      graft.ml.TrainingCache.buildLog.toSeq.map { case ((_, k, fc), s) =>
+        s"matrix:$k:${fc.mkString("+")}" -> s }
+    val cacheBuildSec = cacheBuilds.map(_._2).sum
+    val cacheJson = cacheBuilds.sortBy(-_._2)
+      .map { case (k, s) => "\"" + esc(k) + "\":" + fmt.format(s) }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$fullJson,"profiles":$profJson,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"failed":$failed}"""
+      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$fullJson,"profiles":$profJson,"cache_build_sec":${fmt.format(cacheBuildSec)},"cache_builds":$cacheJson,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"failed":$failed}"""
     val fullPath = java.nio.file.Paths.get("bench_full.json")
     java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
     // The full line goes ONLY to the file, never to stderr: sbt's
@@ -110,7 +128,7 @@ object Bench {
     val byCost = results.filter(_._2 < 0) ++ results.filter(_._2 >= 0).sortBy(-_._2)
     val budget = 1400
     val head =
-      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"warmup":$warmup,"n_queries":${results.size},"failed":$failed,"full":"bench_full.json","queries":{"""
+      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"warmup":$warmup,"n_queries":${results.size},"failed":$failed,"cache_build_sec":${fmt.format(cacheBuildSec)},"full":"bench_full.json","queries":{"""
     val tail0 = "}}"
     val kept = scala.collection.mutable.ListBuffer.empty[String]
     var len = head.length + tail0.length + 40 // slack for omitted_* fields

@@ -1,5 +1,8 @@
 package graft.core
 
+import java.util.concurrent.{CompletableFuture, CompletionException,
+  ConcurrentHashMap}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -25,39 +28,93 @@ import org.apache.spark.storage.StorageLevel
   * deterministic, so a hit is observationally identical to a rebuild —
   * DeterminismSpec-style guarantees carry over.
   *
-  * Concurrency: `computeIfAbsent` gives the single-build-per-key
-  * guarantee with PER-BIN locking (the ModelCache policy, replacing the
-  * earlier coarse object lock): a racing second caller of the same key
-  * blocks until the winner's build materializes and then reads it — no
-  * duplicate persisted frame to leak — while a hit on one key never
-  * waits behind another key's multi-second build. Builders must not call
-  * `cached` recursively (ConcurrentHashMap forbids reentrant updates);
-  * obtain any prerequisite frame with its own `cached` call BEFORE
-  * starting the dependent build, as Ann.pqTopK does. Entries bound to a
-  * stopped SparkContext are dropped lazily; two concurrently live
-  * sessions never evict each other (ConcurrencySpec pins all of this).
+  * Concurrency: the map stores a PROMISE per key, installed with a cheap
+  * `putIfAbsent` — the multi-second Spark build runs entirely OUTSIDE
+  * the map's bin locks (the earlier computeIfAbsent form held a bin lock
+  * for the whole build, so a hit on a different key hashing into the
+  * same bin stalled behind it). A racing second caller of the same key
+  * parks on the winner's future and reads the materialized frame — still
+  * exactly one build per key, no duplicate persisted frame to leak. A
+  * build that THROWS removes its promise before propagating, so a later
+  * caller retries instead of caching the failure. Builders may now call
+  * `cached` recursively for a DIFFERENT key (no map lock is held during
+  * a build); a builder requesting its OWN key would self-deadlock — keep
+  * obtaining prerequisite frames with their own `cached` calls, as
+  * Ann.pqTopK does. Entries bound to a stopped SparkContext are dropped
+  * lazily; two concurrently live sessions never evict each other
+  * (ConcurrencySpec pins all of this, including an elapsed-time bound on
+  * hits racing a slow build).
+  *
+  * Build-time ledger: every completed build's wall seconds are recorded
+  * under its key ([[buildLog]]), so the bench can report shared-frame
+  * build cost as its own line instead of billing it to whichever
+  * consumer query happens to run first (round-7 verdict: per-query
+  * medians swung on consumer order).
   */
 object FrameCache {
 
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+    new ConcurrentHashMap[(String, String), CompletableFuture[DataFrame]]()
+
+  private val buildSecs =
+    new ConcurrentHashMap[(String, String), Double]()
+
+  /** Completed builds this JVM: (applicationId, key) -> build seconds. */
+  def buildLog: Map[(String, String), Double] = {
+    import scala.jdk.CollectionConverters._
+    buildSecs.asScala.toMap
+  }
+
+  private def doneFrame(f: CompletableFuture[DataFrame]): Option[DataFrame] =
+    if (f.isDone && !f.isCompletedExceptionally && !f.isCancelled)
+      Some(f.join())
+    else None
 
   def cached(spark: SparkSession, key: String)
       (build: => DataFrame): DataFrame = {
-    cache.values.removeIf(df => df.sparkSession.sparkContext.isStopped)
-    cache.computeIfAbsent((spark.sparkContext.applicationId, key), _ => {
-      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-      df.count() // materialize now: consumers must only read
-      df
-    })
+    // lazily drop entries whose SparkContext is gone (test suites create
+    // and stop many sessions); in-flight builds are left alone
+    cache.entrySet().removeIf(e =>
+      doneFrame(e.getValue).exists(_.sparkSession.sparkContext.isStopped))
+    val k = (spark.sparkContext.applicationId, key)
+    val promise = new CompletableFuture[DataFrame]()
+    val existing = cache.putIfAbsent(k, promise)
+    if (existing != null) {
+      try existing.join()
+      catch {
+        case e: CompletionException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
+    } else {
+      try {
+        val t0 = System.nanoTime()
+        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count() // materialize now: consumers must only read
+        buildSecs.put(k, (System.nanoTime() - t0) / 1e9)
+        promise.complete(df)
+        df
+      } catch {
+        case t: Throwable =>
+          cache.remove(k, promise)
+          promise.completeExceptionally(t)
+          throw t
+      }
+    }
   }
 
-  /** Drop and unpersist everything (tests / memory pressure). */
+  /** Drop and unpersist everything (tests / memory pressure). In-flight
+    * builds are cancelled from the waiters' point of view (their entry is
+    * removed so the next call rebuilds); the winning builder still
+    * returns its own frame.
+    */
   def clear(): Unit = {
-    cache.values.forEach { df =>
-      if (!df.sparkSession.sparkContext.isStopped)
-        df.unpersist(blocking = false)
+    cache.values.forEach { f =>
+      doneFrame(f).foreach { df =>
+        if (!df.sparkSession.sparkContext.isStopped)
+          df.unpersist(blocking = false)
+      }
     }
     cache.clear()
+    buildSecs.clear()
   }
 }

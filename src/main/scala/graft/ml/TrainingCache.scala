@@ -33,6 +33,14 @@ object TrainingCache {
 
   private val cache = TrieMap.empty[(String, String, Seq[String]), Entry]
 
+  private val buildSecs = TrieMap.empty[(String, String, Seq[String]), Double]
+
+  /** Completed matrix builds this JVM: key -> build seconds (the bench
+    * reports shared-cache build cost as its own line).
+    */
+  def buildLog: Map[(String, String, Seq[String]), Double] =
+    synchronized(buildSecs.toMap)
+
   /** Get-or-build the prepared matrix for `labeled` (must be a
     * deterministic function of `key` — the caller's input path).
     *
@@ -48,8 +56,9 @@ object TrainingCache {
     // recreate sessions (tests, notebooks) don't accumulate them
     cache.filterInPlace((_, e) =>
       !e.preppedTrain.sparkSession.sparkContext.isStopped)
-    cache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, key, featureCols), {
+    val k = (spark.sparkContext.applicationId, key, featureCols)
+    cache.getOrElseUpdate(k, {
+      val t0 = System.nanoTime()
       val base = labeled.persist()
       // track per-build persists so a partial failure (OOM mid-SMOTE,
       // bad input at materialization) releases everything it pinned —
@@ -73,7 +82,10 @@ object TrainingCache {
         pinned += preppedTest
         // materialize every cache while base is pinned
         smoted.count(); preppedTest.count()
-        Entry(prep, prepped, smoted, preppedTest, tr.count(), te.count())
+        val e = Entry(prep, prepped, smoted, preppedTest,
+          tr.count(), te.count())
+        buildSecs.put(k, (System.nanoTime() - t0) / 1e9)
+        e
       } catch {
         case e: Throwable =>
           pinned.foreach(_.unpersist())
@@ -94,5 +106,6 @@ object TrainingCache {
       }
     }
     cache.clear()
+    buildSecs.clear()
   }
 }

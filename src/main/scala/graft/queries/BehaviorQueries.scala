@@ -699,25 +699,39 @@ object BehaviorQueries extends QueryModule {
         // memory sink is the gate-scale harness; production writes
         // parquet (spec-covered restart-exactly-once in EventStreamSpec).
         val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          tmp.resolve("events.parquet"))
-        val events = graft.streaming.EventStream.readEvents(s, tmp.toString)
-        val sess = graft.streaming.EventStream.sessionWindows(
-          events.withWatermark("event_time", "10 minutes"), "30 minutes")
         val tbl = s"stream_sessions_${StreamSeq.incrementAndGet()}"
-        val q = sess.writeStream.format("memory").queryName(tbl)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        require(q.awaitTermination(300000),
-          "q_stream_sessionize: streaming query did not terminate")
-        s.table(tbl)
-          .select(col("user_id"),
-            unix_micros(col("session_start")).as("start_us"),
-            unix_micros(col("session_end")).as("end_us"),
-            col("n_events"))
-          .orderBy(col("user_id"), col("start_us"))
+        // every invocation cleans up after itself (round-7 advice: bench
+        // reps and determinism sweeps multiplied the leaked temp copies
+        // and memory-sink tables): localCheckpoint detaches the result
+        // from the sink table AND the source files, so both can go
+        try {
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$dir/events.parquet"),
+            tmp.resolve("events.parquet"))
+          val events = graft.streaming.EventStream.readEvents(s, tmp.toString)
+          val sess = graft.streaming.EventStream.sessionWindows(
+            events.withWatermark("event_time", "10 minutes"), "30 minutes")
+          val q = sess.writeStream.format("memory").queryName(tbl)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          require(q.awaitTermination(300000),
+            "q_stream_sessionize: streaming query did not terminate")
+          s.table(tbl)
+            .select(col("user_id"),
+              unix_micros(col("session_start")).as("start_us"),
+              unix_micros(col("session_end")).as("end_us"),
+              col("n_events"))
+            .orderBy(col("user_id"), col("start_us"))
+            .localCheckpoint()
+        } finally {
+          s.catalog.dropTempView(tbl)
+          // the checkpointed frame no longer reads these files
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       },
       Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
              | x AS (SELECT user_id, tu,

@@ -25,25 +25,50 @@ object LlmQueries extends QueryModule {
     Tables.load(s, dir, name)
 
   /** Ground truth for the near-dup family: exact all-pairs 3-gram Jaccard
-    * >= 0.5 in DuckDB (feasible at gate scale; the engine-side queries
-    * must reach the same pair set through bucket-local candidate
-    * generation + exact verify — a completeness gate, not just a sanity
-    * row). Shingle construction mirrors NearDup.shingles exactly (proven
-    * bit-compatible by q_ngram_jaccard).
+    * >= 0.5 in DuckDB — a completeness gate, not just a sanity row: the
+    * engine-side queries must reach the same pair set through
+    * bucket-local candidate generation + exact verify. Shingle
+    * construction mirrors NearDup.shingles exactly (proven bit-compatible
+    * by q_ngram_jaccard).
+    *
+    * DUPLICATE-COLLAPSED (round-8, closing the round-7 sf1 skips): the
+    * all-pairs join runs over DISTINCT texts, and member doc_ids expand
+    * only at the end — EXACT, not approximate: identical texts have
+    * identical shingle sets, so (a) a cross pair's Jaccard is the same
+    * for every member combination and (b) a within-group pair's Jaccard
+    * is 1.0 by definition. This is the same collapse the engine itself
+    * performs (NearDup.minHashPairs), so the truth oracle now terminates
+    * at the replicated scale points (sf1: 50 k docs but 4 992 distinct
+    * texts ⇒ the quadratic stage is sf0.1-sized) instead of timing out.
+    * Proven pair-for-pair EQUAL to the raw all-pairs form at sf0.01 and
+    * sf0.1 before the swap.
     */
   private val ExactNearDupPairsSql: String =
-    """WITH t AS (SELECT doc_id,
+    """WITH grp AS (SELECT text, min(doc_id) AS rep,
+      |   list_sort(list(doc_id)) AS ids
+      |   FROM documents GROUP BY text),
+      | t AS (SELECT rep, ids,
       |   regexp_split_to_array(trim(lower(text)), '\s+') AS ts
-      |   FROM documents),
-      | g AS (SELECT doc_id,
+      |   FROM grp),
+      | g AS (SELECT rep, ids,
       |   list_distinct(list_transform(range(1, greatest(len(ts)-2,1)+1),
       |     i -> array_to_string(ts[i:least(i+2, len(ts))], ' '))) AS gs
       |   FROM t),
-      | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      | vp AS (SELECT a.ids AS ids_a, b.ids AS ids_b,
       |   CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
       |     / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
       |     AS jaccard
-      |   FROM g a JOIN g b ON a.doc_id < b.doc_id)
+      |   FROM g a JOIN g b ON a.rep < b.rep),
+      | p AS (
+      |   SELECT least(ua.ia, ub.ib) AS id_a,
+      |     greatest(ua.ia, ub.ib) AS id_b, jaccard
+      |   FROM vp CROSS JOIN UNNEST(ids_a) AS ua(ia)
+      |     CROSS JOIN UNNEST(ids_b) AS ub(ib)
+      |   UNION ALL
+      |   SELECT u1.ia AS id_a, u2.ib AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+      |   FROM grp CROSS JOIN UNNEST(ids) AS u1(ia)
+      |     CROSS JOIN UNNEST(ids) AS u2(ib)
+      |   WHERE u1.ia < u2.ib)
       |""".stripMargin
 
   /** The adjacent-pair variant of [[ExactNearDupPairsSql]] (pairs are
@@ -352,6 +377,15 @@ object LlmQueries extends QueryModule {
         NearDup.containmentPairs(seeded, "doc_id", "text", 3)
           .orderBy(col("id_a"), col("id_b"))
       },
+      // duplicate-collapsed truth (round-8, same construction as
+      // ExactNearDupPairsSql): the subset check runs once per DISTINCT
+      // text — exact, since identical texts have identical shingle sets:
+      // a text group's members inherit every cross containment in both
+      // directions via the rep != rep join (equal-set different-text
+      // pairs included), and within a group every ordered member pair
+      // is a mutual containment. Proven pair-for-pair EQUAL to the raw
+      // all-pairs form at sf0.01/sf0.1 before the swap; terminates at
+      // sf1/sf10 where the raw form is copy-quadratic.
       Some("""WITH base AS (SELECT doc_id, text FROM documents
              |   UNION ALL
              |   SELECT doc_id + 20000 AS doc_id,
@@ -360,18 +394,30 @@ object LlmQueries extends QueryModule {
              |   FROM documents
              |   WHERE doc_id < 40 AND len(regexp_split_to_array(
              |     trim(lower(text)), '\s+')) >= 18),
-             | t AS (SELECT doc_id,
+             | grp AS (SELECT text, min(doc_id) AS rep,
+             |     list_sort(list(doc_id)) AS ids
+             |   FROM base GROUP BY text),
+             | t AS (SELECT rep, ids,
              |     regexp_split_to_array(trim(lower(text)), '\s+') AS ts
-             |   FROM base),
-             | g AS (SELECT doc_id,
+             |   FROM grp),
+             | g AS (SELECT rep, ids,
              |     list_distinct(list_transform(
              |       range(1, greatest(len(ts)-2,1)+1),
              |       i -> array_to_string(ts[i:least(i+2, len(ts))], ' ')))
              |       AS gs
              |   FROM t),
-             | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |   FROM g a JOIN g b ON a.doc_id != b.doc_id
-             |   WHERE len(list_intersect(a.gs, b.gs)) = len(a.gs))
+             | vp AS (SELECT a.ids AS ids_a, b.ids AS ids_b
+             |   FROM g a JOIN g b ON a.rep != b.rep
+             |   WHERE len(list_intersect(a.gs, b.gs)) = len(a.gs)),
+             | p AS (
+             |   SELECT ua.ia AS id_a, ub.ib AS id_b
+             |   FROM vp CROSS JOIN UNNEST(ids_a) AS ua(ia)
+             |     CROSS JOIN UNNEST(ids_b) AS ub(ib)
+             |   UNION ALL
+             |   SELECT u1.ia AS id_a, u2.ib AS id_b
+             |   FROM grp CROSS JOIN UNNEST(ids) AS u1(ia)
+             |     CROSS JOIN UNNEST(ids) AS u2(ib)
+             |   WHERE u1.ia != u2.ib)
              | SELECT id_a, id_b FROM p ORDER BY id_a, id_b""".stripMargin),
       "full-containment dedup via complete rarest-shingle blocking + " +
         "exact subset verify — the inclusion case Jaccard misses"),
@@ -1094,10 +1140,16 @@ object LlmQueries extends QueryModule {
           .contaminated(docs, bg, "doc_id", "text", n = 13)
           .select(col("doc_id"))
         val s5 = s4.join(contam, Seq("doc_id"), "left_anti")
+        // TOTAL source-id parse, identical on both engines (round-7
+        // advice: substring+cast silently nulls a non-numeric suffix on
+        // Spark while CAST hard-errors in DuckDB — they only agreed
+        // because corpora use short numeric suffixes): extract the digit
+        // run, default 0 when absent, so any source shape gets a rate
+        val srcId = coalesce(
+          regexp_extract(col("source"), "[0-9]+", 0).cast("int"), lit(0))
         val rate = element_at(
           array(lit(100), lit(50), lit(25), lit(10)),
-          (pmod(substring(col("source"), 4, 10).cast("int"), lit(4)) +
-            lit(1)).cast("int"))
+          (pmod(srcId, lit(4)) + lit(1)).cast("int"))
         val s6 = s5.filter(pmod(col("doc_id"), lit(100)) < rate)
         val wp = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
         s6.select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
@@ -1172,7 +1224,8 @@ object LlmQueries extends QueryModule {
              |   WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
              | s6 AS (SELECT doc_id, doc_id % 8 AS shard, toks FROM s5
              |   WHERE doc_id % 100 <
-             |     ([100, 50, 25, 10])[(CAST(substr(source, 4) AS INT) % 4) + 1]),
+             |     ([100, 50, 25, 10])[(COALESCE(TRY_CAST(
+             |       regexp_extract(source, '[0-9]+') AS INT), 0) % 4) + 1]),
              | c AS (SELECT doc_id, shard, toks,
              |     SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
              |   FROM s6)

@@ -88,19 +88,59 @@ class ConcurrencySpec extends SparkSpec {
     })
     try {
       assert(entered.await(30, TimeUnit.SECONDS), "slow build never ran")
-      // while the slow build holds its bin, hits must still return
+      // while the slow build is in flight, hits must return FAST: the
+      // elapsed-time bound (well under the 60 s builder fallback) is the
+      // actual non-blocking assertion — without it, hits that parked
+      // behind the slow key's bin would still "pass" once the fallback
+      // released them (round-7 advice)
+      val t0 = System.nanoTime()
       val hits = hammer(4, 8) { j =>
         FrameCache.cached(spark, s"conc:hit-$j") {
           fail(s"hit key conc:hit-$j rebuilt"); spark.range(0).toDF("v")
         }
         true
       }
+      val hitSecs = (System.nanoTime() - t0) / 1e9
       assert(hits.count(identity) === 8)
+      assert(release.getCount === 1,
+        "slow build finished before hits ran — test proves nothing")
+      assert(hitSecs < 10.0,
+        s"hits took ${hitSecs}s while a build was in flight — blocked")
     } finally {
       release.countDown()
       slowF.get(60, TimeUnit.SECONDS)
       slow.shutdownNow()
     }
+  }
+
+  test("FrameCache: a builder may request a DIFFERENT key mid-build " +
+      "(no map lock held during builds); a failed build is retried, " +
+      "never cached") {
+    // reentrancy: the promise-based cache runs builds outside the map's
+    // bin locks, so a prerequisite frame can be obtained from INSIDE a
+    // dependent build (the old computeIfAbsent form forbade this)
+    val outer = FrameCache.cached(spark, "conc:reentrant-outer") {
+      val inner = FrameCache.cached(spark, "conc:reentrant-inner") {
+        spark.range(7).toDF("v")
+      }
+      inner.union(spark.range(3).toDF("v"))
+    }
+    assert(outer.count() === 10L)
+    // failure path: the throwing build's promise must be removed so the
+    // next caller retries (and racing waiters see the failure, not a hang)
+    val attempts = new AtomicInteger(0)
+    intercept[RuntimeException] {
+      FrameCache.cached(spark, "conc:fail-key") {
+        attempts.incrementAndGet()
+        throw new RuntimeException("boom")
+      }
+    }
+    val ok = FrameCache.cached(spark, "conc:fail-key") {
+      attempts.incrementAndGet()
+      spark.range(4).toDF("v")
+    }
+    assert(ok.count() === 4L)
+    assert(attempts.get() === 2, "failed build was cached or retried twice")
   }
 
   test("ModelCache: 16 racing fitters of one tag -> exactly one fit; " +
