@@ -110,10 +110,11 @@ object CorpusQueries extends QueryModule {
         // no global sort, so the bucketing cost at 100 TB is zero on top
         // of the scoring scan. quality is bit-stable across engines
         // (proven by q_quality_score's hash match).
-        val d = T(s, dir, "documents").select(
-          col("doc_id"),
-          TextStats.tokenCount(col("text")).cast("long").as("toks"),
-          TextStats.qualityScore(col("text")).as("quality"))
+        val d = T(s, dir, "documents")
+          .select(col("doc_id"), TextStats.profile(col("text")).as("__p"))
+          .select(col("doc_id"),
+            TextStats.tokenCountFrom(col("__p")).cast("long").as("toks"),
+            TextStats.qualityScoreFrom(col("__p")).as("quality"))
         d.withColumn("bucket",
             least(floor(col("quality") * 10).cast("int"), lit(9)))
           .groupBy(col("bucket"))
@@ -871,8 +872,10 @@ object CorpusQueries extends QueryModule {
             .cast("binary")), 1, 8), 16, 10)
           .cast(DoubleType) / lit(4294967296.0))
         d.select(col("doc_id"), col("source"),
-            TextStats.tokenCount(col("text")).cast("long").as("toks"),
-            TextStats.qualityScore(col("text")).as("q"), u.as("u"))
+            TextStats.profile(col("text")).as("__p"), u.as("u"))
+          .select(col("doc_id"), col("source"), col("u"),
+            TextStats.tokenCountFrom(col("__p")).cast("long").as("toks"),
+            TextStats.qualityScoreFrom(col("__p")).as("q"))
           .withColumn("kept", (col("u") < col("q")).cast("int"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),

@@ -184,13 +184,18 @@ object LlmQueries extends QueryModule {
 
     "q_quality_score" -> QueryDef(
       (s, dir) =>
+        // one fused TextProfile scan (was 4 separate tokenizations of
+        // the same text); derived values bit-identical to the
+        // declarative forms (TextProfileSpec)
         T(s, dir, "documents")
+          .select(col("doc_id"),
+            TextStats.profile(col("text")).as("__p"))
           .select(
             col("doc_id"),
-            TextStats.tokenCount(col("text")).as("n_tokens"),
-            (TextStats.stopwordCount(col("text")) /
-              TextStats.tokenCount(col("text"))).as("stop_ratio"),
-            TextStats.qualityScore(col("text")).as("quality"))
+            TextStats.tokenCountFrom(col("__p")).as("n_tokens"),
+            (TextStats.stopwordCountFrom(col("__p")) /
+              TextStats.tokenCountFrom(col("__p"))).as("stop_ratio"),
+            TextStats.qualityScoreFrom(col("__p")).as("quality"))
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
              | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
@@ -247,12 +252,14 @@ object LlmQueries extends QueryModule {
 
     "q_token_count" -> QueryDef(
       (s, dir) =>
+        // one fused TextProfile scan per row feeds both tokenizer counts
         T(s, dir, "documents")
+          .select(col("source"), TextStats.profile(col("text")).as("__p"))
           .groupBy(col("source"))
           .agg(
-            sum(TextStats.regexTokenCount(col("text")).cast("long"))
+            sum(TextStats.regexTokenCountFrom(col("__p")).cast("long"))
               .as("regex_tokens"),
-            sum(TextStats.tokenCount(col("text")).cast("long"))
+            sum(TextStats.tokenCountFrom(col("__p")).cast("long"))
               .as("ws_tokens"))
           .orderBy(col("source")),
       Some("""SELECT source,
@@ -767,16 +774,17 @@ object LlmQueries extends QueryModule {
         val flagged = d
           .join(dup.select(col("doc_id"), lit(1).as("__dup")),
             Seq("doc_id"), "left")
+          .withColumn("__p", TextStats.profile(col("text")))
           .withColumn("__novel", col("__dup").isNull)
           .withColumn("__keep", col("__novel") &&
-            TextStats.langId(col("text")) === "en" &&
-            TextStats.qualityScore(col("text")) >= lit(0.5))
+            TextStats.langIdFrom(col("__p")) === "en" &&
+            TextStats.qualityScoreFrom(col("__p")) >= lit(0.5))
         flagged.groupBy(col("source"))
           .agg(count(lit(1)).as("n_incoming"),
             sum(col("__novel").cast("long")).as("n_novel"),
             sum(col("__keep").cast("long")).as("n_kept"),
             sum(when(col("__keep"),
-              TextStats.tokenCount(col("text")).cast("long"))
+              TextStats.tokenCountFrom(col("__p")).cast("long"))
               .otherwise(0L)).as("kept_tokens"))
           .orderBy(col("source"))
       },
@@ -1004,14 +1012,19 @@ object LlmQueries extends QueryModule {
         // the flagship curation pipeline, oracle-checked end to end:
         // language-ID gate → quality threshold → exact dedup (keep-first
         // by digest) → per-source token accounting. One scan, one window
-        // shuffle on the digest, one tiny grouped result.
+        // shuffle on the digest, one tiny grouped result. All four text
+        // stats derive from ONE fused TextProfile pass (round-8: the
+        // stacked declarative trees re-tokenized per stat and were the
+        // dominant sf1 cost of this query).
         val d = T(s, dir, "documents")
+        val p = TextStats.profile(col("text"))
         val scored = d.select(
-            col("doc_id"), col("source"),
-            TextStats.langId(col("text")).as("__lang"),
-            TextStats.qualityScore(col("text")).as("__q"),
-            TextStats.fingerprintMd5(col("text")).as("__fp"),
-            TextStats.tokenCount(col("text")).as("__tok"))
+            col("doc_id"), col("source"), p.as("__p"),
+            TextStats.fingerprintMd5(col("text")).as("__fp"))
+          .select(col("doc_id"), col("source"), col("__fp"),
+            TextStats.langIdFrom(col("__p")).as("__lang"),
+            TextStats.qualityScoreFrom(col("__p")).as("__q"),
+            TextStats.tokenCountFrom(col("__p")).as("__tok"))
           .filter(col("__lang") === "en" && col("__q") >= 0.5)
         val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
         scored.withColumn("__rn", row_number().over(w))
@@ -1093,10 +1106,14 @@ object LlmQueries extends QueryModule {
         val docs = T(s, dir, "documents")
         val w = Window.partitionBy(TextStats.fingerprintMd5(col("text")))
           .orderBy(col("doc_id"))
+        // one fused TextProfile pass carried through the stages feeds
+        // the token count (s1/s7) AND the quality/Gopher gate (s4)
         val s1 = docs.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .select(col("doc_id"), col("source"), col("text"),
-            TextStats.tokenCount(col("text")).cast("long").as("__toks"))
+            TextStats.profile(col("text")).as("__p"))
+          .withColumn("__toks",
+            TextStats.tokenCountFrom(col("__p")).cast("long"))
         val s1ids = s1.select(col("doc_id"))
         val pairs = cachedMinHashPairs(s, dir) // (id_a < id_b, j >= 0.5)
         val ndVictims = pairs
@@ -1128,9 +1145,9 @@ object LlmQueries extends QueryModule {
           .select(col("id_a").as("doc_id")).distinct()
         val s3 = s2.join(ctVictims, Seq("doc_id"), "left_anti")
         val s4 = s3.filter(
-          TextStats.qualityScore(col("text")) >= 0.3 &&
-          TextStats.dupTokenFrac(col("text")) <= 0.55 &&
-          TextStats.topTokenFrac(col("text")) <= 0.15)
+          TextStats.qualityScoreFrom(col("__p")) >= 0.3 &&
+          TextStats.dupTokenFracFrom(col("__p")) <= 0.55 &&
+          TextStats.topTokenFracFrom(col("__p")) <= 0.15)
         val toks = split(trim(lower(col("text"))), "\\s+")
         val bench = docs
           .filter(col("doc_id") % 20 === 0 && size(toks) >= 20)
@@ -1530,16 +1547,20 @@ object LlmQueries extends QueryModule {
     "q_repetition_filter" -> QueryDef(
       (s, dir) => {
         // Gopher-style repetition quality gate at word level: duplicate-
-        // token fraction and top-token fraction, thresholded. Both
-        // metrics are pure array expressions (no explode, no shuffle) —
-        // a map-only pass over the corpus scan; the exact integer
-        // counts divide once in double on both sides
+        // token fraction and top-token fraction, thresholded. One fused
+        // TextProfile scan per row (the declarative pair re-tokenized
+        // per metric, and topTokenFrac's sort+aggregate lambdas ran
+        // interpreted) — still map-only, no explode, no shuffle; the
+        // exact integer counts divide once in double on both sides
         val docs = T(s, dir, "documents")
-        docs.select(
+        docs.select(col("doc_id"),
+            TextStats.profile(col("text")).as("__p"))
+          .select(
             col("doc_id"),
-            TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
-            TextStats.dupTokenFrac(col("text")).as("dup_token_frac"),
-            TextStats.topTokenFrac(col("text")).as("top_token_frac"))
+            TextStats.tokenCountFrom(col("__p")).cast("long")
+              .as("n_tokens"),
+            TextStats.dupTokenFracFrom(col("__p")).as("dup_token_frac"),
+            TextStats.topTokenFracFrom(col("__p")).as("top_token_frac"))
           .withColumn("keep",
             col("dup_token_frac") <= 0.55 && col("top_token_frac") <= 0.15)
           .orderBy(col("doc_id"))

@@ -198,12 +198,16 @@ object EventStream {
   def curateDocs(docs: DataFrame, minQuality: Double = 0.5,
       maxDupFrac: Double = 0.55): DataFrame = {
     import graft.text.TextStats
+    // all three gates derive from one fused TextProfile pass per row
+    // (still a stateless projection — batch/streaming identical)
     docs
-      .withColumn("lang_id", TextStats.langId(col("text")))
-      .withColumn("quality", TextStats.qualityScore(col("text")))
-      .withColumn("dup_frac", TextStats.dupTokenFrac(col("text")))
+      .withColumn("__p", TextStats.profile(col("text")))
+      .withColumn("lang_id", TextStats.langIdFrom(col("__p")))
+      .withColumn("quality", TextStats.qualityScoreFrom(col("__p")))
+      .withColumn("dup_frac", TextStats.dupTokenFracFrom(col("__p")))
       .filter(col("lang_id") === "en" &&
         col("quality") >= minQuality && col("dup_frac") <= maxDupFrac)
+      .drop("__p")
   }
 
   /** Streaming exact dedup: drops any document whose content fingerprint

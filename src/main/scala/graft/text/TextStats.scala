@@ -139,4 +139,69 @@ object TextStats {
 
   /** 64-bit fast fingerprint for shard-local joins (xxhash64 seed 42). */
   def fingerprint64(text: Column): Column = xxhash64(text)
+
+  // ---------------------------------------------------------------------
+  // Fused one-pass profile (round-8): queries that stack several of the
+  // tokenizing stats above re-split the same text once PER STAT (plus
+  // interpreted higher-order filter/aggregate lambdas that never enter
+  // codegen) — the text family was tokenize-bound at sf1. `profile`
+  // computes every integer primitive in one native codegen'd scan
+  // (functions.TextProfile); the *From helpers below derive the SAME
+  // values as their declarative twins from the struct with cheap
+  // arithmetic — bit-identical by construction (same Divide/when shapes
+  // over the same integers), property-tested in TextProfileSpec.
+  // ---------------------------------------------------------------------
+
+  /** One-pass struct of per-document primitives: n_tokens, stop_count,
+    * punct_count, n_chars, n_distinct, top_count, de/en/es/fr marker
+    * hits, regex_tokens.
+    */
+  def profile(text: Column): Column =
+    graft.functions.TextProfile.text_profile(text)
+
+  /** [[tokenCount]] from a [[profile]] struct. */
+  def tokenCountFrom(p: Column): Column = p.getField("n_tokens")
+
+  /** [[stopwordCount]] from a [[profile]] struct. */
+  def stopwordCountFrom(p: Column): Column = p.getField("stop_count")
+
+  /** [[regexTokenCount]] from a [[profile]] struct. */
+  def regexTokenCountFrom(p: Column): Column = p.getField("regex_tokens")
+
+  /** [[qualityScore]] from a [[profile]] struct — identical expression
+    * shape (int/int Divide, same literals, same order) over the same
+    * integers.
+    */
+  def qualityScoreFrom(p: Column): Column = {
+    val nTok = p.getField("n_tokens")
+    val stopRatio = p.getField("stop_count") / nTok
+    val punctRatio = p.getField("punct_count") / p.getField("n_chars")
+    lit(0.5) * stopRatio +
+      lit(0.3) * when(nTok.between(10, 1000), 1.0).otherwise(0.0) +
+      lit(0.2) * (lit(1.0) - punctRatio)
+  }
+
+  /** [[langId]] from a [[profile]] struct — same (neg, lang) struct-sort
+    * argmax over the same marker counts.
+    */
+  def langIdFrom(p: Column): Column = {
+    val scored = langProfiles.keys.toSeq.sorted.map { lang =>
+      struct((-p.getField(lang)).as("neg"), lit(lang).as("lang"))
+    }
+    val best = sort_array(array(scored: _*)).getItem(0)
+    when(best.getField("neg") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  /** [[dupTokenFrac]] from a [[profile]] struct. */
+  def dupTokenFracFrom(p: Column): Column =
+    lit(1.0) - p.getField("n_distinct").cast(DoubleType) /
+      p.getField("n_tokens").cast(DoubleType)
+
+  /** [[topTokenFrac]] from a [[profile]] struct (max token multiplicity
+    * == the longest equal-run of the sorted token array).
+    */
+  def topTokenFracFrom(p: Column): Column =
+    p.getField("top_count").cast(DoubleType) /
+      p.getField("n_tokens").cast(DoubleType)
 }
