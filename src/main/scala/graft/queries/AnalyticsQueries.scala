@@ -853,15 +853,18 @@ object AnalyticsQueries extends QueryModule {
         // q_auc_rank: reduce to CENT grain first (value range × 100
         // buckets, independent of row count), one ordered window over
         // the grain accumulates the other group's counts strictly
-        // below; 2U = Σ na_v·(2·cumb_below + nb_v) stays exact BIGINT,
-        // and the tie-corrected normal approximation
-        // z = (U − na·nb/2) / sqrt(na·nb/12·((n+1) − ΣT/(n(n−1)))),
-        // ΣT = Σ(t³−t) over tie groups, mints float once, identically
-        // shaped on both engines, rounded once. (The exact-BIGINT
-        // intermediates overflow Long at extreme scale: t³−t at ~2e6
-        // tied rows per cent bucket, 2U ≈ na·nb at ~3e9 rows per side —
-        // widen to decimal beyond that, same note as q_ks_drift and
-        // q_decile_lift.)
+        // below; 2U = Σ na_v·(2·cumb_below + nb_v) and ΣT = Σ(t³−t)
+        // accumulate in DECIMAL(38,0) (round-8, verdict #6: the BIGINT
+        // forms overflow Long — and under ANSI, throw — at ~2e6 tied
+        // rows per cent bucket / ~3e9 rows per side, i.e. exactly the
+        // target scale; ExactStatsOverflowSpec proves the widened form
+        // correct where the narrow form errors). The tie-corrected
+        // normal approximation
+        // z = (U − na·nb/2) / sqrt(na·nb/12·((n+1) − ΣT/(n(n−1))))
+        // mints float once, identically shaped on both engines, rounded
+        // once; 2U is emitted as a once-minted DOUBLE on both sides
+        // (decimal/int128 output types are not pandas-hash-stable — see
+        // tools/lint_oracles.py).
         val e = T(s, dir, "events")
           .filter(col("event_type").isin("click", "purchase"))
         val g = e.select(
@@ -871,30 +874,11 @@ object AnalyticsQueries extends QueryModule {
           .groupBy(col("v"))
           .agg(sum(col("ia")).as("na_v"),
             sum(lit(1L) - col("ia")).as("nb_v"))
-        val w = Window.orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val terms = g
-          .withColumn("cumb",
-            coalesce(sum(col("nb_v")).over(w), lit(0L)))
-          .select(col("na_v"), col("nb_v"),
-            (col("na_v") * (lit(2) * col("cumb") + col("nb_v")))
-              .as("t2u"),
-            ((col("na_v") + col("nb_v")) * (col("na_v") + col("nb_v"))
-              * (col("na_v") + col("nb_v"))
-              - (col("na_v") + col("nb_v"))).as("tie"))
-        val a = terms.agg(sum(col("na_v")).as("na"),
-          sum(col("nb_v")).as("nb"), sum(col("t2u")).as("u2"),
-          sum(col("tie")).as("tsum"))
-        val naD = col("na").cast(DoubleType)
-        val nbD = col("nb").cast(DoubleType)
-        val nD = naD + nbD
-        val sigma2 = naD * nbD / 12.0 *
-          ((nD + 1.0) - col("tsum").cast(DoubleType) /
-            (nD * (nD - 1.0)))
-        a.select(col("na"), col("nb"), col("u2"),
-          round((col("u2").cast(DoubleType) / 2.0 - naD * nbD / 2.0) /
-            sqrt(sigma2), 6).as("mw_z"))
+        graft.operators.ExactStats.mannWhitneyZ(g)
       },
+      // 2U / tie products in HUGEINT (DuckDB's exact int128 — the twin
+      // of the engine's decimal(38,0) widening); u2 surfaces as a
+      // once-minted DOUBLE on both sides
       Some("""WITH e AS (SELECT
              |     CAST(FLOOR(value * 100) AS BIGINT) AS v,
              |     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
@@ -904,17 +888,17 @@ object AnalyticsQueries extends QueryModule {
              |     CAST(SUM(1 - ia) AS BIGINT) AS nb_v
              |   FROM e GROUP BY v),
              | t AS (SELECT na_v, nb_v,
-             |     na_v * (2 * COALESCE(CAST(SUM(nb_v) OVER (ORDER BY v
-             |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-             |       AS BIGINT), 0) + nb_v) AS t2u,
-             |     (na_v + nb_v) * (na_v + nb_v) * (na_v + nb_v)
-             |       - (na_v + nb_v) AS tie
+             |     CAST(na_v AS HUGEINT)
+             |       * (2 * COALESCE(CAST(SUM(nb_v) OVER (ORDER BY v
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |         AS HUGEINT), 0) + nb_v) AS t2u,
+             |     CAST(na_v + nb_v AS HUGEINT) * (na_v + nb_v)
+             |       * (na_v + nb_v) - (na_v + nb_v) AS tie
              |   FROM g),
              | a AS (SELECT CAST(SUM(na_v) AS BIGINT) AS na,
              |     CAST(SUM(nb_v) AS BIGINT) AS nb,
-             |     CAST(SUM(t2u) AS BIGINT) AS u2,
-             |     CAST(SUM(tie) AS BIGINT) AS tsum FROM t)
-             | SELECT na, nb, u2,
+             |     SUM(t2u) AS u2, SUM(tie) AS tsum FROM t)
+             | SELECT na, nb, CAST(u2 AS DOUBLE) AS u2,
              |   ROUND((CAST(u2 AS DOUBLE) / 2.0
              |       - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0) /
              |     sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
@@ -925,7 +909,8 @@ object AnalyticsQueries extends QueryModule {
              |              - 1.0)))), 6) AS mw_z
              | FROM a""".stripMargin),
       "Mann–Whitney U drift z-test: cent-grain rank accumulation " +
-        "(bounded window), exact-BIGINT 2U and tie sums, one float mint"),
+        "(bounded window), decimal-widened exact 2U and tie sums, one " +
+        "float mint"),
 
     "q_wilson_ci" -> QueryDef(
       (s, dir) => {

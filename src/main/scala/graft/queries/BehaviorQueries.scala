@@ -733,12 +733,17 @@ object BehaviorQueries extends QueryModule {
             .foreach(java.nio.file.Files.deleteIfExists(_))
         }
       },
+      // break on gaps STRICTLY GREATER than the 30-min gap: an event
+      // exactly gap after its predecessor MERGES into the session
+      // (session_window's closed-interval rule, pinned by the
+      // EventStreamSpec retention property — the >= form diverges on
+      // boundary-separated events)
       Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
              | x AS (SELECT user_id, tu,
              |     CASE WHEN LAG(tu) OVER (PARTITION BY user_id
              |         ORDER BY tu) IS NULL
              |       OR tu - LAG(tu) OVER (PARTITION BY user_id
-             |         ORDER BY tu) >= 1800000000
+             |         ORDER BY tu) > 1800000000
              |       THEN 1 ELSE 0 END AS brk
              |   FROM e),
              | sgrp AS (SELECT user_id, tu,

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, TimestampNTZType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType,
+  TimestampNTZType}
 
 import graft.core.{QueryDef, QueryModule, Tables}
 import graft.functions.FixedPoint.{ldiv, scaledDiv}
@@ -63,16 +64,23 @@ object EvalQueries extends QueryModule {
             sum(lit(1) - col("pos")).as("nn"))
         val w = Window.orderBy(col("sc"))
           .rowsBetween(Window.unboundedPreceding, -1)
+        // 2U products decimal-widened (round-8, verdict #6 cousin of
+        // q_mann_whitney: u2 ≈ P·N overflows Long — an ANSI error — at
+        // ~3e9 rows per class); u2 surfaces as a once-minted DOUBLE
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
         val terms = g
           .withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
-          .select((col("np") * (lit(2) * col("cumneg") + col("nn")))
+          .select((dec(col("np")) *
+            (lit(2) * dec(col("cumneg")) + dec(col("nn"))))
             .as("t"), col("np"), col("nn"))
         terms.agg(sum(col("np")).as("p_total"),
             sum(col("nn")).as("n_total"), sum(col("t")).as("u2"))
-          .select(col("p_total"), col("n_total"), col("u2"),
+          .select(col("p_total"), col("n_total"),
+            col("u2").cast(DoubleType).as("u2"),
             scaledDiv(col("u2"),
-              lit(2) * col("p_total") * col("n_total"), 1000000000L)
-              .as("auc_scaled"))
+              lit(2) * dec(col("p_total")) * dec(col("n_total")),
+              1000000000L).as("auc_scaled"))
       },
       Some("""WITH sc AS (SELECT
              |     CAST(label < 5 AS BIGINT) AS pos,
@@ -89,12 +97,15 @@ object EvalQueries extends QueryModule {
              |   FROM g),
              | a AS (SELECT CAST(SUM(np) AS BIGINT) AS p_total,
              |     CAST(SUM(nn) AS BIGINT) AS n_total,
-             |     CAST(SUM(np * (2 * cumneg + nn)) AS BIGINT) AS u2
+             |     SUM(CAST(np AS HUGEINT) * (2 * cumneg + nn)) AS u2
              |   FROM t)
-             | SELECT p_total, n_total, u2,
-             |   (u2 // (2 * p_total * n_total)) * 1000000000
-             |     + ((u2 % (2 * p_total * n_total)) * 1000000000)
-             |       // (2 * p_total * n_total) AS auc_scaled
+             | SELECT p_total, n_total, CAST(u2 AS DOUBLE) AS u2,
+             |   CAST((u2 // (2 * CAST(p_total AS HUGEINT) * n_total))
+             |       * 1000000000
+             |     + ((u2 % (2 * CAST(p_total AS HUGEINT) * n_total))
+             |       * 1000000000)
+             |       // (2 * CAST(p_total AS HUGEINT) * n_total)
+             |     AS BIGINT) AS auc_scaled
              | FROM a""".stripMargin),
       "exact ROC AUC via tie-corrected Mann-Whitney rank sum over " +
         "quantized-score groups (no per-row global sort)"),
@@ -311,9 +322,12 @@ object EvalQueries extends QueryModule {
         // anywhere — and maximize the exact integer deviation
         // |ca·nb − cb·na| (the /na·nb division happens once, at the
         // end). Ties on the max deviation break to the smallest value,
-        // so the argmax row is deterministic. (Products reach
-        // na·nb ≈ 1e18 at ~1e9 rows per side — widen to decimal beyond
-        // that, same note as q_decile_lift.)
+        // so the argmax row is deterministic. The deviation products
+        // run DECIMAL-WIDENED in ExactStats.ksStat (round-8, verdict
+        // #6: na·nb reaches Long range at ~1e9 rows per side, and ANSI
+        // turns the wrap into a runtime error — the widened form is
+        // proven at synthetic overflow counts in
+        // ExactStatsOverflowSpec).
         val era = col("o_orderdate") <
           lit("1998-01-01 00:00:00").cast(TimestampNTZType)
         val grain = T(s, dir, "orders")
@@ -323,27 +337,7 @@ object EvalQueries extends QueryModule {
           .groupBy(col("cents"))
           .agg(sum(col("ia")).as("da"),
             sum(lit(1L) - col("ia")).as("db"))
-        val scanned = PrefixSum.runningTotals(grain, "cents",
-          Seq("da", "db"), Seq("ca", "cb"))
-        val tot = scanned.agg(max(col("ca")).as("na"),
-          max(col("cb")).as("nb"))
-        val dev = scanned.crossJoin(broadcast(tot))
-          .select(col("cents"), col("na"), col("nb"),
-            abs(col("ca") * col("nb") - col("cb") * col("na"))
-              .as("dstar"))
-        val m = dev.agg(max(col("dstar")).as("md"))
-        val naD = col("na").cast(DoubleType)
-        val nbD = col("nb").cast(DoubleType)
-        dev.crossJoin(broadcast(m))
-          .filter(col("dstar") === col("md"))
-          .groupBy(col("na"), col("nb"), col("md"))
-          .agg(min(col("cents")).as("at_cents"))
-          .select(col("na"), col("nb"), col("at_cents"),
-            round(col("md").cast(DoubleType) / (naD * nbD), 6)
-              .as("ks_d"),
-            round(lit(1.358) *
-              sqrt((col("na") + col("nb")).cast(DoubleType) /
-                (naD * nbD)), 6).as("ks_crit"))
+        graft.operators.ExactStats.ksStat(grain)
       },
       Some("""WITH g AS (SELECT
              |     CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
@@ -364,7 +358,8 @@ object EvalQueries extends QueryModule {
              |   FROM g),
              | t AS (SELECT MAX(ca) AS na, MAX(cb) AS nb FROM c),
              | d AS (SELECT cents, na, nb,
-             |     ABS(ca * nb - cb * na) AS dstar
+             |     ABS(CAST(ca AS HUGEINT) * nb
+             |       - CAST(cb AS HUGEINT) * na) AS dstar
              |   FROM c CROSS JOIN t),
              | m AS (SELECT MAX(dstar) AS md FROM d)
              | SELECT na, nb, MIN(cents) AS at_cents,
@@ -389,9 +384,12 @@ object EvalQueries extends QueryModule {
         // GROUPS, a whole group lands in the decile of its first row
         // (ldiv(cum_before*10, n) — deterministic, no within-group
         // order), and every ratio is exact via ldiv/scaledDiv. The
-        // decile rollup window is 10 rows. (At extreme counts
-        // cum_pos*n approaches long range — divide through or widen to
-        // decimal before reusing this shape above ~1e9 rows.)
+        // decile rollup window is 10 rows. The cum_pos·n / cb·10 /
+        // n_pos·1e6 products are decimal-widened (round-8, verdict #6:
+        // they reach Long range — an ANSI error — at ~1e9 rows); the
+        // ppm/decile OUTPUTS are bounded small, so they stay BIGINT.
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
         val g = scored(s, dir).groupBy(col("sc"))
           .agg(count(lit(1)).as("c"), sum(col("pos")).as("cp"))
         val descW = Window.orderBy(col("sc").desc)
@@ -402,7 +400,7 @@ object EvalQueries extends QueryModule {
             coalesce(sum(col("c")).over(descW), lit(0L)))
           .withColumn("n", sum(col("c")).over(tot))
           .withColumn("tp", sum(col("cp")).over(tot))
-          .select(ldiv(col("cb") * 10, col("n")).as("decile"),
+          .select(ldiv(dec(col("cb")) * 10, col("n")).as("decile"),
             col("c"), col("cp"), col("n"), col("tp"))
         val byDec = Window.orderBy(col("decile"))
           .rowsBetween(Window.unboundedPreceding, 0)
@@ -412,9 +410,11 @@ object EvalQueries extends QueryModule {
           .withColumn("cum_pos", sum(col("n_pos")).over(byDec))
           .withColumn("cum_rows", sum(col("n_rows")).over(byDec))
           .select(col("decile"), col("n_rows"), col("n_pos"),
-            ldiv(col("n_pos") * 1000000L, col("n_rows")).as("rate_ppm"),
-            scaledDiv(col("cum_pos") * col("n"),
-              col("cum_rows") * col("tp"), 1000000L).as("cum_lift_ppm"))
+            ldiv(dec(col("n_pos")) * 1000000L, col("n_rows"))
+              .as("rate_ppm"),
+            scaledDiv(dec(col("cum_pos")) * dec(col("n")),
+              dec(col("cum_rows")) * dec(col("tp")), 1000000L)
+              .as("cum_lift_ppm"))
           .orderBy(col("decile"))
       },
       Some("""WITH sc AS (SELECT CAST(label < 5 AS BIGINT) AS pos,
@@ -427,7 +427,8 @@ object EvalQueries extends QueryModule {
              |     COALESCE(SUM(c) OVER (ORDER BY sc DESC ROWS BETWEEN
              |       UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
              |     SUM(c) OVER () AS n, SUM(cp) OVER () AS tp FROM g),
-             | d AS (SELECT (cb*10 - (cb*10 % n)) // n AS decile,
+             | d AS (SELECT (CAST(cb AS HUGEINT)*10
+             |       - (CAST(cb AS HUGEINT)*10 % n)) // n AS decile,
              |     c, cp, n, tp FROM w),
              | a AS (SELECT decile, CAST(SUM(c) AS BIGINT) AS n_rows,
              |     CAST(SUM(cp) AS BIGINT) AS n_pos,
@@ -439,11 +440,15 @@ object EvalQueries extends QueryModule {
              |       UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows,
              |     n, tp FROM a)
              | SELECT CAST(decile AS BIGINT) AS decile, n_rows, n_pos,
-             |   (n_pos*1000000 - (n_pos*1000000 % n_rows)) // n_rows
-             |     AS rate_ppm,
-             |   CAST((cum_pos*n) // (cum_rows*tp) * 1000000
-             |     + ((cum_pos*n) % (cum_rows*tp)) * 1000000
-             |       // (cum_rows*tp) AS BIGINT) AS cum_lift_ppm
+             |   CAST((CAST(n_pos AS HUGEINT)*1000000
+             |     - (CAST(n_pos AS HUGEINT)*1000000 % n_rows)) // n_rows
+             |     AS BIGINT) AS rate_ppm,
+             |   CAST((CAST(cum_pos AS HUGEINT)*n)
+             |       // (CAST(cum_rows AS HUGEINT)*tp) * 1000000
+             |     + ((CAST(cum_pos AS HUGEINT)*n)
+             |       % (CAST(cum_rows AS HUGEINT)*tp)) * 1000000
+             |       // (CAST(cum_rows AS HUGEINT)*tp) AS BIGINT)
+             |     AS cum_lift_ppm
              | FROM r ORDER BY decile""".stripMargin),
       "decile gains/lift table: quantized-score-group deciles, exact " +
         "ppm rates and cumulative lift via ldiv/scaledDiv")

@@ -128,11 +128,15 @@ object EventStream {
     * streaming the state store holds one merging window per open
     * session, evicted by the watermark.
     *
-    * Boundary semantics: session_window merges an event that lands
-    * STRICTLY inside [start, last+gap), i.e. it splits on inter-event
-    * gaps >= gap, while the lag+cumsum form splits on gaps > gap. The
-    * two differ only for events exactly gap apart (measure-zero on µs
-    * data; EventStreamSpec cross-checks equality on the fixture).
+    * Boundary semantics (round-8 correction, caught by the retention
+    * property test): session_window merges an event that lands inside
+    * the CLOSED interval [start, last+gap] — an event exactly gap after
+    * the previous one MERGES — i.e. it splits only on inter-event gaps
+    * STRICTLY GREATER than gap. This matches [[sessionize]]'s custom
+    * state rule (`t <= end + gap` merges); the q_stream_sessionize
+    * oracle encodes the same strict-split rule (`tu - lag > gap`).
+    * EventStreamSpec's property generator emits events exactly gap
+    * apart, so a regression on this boundary fails the suite.
     */
   def sessionWindows(events: DataFrame,
       gap: String = "30 minutes"): DataFrame =

@@ -256,4 +256,124 @@ class EventStreamSpec extends SparkSpec {
     q.awaitTermination(120000)
     assert(scored.get() === Tables.load(spark, sf0001, "events").count())
   }
+
+  // ------------------------------------------------------------------
+  // Append-mode retention property (round-7 verdict #7): the
+  // q_stream_sessionize gate pins ONE dataset; this property pins the
+  // rule itself — for random event sets, the append-mode emission set
+  // equals the batch recomputation of sessions AND the watermark
+  // retention rule (a session is released iff its end <= the ms-
+  // truncated max event time minus the 10-minute delay). Cases include
+  // sessions ending EXACTLY at the watermark (released), 1 ms past it
+  // (held), inter-event gaps exactly at the 30-minute boundary (MERGE —
+  // session_window's interval is closed, [start, last+gap]; this very
+  // generator caught the >= split convention documented and oracled
+  // before round 8), and sub-millisecond event times (the ms-truncation
+  // edge).
+  // ------------------------------------------------------------------
+
+  private val GapUs = 1800000000L  // 30 minutes
+  private val DelayMs = 600000L    // 10 minutes
+
+  /** Batch reference: gap-split sessions per user, then the retention
+    * rule over the global max event time.
+    */
+  private def referenceSessions(events: Seq[(Long, Long)])
+      : Set[(Long, Long, Long, Long)] = {
+    val wmUs = ((events.map(_._2).max / 1000) - DelayMs) * 1000
+    events.groupBy(_._1).toSeq.flatMap { case (user, es) =>
+      val ts = es.map(_._2).sorted
+      // split on gaps STRICTLY greater than the gap (session_window's
+      // closed-interval merge rule)
+      val sessions = ts.tail.foldLeft(Vector(Vector(ts.head))) {
+        (acc, t) =>
+          if (t - acc.last.last > GapUs) acc :+ Vector(t)
+          else acc.init :+ (acc.last :+ t)
+      }
+      sessions.map(sess =>
+        (user, sess.head, sess.last + GapUs, sess.size.toLong))
+    }.filter(_._3 <= wmUs).toSet
+  }
+
+  private def runSessionize(events: Seq[(Long, Long)], tag: String)
+      : Set[(Long, Long, Long, Long)] = {
+    val dir = Files.createTempDirectory(s"graft-sess-prop")
+    try {
+      import spark.implicits._
+      events.zipWithIndex
+        .map { case ((u, t), i) => (i.toLong, t, u, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      val stream = EventStream.sessionWindows(
+        EventStream.readEvents(spark, dir.toString)
+          .withWatermark("event_time", "10 minutes"), "30 minutes")
+      val tbl = s"sess_prop_$tag"
+      val q = stream.writeStream.format("memory").queryName(tbl)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        assert(q.awaitTermination(120000), "stream did not terminate")
+        spark.table(tbl)
+          .select(col("user_id"), unix_micros(col("session_start")),
+            unix_micros(col("session_end")), col("n_events"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+      } finally spark.catalog.dropTempView(tbl)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  test("property: append-mode emission == batch sessions + retention " +
+      "rule on random event sets (watermark/gap/ms-truncation edges)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val base = 1600000000000000L // µs, inside the era guard
+    // random per-user event chains whose inter-event gaps mix sub-gap,
+    // exactly-gap, and super-gap steps, with µs-level remainders
+    val caseGen: org.scalacheck.Gen[Seq[(Long, Long)]] = for {
+      nUsers <- Gen.choose(1, 3)
+      chains <- Gen.sequence[Seq[Seq[(Long, Long)]], Seq[(Long, Long)]](
+        (1 to nUsers).map { u =>
+          for {
+            n <- Gen.choose(2, 12)
+            steps <- Gen.listOfN(n, Gen.frequency(
+              4 -> Gen.choose(1000L, GapUs - 1),
+              1 -> Gen.const(GapUs),            // boundary: must MERGE
+              1 -> Gen.const(GapUs + 1),        // boundary: must split
+              2 -> Gen.choose(GapUs + 1, 3 * GapUs),
+              1 -> Gen.choose(1L, 999L)))       // sub-ms jitter
+          } yield steps.scanLeft(base + u * 777L)(_ + _)
+            .map(t => (u.toLong, t))
+        })
+    } yield chains.flatten
+    val samples = (1 to 6).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(4040L + i)))
+    samples.zipWithIndex.foreach { case (events0, k) =>
+      // crafted anchor (the global max, with a sub-ms remainder) plus
+      // two single-event users pinned to the watermark boundary: one
+      // session ending exactly AT the watermark (must emit) and one
+      // ending 1 ms past it (must be held back)
+      val anchorT = events0.map(_._2).max + 5 * GapUs + 123L
+      val wmUs = ((anchorT / 1000) - DelayMs) * 1000
+      val events = events0 ++ Seq(
+        (900L, anchorT),
+        (901L, wmUs - GapUs),          // end == wm: released
+        (902L, wmUs - GapUs + 1000L))  // end == wm + 1ms: held
+      val got = runSessionize(events, s"k$k")
+      val expect = referenceSessions(events)
+      assert(expect.exists(s => s._1 == 901L && s._3 == wmUs),
+        "crafted at-watermark session missing from the reference")
+      assert(!expect.exists(_._1 == 902L),
+        "crafted past-watermark session must be held in the reference")
+      assert(got === expect,
+        s"case #$k: streaming emission != batch reference\n" +
+          s"only streaming: ${(got -- expect).take(5)}\n" +
+          s"only reference: ${(expect -- got).take(5)}")
+    }
+  }
 }
