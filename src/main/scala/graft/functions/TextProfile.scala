@@ -75,7 +75,12 @@ object TextProfile {
 
   val schema: StructType = StructType(Seq(
     "n_tokens", "stop_count", "punct_count", "n_chars", "n_distinct",
-    "top_count", "de", "en", "es", "fr", "regex_tokens")
+    "top_count", "de", "en", "es", "fr", "regex_tokens",
+    // raw-case metrics (the Gopher rule battery works on the UNlowered
+    // text): code points not matching \s; tokens of trim(text)
+    // containing >= 1 lowercase ASCII letter; tokens of trim(text) in
+    // the stopword set case-SENSITIVELY
+    "nonws_chars", "alpha_tokens", "raw_stop_count")
     .map(StructField(_, IntegerType, nullable = false)))
 
   // marker sets in langProfiles key order (de, en, es, fr) — kept in
@@ -117,6 +122,7 @@ object TextProfile {
     var nChars = 0
     var punct = 0
     var regexToks = 0
+    var nonWs = 0
     var i = 0
     var prevClass = -1 // 0=alpha 1=digit 2=other (for run grouping)
     while (i < rawLen) {
@@ -128,6 +134,7 @@ object TextProfile {
         else if (cp >= '0' && cp <= '9') 1
         else if (isWsChar(cp)) 3
         else 2
+      if (cls != 3) nonWs += 1
       if (cls != 3 && !(cp >= 'a' && cp <= 'z') && cls != 1) punct += 1
       // [a-zA-Z]+ and [0-9]+ count once per run; other non-space chars
       // count one each; whitespace breaks runs and counts nothing
@@ -135,6 +142,37 @@ object TextProfile {
       else if ((cls == 0 || cls == 1) && cls != prevClass) regexToks += 1
       prevClass = cls
     }
+    // ---- raw-case token scan over trim(text) (NOT lowered: token
+    // boundaries match the lowered scan, but byte spans can differ —
+    // some unicode lowercasings change length — so scan raw bytes
+    // separately) ----
+    val rawTrim = text.trim()
+    val rbytes = rawTrim.getBytes
+    val rlen = rbytes.length
+    var alphaToks = 0
+    var rawStop = 0
+    def emitRaw(from: Int, until: Int): Unit = {
+      var hasAlpha = false
+      var p = from
+      while (p < until && !hasAlpha) {
+        if (rbytes(p) >= 'a' && rbytes(p) <= 'z') hasAlpha = true
+        p += 1
+      }
+      if (hasAlpha) alphaToks += 1
+      val tok = new String(rbytes, from, until - from,
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (stopSet.contains(tok)) rawStop += 1
+    }
+    var rs = 0
+    var rj = 0
+    while (rj < rlen) {
+      if (isWs(rbytes(rj))) {
+        emitRaw(rs, rj)
+        while (rj < rlen && isWs(rbytes(rj))) rj += 1
+        rs = rj
+      } else rj += 1
+    }
+    emitRaw(rs, rlen)
     // ---- token scan over trim(lower(text)), Java split(\s+, -1) ----
     // tokens are the substrings between separator runs, INCLUDING a
     // leading empty token when the trimmed text starts with non-space
@@ -171,7 +209,8 @@ object TextProfile {
     emit(start, len) // final token; "" when text ends with a separator
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nTok, stop, punct, nChars, counts.size(), top,
-        lang(0), lang(1), lang(2), lang(3), regexToks))
+        lang(0), lang(1), lang(2), lang(3), regexToks,
+        nonWs, alphaToks, rawStop))
   }
 
   /** Column-level entry point: one struct of all per-doc primitives. */

@@ -613,8 +613,11 @@ object LlmQueries extends QueryModule {
 
     "q_lang_id" -> QueryDef(
       (s, dir) =>
+        // marker counts from the fused profile (the declarative form
+        // paid four interpreted HOF filters per row)
         T(s, dir, "documents")
-          .groupBy(TextStats.langId(col("text")).as("lang_pred"))
+          .select(TextStats.profile(col("text")).as("__p"))
+          .groupBy(TextStats.langIdFrom(col("__p")).as("lang_pred"))
           .agg(count(lit(1)).as("docs"))
           .orderBy(col("lang_pred")),
       // argmax over marker-token counts, tie-break lang asc ('und' on 0):

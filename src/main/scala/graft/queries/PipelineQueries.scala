@@ -357,24 +357,22 @@ object PipelineQueries extends QueryModule {
         // the Gopher-style document quality rule battery (word count
         // band, mean word length band, alphabetic-word fraction,
         // symbol density, stopword presence) -> keep decision. One
-        // map-only pass: every metric is an integer count divided at
-        // most once in double, identical expression shape both sides.
-        val toks = split(trim(col("text")), "\\s+")
-        val nWords = size(toks).cast("long")
-        val charLen = length(regexp_replace(col("text"), "\\s", ""))
-          .cast("long")
-        val alphaWords = size(filter(toks,
-          t => t.rlike("[a-z]"))).cast("long")
-        val symbols = length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
-          .cast("long")
-        val hasStop = size(filter(toks,
-          t => t.isInCollection(graft.text.TextStats.stopwords))) > 0
+        // map-only pass over ONE fused TextProfile scan (round-8: the
+        // declarative battery paid two regex replaces + two interpreted
+        // HOF filters + a split per row); every metric is an integer
+        // count divided at most once in double, identical both sides.
+        val p = graft.text.TextStats.profile(col("text"))
         T(s, dir, "documents")
-          .select(col("doc_id"), nWords.as("n_words"),
-            (charLen.cast(DoubleType) / nWords).as("mean_word_len"),
-            (alphaWords.cast(DoubleType) / nWords).as("alpha_word_frac"),
-            (symbols.cast(DoubleType) / nWords).as("symbol_ratio"),
-            hasStop.as("has_stopword"))
+          .select(col("doc_id"), p.as("__p"))
+          .select(col("doc_id"),
+            col("__p.n_tokens").cast("long").as("n_words"),
+            (col("__p.nonws_chars").cast("long").cast(DoubleType) /
+              col("__p.n_tokens").cast("long")).as("mean_word_len"),
+            (col("__p.alpha_tokens").cast("long").cast(DoubleType) /
+              col("__p.n_tokens").cast("long")).as("alpha_word_frac"),
+            (col("__p.punct_count").cast("long").cast(DoubleType) /
+              col("__p.n_tokens").cast("long")).as("symbol_ratio"),
+            (col("__p.raw_stop_count") > 0).as("has_stopword"))
           .withColumn("keep",
             col("n_words") >= 50 && col("n_words") <= 100000 &&
               col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&

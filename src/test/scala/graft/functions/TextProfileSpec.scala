@@ -58,7 +58,18 @@ class TextProfileSpec extends SparkSpec {
       ("dup_frac", TextStats.dupTokenFrac(col("text")),
         TextStats.dupTokenFracFrom(p)),
       ("top_frac", TextStats.topTokenFrac(col("text")),
-        TextStats.topTokenFracFrom(p)))
+        TextStats.topTokenFracFrom(p)),
+      // raw-case Gopher metrics (NOT lowered — "The" is neither an
+      // alpha-token hit nor a stopword here)
+      ("nonws_chars", length(regexp_replace(col("text"), "\\s", "")),
+        p.getField("nonws_chars")),
+      ("alpha_tokens",
+        size(filter(split(trim(col("text")), "\\s+"),
+          t => t.rlike("[a-z]"))),
+        p.getField("alpha_tokens")),
+      ("raw_stop", size(filter(split(trim(col("text")), "\\s+"),
+          t => t.isInCollection(TextStats.stopwords))),
+        p.getField("raw_stop_count")))
     def check(frame: org.apache.spark.sql.DataFrame,
         pairs: Seq[(String, org.apache.spark.sql.Column,
           org.apache.spark.sql.Column)]): Unit = {
