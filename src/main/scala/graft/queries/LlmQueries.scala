@@ -42,6 +42,20 @@ object LlmQueries extends QueryModule {
     * texts ⇒ the quadratic stage is sf0.1-sized) instead of timing out.
     * Proven pair-for-pair EQUAL to the raw all-pairs form at sf0.01 and
     * sf0.1 before the swap.
+    *
+    * SPARSE COUNT-JOIN (round-8): even duplicate-collapsed, the n²/2
+    * pair enumeration with a per-pair list_intersect (~5 k distinct
+    * texts ⇒ 12.5 M intersections over few-hundred-element lists) runs
+    * tens of minutes in DuckDB at the sf1 scale point. The intersection
+    * size is instead computed by the classic sparse-vector join: unnest
+    * each distinct text's (already-distinct) shingle set, equi-join on
+    * the shingle, and COUNT(*) per (rep_a, rep_b) — exactly
+    * |gs_a ∩ gs_b|, no list ops. Pairs sharing ZERO shingles never
+    * appear, but their Jaccard is 0 and every consumer of this truth
+    * table filters `jaccard >= 0.5`, so the result set is IDENTICAL
+    * (asserted by the unchanged gate hashes at sf0.01/sf0.1). Cost is
+    * Σ_s cnt(s)² join rows (2.8 M at sf1, measured) instead of n²/2
+    * intersections — seconds, not tens of minutes.
     */
   private val ExactNearDupPairsSql: String =
     """WITH grp AS (SELECT text, min(doc_id) AS rep,
@@ -54,11 +68,15 @@ object LlmQueries extends QueryModule {
       |   list_distinct(list_transform(range(1, greatest(len(ts)-2,1)+1),
       |     i -> array_to_string(ts[i:least(i+2, len(ts))], ' '))) AS gs
       |   FROM t),
-      | vp AS (SELECT a.ids AS ids_a, b.ids AS ids_b,
-      |   CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
-      |     / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
-      |     AS jaccard
-      |   FROM g a JOIN g b ON a.rep < b.rep),
+      | u AS (SELECT rep, unnest(gs) AS s FROM g),
+      | iv AS (SELECT a.rep AS ra, b.rep AS rb, count(*) AS inter
+      |   FROM u a JOIN u b ON a.s = b.s AND a.rep < b.rep
+      |   GROUP BY a.rep, b.rep),
+      | vp AS (SELECT ga.ids AS ids_a, gb.ids AS ids_b,
+      |   CAST(iv.inter AS DOUBLE)
+      |     / (len(ga.gs) + len(gb.gs) - iv.inter) AS jaccard
+      |   FROM iv JOIN g ga ON ga.rep = iv.ra
+      |     JOIN g gb ON gb.rep = iv.rb),
       | p AS (
       |   SELECT least(ua.ia, ub.ib) AS id_a,
       |     greatest(ua.ia, ub.ib) AS id_b, jaccard
@@ -393,6 +411,14 @@ object LlmQueries extends QueryModule {
       // is a mutual containment. Proven pair-for-pair EQUAL to the raw
       // all-pairs form at sf0.01/sf0.1 before the swap; terminates at
       // sf1/sf10 where the raw form is copy-quadratic.
+      //
+      // Round-8: the subset test itself uses the same sparse count-join
+      // as ExactNearDupPairsSql (unnest shingles, equi-join, COUNT(*) =
+      // |gs_a ∩ gs_b|) instead of n²/2 list_intersect calls — exact: a
+      // contained a shares ALL its (≥1) shingles with b, so every true
+      // containment pair appears in the count-join; inter = len(gs_a)
+      // is the same subset predicate; equal-set pairs fire both UNION
+      // branches, matching the original's both-direction emission.
       Some("""WITH base AS (SELECT doc_id, text FROM documents
              |   UNION ALL
              |   SELECT doc_id + 20000 AS doc_id,
@@ -413,9 +439,19 @@ object LlmQueries extends QueryModule {
              |       i -> array_to_string(ts[i:least(i+2, len(ts))], ' ')))
              |       AS gs
              |   FROM t),
-             | vp AS (SELECT a.ids AS ids_a, b.ids AS ids_b
-             |   FROM g a JOIN g b ON a.rep != b.rep
-             |   WHERE len(list_intersect(a.gs, b.gs)) = len(a.gs)),
+             | u AS (SELECT rep, unnest(gs) AS s FROM g),
+             | iv AS (SELECT a.rep AS ra, b.rep AS rb, count(*) AS inter
+             |   FROM u a JOIN u b ON a.s = b.s AND a.rep < b.rep
+             |   GROUP BY a.rep, b.rep),
+             | vp AS (SELECT ga.ids AS ids_a, gb.ids AS ids_b
+             |     FROM iv JOIN g ga ON ga.rep = iv.ra
+             |       JOIN g gb ON gb.rep = iv.rb
+             |     WHERE iv.inter = len(ga.gs)
+             |   UNION ALL
+             |   SELECT gb.ids AS ids_a, ga.ids AS ids_b
+             |     FROM iv JOIN g ga ON ga.rep = iv.ra
+             |       JOIN g gb ON gb.rep = iv.rb
+             |     WHERE iv.inter = len(gb.gs)),
              | p AS (
              |   SELECT ua.ia AS id_a, ub.ib AS id_b
              |   FROM vp CROSS JOIN UNNEST(ids_a) AS ua(ia)
@@ -1184,6 +1220,9 @@ object LlmQueries extends QueryModule {
             max(col("doc_id")).as("last_doc"))
           .orderBy(col("shard"), col("bin"))
       },
+      // oracle's near-dup (nd) and containment (ct) kill stages use the
+      // sparse count-join form (see ExactNearDupPairsSql scaladoc) — the
+      // s1 survivors are already text-distinct, so no grp collapse needed
       Some("""WITH t AS (SELECT doc_id, source, text,
              |     regexp_split_to_array(trim(lower(text)), '\s+') AS lts,
              |     len(regexp_split_to_array(trim(text), '\s+')) AS toks
@@ -1197,19 +1236,27 @@ object LlmQueries extends QueryModule {
              |       i -> array_to_string(lts[i:least(i+2, len(lts))], ' ')))
              |       AS gs
              |   FROM s1),
-             | nd AS (SELECT DISTINCT b.doc_id AS victim
-             |   FROM g a JOIN g b ON a.doc_id < b.doc_id
-             |   WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
-             |       / (len(a.gs) + len(b.gs)
-             |          - len(list_intersect(a.gs, b.gs))) >= 0.5),
+             | ug AS (SELECT doc_id, unnest(gs) AS s FROM g),
+             | ivg AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+             |     count(*) AS inter
+             |   FROM ug a JOIN ug b ON a.s = b.s AND a.doc_id < b.doc_id
+             |   GROUP BY a.doc_id, b.doc_id),
+             | gl AS (SELECT doc_id, len(gs) AS ng FROM g),
+             | nd AS (SELECT DISTINCT ivg.ib AS victim
+             |   FROM ivg JOIN gl la ON la.doc_id = ivg.ia
+             |     JOIN gl lb ON lb.doc_id = ivg.ib
+             |   WHERE CAST(ivg.inter AS DOUBLE)
+             |       / (la.ng + lb.ng - ivg.inter) >= 0.5),
              | s2 AS (SELECT * FROM s1
              |   WHERE doc_id NOT IN (SELECT victim FROM nd)),
-             | ct AS (SELECT DISTINCT a.doc_id AS victim
-             |   FROM g a JOIN g b ON a.doc_id != b.doc_id
-             |   WHERE a.doc_id IN (SELECT doc_id FROM s2)
-             |     AND b.doc_id IN (SELECT doc_id FROM s2)
-             |     AND len(a.gs) < len(b.gs)
-             |     AND len(list_intersect(a.gs, b.gs)) = len(a.gs)),
+             | ct AS (SELECT DISTINCT CASE WHEN la.ng < lb.ng
+             |       THEN ivg.ia ELSE ivg.ib END AS victim
+             |   FROM ivg JOIN gl la ON la.doc_id = ivg.ia
+             |     JOIN gl lb ON lb.doc_id = ivg.ib
+             |   WHERE ivg.ia IN (SELECT doc_id FROM s2)
+             |     AND ivg.ib IN (SELECT doc_id FROM s2)
+             |     AND ((la.ng < lb.ng AND ivg.inter = la.ng)
+             |       OR (lb.ng < la.ng AND ivg.inter = lb.ng))),
              | s3 AS (SELECT * FROM s2
              |   WHERE doc_id NOT IN (SELECT victim FROM ct)),
              | s4 AS (SELECT doc_id, source, lts, toks FROM s3

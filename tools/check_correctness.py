@@ -22,7 +22,7 @@ load-bearing in both directions:
     Spark dump with pyarrow instead yields datetime.date ("1998-05-05"
     vs "1998-05-05 00:00:00"), four false reds the driver doesn't have.
 """
-import sys, os, json, hashlib, math, threading
+import sys, os, json, hashlib, math, threading, time
 import duckdb
 
 # Opt-in per-oracle timeout (seconds) for scale sweeps: several oracles
@@ -108,6 +108,11 @@ def main():
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        # live progress (flushed): at scale-sweep SFs a single exact
+        # oracle can legitimately run minutes, and without a per-query
+        # line the sweep is indistinguishable from a hang
+        print(f"[oracle] {name} ...", file=sys.stderr, flush=True)
+        t0 = time.monotonic()
         try:
             s_names, s_rows = read_spark_result(con, d)
         except Exception as e:
@@ -120,6 +125,8 @@ def main():
             ddf = execute_df(con, oracle[name])  # pandas path, like the driver
             d_names = list(ddf.columns)
             d_rows = df_rows(ddf)
+            print(f"[oracle] {name} done in {time.monotonic() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
         except duckdb.InterruptException:
             results[name] = {"skipped": f"oracle timeout (> {ORACLE_TIMEOUT}s)"
                              " — oracle-side cost, not an engine failure",
