@@ -284,11 +284,19 @@ object AnalyticsQueries extends QueryModule {
           round((n * sab - sa * sb) /
             sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 8)
         }
+        // one stats row -> 6 pair rows via a map-side explode: a
+        // union of per-pair selects would RE-RUN the full aggregation
+        // once per branch (6 scans of the fact table per execution —
+        // caught when the full-sweep median blew up under memory
+        // pressure; the isolated plan hid it behind scan caching)
         val pairs = cols.combinations(2).toSeq
-        pairs.map { case Seq(a, b) =>
-          stats.select(lit(a).as("var_a"), lit(b).as("var_b"),
-            r(a, b).as("pearson_r"))
-        }.reduce(_.unionByName(_)).orderBy(col("var_a"), col("var_b"))
+        stats.select(explode(array(pairs.map { case Seq(a, b) =>
+            struct(lit(a).as("var_a"), lit(b).as("var_b"),
+              r(a, b).as("pearson_r"))
+          }: _*)).as("__p"))
+          .select(col("__p.var_a"), col("__p.var_b"),
+            col("__p.pearson_r"))
+          .orderBy(col("var_a"), col("var_b"))
       },
       Some {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
