@@ -35,4 +35,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // vs isolated runs (e.g. q_f13_json_nested 8.3s in-run vs 0.7s alone).
   // The box has 128 GiB; give the single-JVM "cluster" a realistic heap.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+) ++
+  // diagnostics hook: GRAFT_EXTRA_JVM_OPTS="-Xlog:gc" sbt "runMain ..."
+  // (e.g. GC logging when a bench sweep shows unexplained stalls)
+  sys.env.get("GRAFT_EXTRA_JVM_OPTS").toSeq.flatMap(_.split("\\s+"))

@@ -54,6 +54,16 @@ object Bench {
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
     val profiles = scala.collection.mutable.LinkedHashMap
       .empty[String, graft.core.QueryMetrics.PlanProfile]
+    // per-rep samples + sweep-relative start offsets: the medians alone
+    // cannot distinguish a real regression from an environment stall
+    // window (observed: host write-throttle episodes inflating whichever
+    // query runs inside them 10-30× for several consecutive reps, a
+    // different query every sweep). The full file keeps the evidence.
+    val repsDetail = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[Double]]
+    val startOff = scala.collection.mutable.LinkedHashMap
+      .empty[String, Double]
+    val sweepT0 = System.nanoTime()
     val results = selected.map { case (name, fn) =>
       val sec =
         try {
@@ -62,6 +72,7 @@ object Bench {
           // pause INSIDE some later query's timing (measured 6-12×
           // inflation on mid-run queries in full 129-query rounds)
           System.gc()
+          startOff(name) = (System.nanoTime() - sweepT0) / 1e9
           // the first warmup run doubles as the metrics-accounting run
           // (QueryMetrics executes the same noop materialization) —
           // realized scan rows / shuffle bytes land in bench_full.json
@@ -69,7 +80,9 @@ object Bench {
           if (warmup >= 1)
             profiles(name) = graft.core.QueryMetrics.profile(fn(spark, sfDir))
           (1 until warmup).foreach(_ => runOnce(spark, sfDir, fn))
-          median((1 to reps).map(_ => runOnce(spark, sfDir, fn)))
+          val samples = (1 to reps).map(_ => runOnce(spark, sfDir, fn))
+          repsDetail(name) = samples
+          median(samples)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -110,8 +123,13 @@ object Bench {
     val cacheJson = cacheBuilds.sortBy(-_._2)
       .map { case (k, s) => "\"" + esc(k) + "\":" + fmt.format(s) }
       .mkString("{", ",", "}")
+    val repsJson = repsDetail.map { case (k, xs) =>
+      "\"" + k + "\":[" + xs.map(fmt.format).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val offJson = startOff.map { case (k, o) => ent(k, o) }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$fullJson,"profiles":$profJson,"cache_build_sec":${fmt.format(cacheBuildSec)},"cache_builds":$cacheJson,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"failed":$failed}"""
+      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$fullJson,"profiles":$profJson,"cache_build_sec":${fmt.format(cacheBuildSec)},"cache_builds":$cacheJson,"rep_samples":$repsJson,"start_offset_sec":$offJson,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"failed":$failed}"""
     val fullPath = java.nio.file.Paths.get("bench_full.json")
     java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
     // The full line goes ONLY to the file, never to stderr: sbt's

@@ -22,16 +22,38 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Shuffle/spill scratch space. The sandbox's root volume exhibits
+    * intermittent multi-second write-throttle windows (observed as
+    * 10-30× bench medians on arbitrary queries with zero GC/safepoint
+    * pauses and an idle-CPU host — three consecutive full sweeps each
+    * elected different "monster" queries); shuffle files are the only
+    * disk writes a bench query performs, so scratch goes to tmpfs when
+    * one is mounted. On a real cluster this is the usual
+    * local-NVMe/instance-store `spark.local.dir` provisioning, NOT a
+    * RAM budget grab: test-scale shuffles are MBs. Override with
+    * SPARK_GRAFT_LOCAL_DIR (e.g. for a deliberately disk-bound run).
+    */
+  private def scratchDir: Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > (8L << 30))
+        Some("/dev/shm/graft-local")
+      else None
+    }
+
   /** Apply graft's standard configs to any builder. */
-  def configure(b: SparkSession.Builder): SparkSession.Builder = b
-    .config("spark.sql.shuffle.partitions", "32")
-    .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    // keep managed (bucketed) tables out of the repo working dir
-    .config("spark.sql.warehouse.dir",
-      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse")
+  def configure(b: SparkSession.Builder): SparkSession.Builder = {
+    val b1 = b
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      // keep managed (bucketed) tables out of the repo working dir
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse")
+    scratchDir.fold(b1)(d => b1.config("spark.local.dir", d))
+  }
 
   /** Cluster-profile configs on top of [[configure]] — what we'd ship
     * for a multi-hundred-executor deployment. Local runs don't need
