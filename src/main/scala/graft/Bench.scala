@@ -92,6 +92,11 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
+      // stderr progress line per query (diagnosing a long sweep no
+      // longer needs jstack guesswork); all of these print BEFORE the
+      // final stdout JSON line, so the driver's bounded tail capture
+      // still ends with the compact result
+      System.err.println(f"[bench] $name done: $sec%.2fs")
       name -> sec
     }
     // Full per-query medians go to a file: the driver's log capture keeps
