@@ -15,33 +15,33 @@ import org.apache.spark.sql.types.DecimalType
   */
 object NearDup {
 
-  /** Token n-gram shingles of a text column as a distinct array.
+  /** Token n-gram shingles of a text column as a distinct array
+    * (first-occurrence order, the `array_distinct` convention).
     *
-    * Construction: zip the token array with its own k-shifted suffixes,
-    * concatenating as it goes — every zip_with argument is evaluated once
-    * per ROW and the lambda sees bound strings, so cost is O(n·tokens).
-    * (The direct index formulation — transform(sequence(0, T-n),
-    * i -> concat_ws(" ", slice(toks, i+1, n))) — re-evaluates the split
-    * inside the lambda per ELEMENT, O(tokens·textlen) per doc: measured
-    * 3.6 s per pass over the sf0.1 corpus vs ~0.4 s for this form, and
-    * the near-dup pipeline pays three passes.)
+    * History of the construction, fastest last: a per-element
+    * re-splitting transform() (O(tokens·textlen) per doc, 3.6 s per
+    * sf0.1 pass) → an n-1-layer zip_with fold (O(n·tokens) but each
+    * layer an interpreted lambda — HOFs never enter codegen; ~0.4 s per
+    * sf0.1 pass, the hottest remaining interpreted loop of the sf10
+    * sweep) → the native codegen'd
+    * [[graft.functions.TokenNgramStrings]] window join used now.
     *
     * Short docs (fewer than n tokens) yield one shingle of all available
     * tokens; a doc always has at least one shingle (possibly empty-string
     * for empty text).
     */
   def shingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    // tokenization stays declarative (Spark's regex split semantics are
+    // inherited, not re-implemented); the n-gram window join runs in the
+    // native codegen'd TokenNgramStrings expression. The previous
+    // formulation — an n-1-layer zip_with fold — evaluated interpreted
+    // lambdas per element per layer (HOFs never enter codegen) and was
+    // the hottest remaining interpreted loop of the sf10 sweep.
+    // Equivalence to the fold (incl. short/empty docs and duplicate
+    // grams) is property-tested in TokenNgramStringsSpec.
     val toks = split(trim(lower(col(textCol))), "\\s+")
-    // grams(i) = toks(i) ++ " " ++ ... ++ toks(i+n-1); zip_with pads the
-    // shorter suffix with nulls, which concat_ws skips — so the tail
-    // entries hold the shorter trailing grams, cut by the slice below
-    val grams = (1 until n).foldLeft(toks) { (acc, k) =>
-      zip_with(acc, slice(toks, lit(k + 1), size(toks)),
-        (a, b) => concat_ws(" ", a, b))
-    }
     df.withColumn("__shingles",
-      array_distinct(
-        slice(grams, lit(1), greatest(size(toks) - (n - 1), lit(1)))))
+      graft.functions.TokenNgramStrings.token_ngram_strings(toks, n))
   }
 
   /** 64-bit rolling-hash token n-gram shingles — the equality-only
