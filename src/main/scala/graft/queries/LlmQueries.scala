@@ -509,19 +509,46 @@ object LlmQueries extends QueryModule {
         // shingle simhash puts unrelated docs ~32 bits apart and ALL true
         // pairs at <= 11, so the hamming <= 16 pre-cut leaves a tiny exact
         // verify set (~900 pairs at sf0.1 vs 4M with unigrams)
+        // Round-8 sf10 finding (the round-7 copy-quadratic lesson,
+        // finishing the job): candidate GENERATION was already
+        // duplicate-collapsed, but the exact-Jaccard VERIFY still ran on
+        // member-expanded pairs — at 100 copies per distinct text that
+        // is 4 992 × C(100,2) ≈ 24.7 M array intersections whose answers
+        // are all copies of each other (measured 170 s/rep at sf10,
+        // stable, zero stall). The verify now runs at DISTINCT-TEXT
+        // grain and member counts expand arithmetically: a passing
+        // cross-text pair contributes cnt_a × cnt_b member pairs, and
+        // identical-text member pairs (jaccard exactly 1 ≥ 0.5, always
+        // found) contribute C(cnt, 2) directly.
         val docs = T(s, dir, "documents")
-        val cand = NearDup.simHashPairs(docs, "doc_id", "text",
+        val fp = xxhash64(col("text"))
+        val counts = docs.groupBy(fp.as("__fp"))
+          .agg(count(lit(1)).as("__cnt"))
+        val dist = docs.select(fp.as("__fp"), col("text"))
+          .dropDuplicates("__fp")
+        val cand = NearDup.simHashPairs(dist, "__fp", "text",
             maxHamming = 16, numBands = 8, shingleN = 3)
           .select(col("id_a"), col("id_b"))
-        val found = NearDup.hashJaccard(docs, "doc_id", "text", cand,
+        val passing = NearDup.hashJaccard(dist, "__fp", "text", cand,
             n = 3)
           .filter(col("jaccard") >= 0.5)
         // found ⊆ truth up to 64-bit shingle-hash collisions
         // (~1e-15/pair — see hashJaccard), so recall = |found| / |truth|;
         // truth via the minhash path, whose own gate row proves it
         // equals the exact pair set
+        val crossFound = passing
+          .join(counts.select(col("__fp").as("id_a"),
+            col("__cnt").as("__ca")), Seq("id_a"))
+          .join(counts.select(col("__fp").as("id_b"),
+            col("__cnt").as("__cb")), Seq("id_b"))
+          .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L))
+            .as("__cross"))
+        val withinFound = counts
+          .agg(coalesce(sum(col("__cnt") * (col("__cnt") - 1) / 2),
+            lit(0L)).as("__within"))
         val truth = cachedMinHashPairs(s, dir)
-        found.agg(count(lit(1)).as("__found"))
+        crossFound.crossJoin(withinFound)
+          .select((col("__cross") + col("__within")).as("__found"))
           .crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
           .select(col("n_true_pairs"),
             (col("__found") / col("n_true_pairs") >= 0.9).as("recall_ok"))
