@@ -37,5 +37,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 ) ++
   // diagnostics hook: GRAFT_EXTRA_JVM_OPTS="-Xlog:gc" sbt "runMain ..."
-  // (e.g. GC logging when a bench sweep shows unexplained stalls)
+  // (e.g. GC logging when a bench sweep shows unexplained stalls).
+  // Whitespace-split: an individual option must not contain spaces
+  // (quoted or not) — point file-valued options at space-free paths.
   sys.env.get("GRAFT_EXTRA_JVM_OPTS").toSeq.flatMap(_.split("\\s+"))

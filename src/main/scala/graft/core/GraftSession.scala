@@ -22,29 +22,14 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Shuffle/spill scratch space. The sandbox's root volume exhibits
-    * intermittent multi-second write-throttle windows (observed as
-    * 10-30× bench medians on arbitrary queries with zero GC/safepoint
-    * pauses and an idle-CPU host — three consecutive full sweeps each
-    * elected different "monster" queries); shuffle files are the only
-    * disk writes a bench query performs, so scratch goes to tmpfs when
-    * one is mounted. On a real cluster this is the usual
-    * local-NVMe/instance-store `spark.local.dir` provisioning, NOT a
-    * RAM budget grab: test-scale shuffles are MBs. Override with
-    * SPARK_GRAFT_LOCAL_DIR (e.g. for a deliberately disk-bound run).
+  /** Apply graft's standard configs to any builder. `spark.local.dir` is
+    * deliberately left at Spark's disk-backed default here: long-lived
+    * entry points (serving, CLI jobs, cluster profile) must spill to
+    * disk so spill actually relieves memory pressure. Measurement entry
+    * points opt into tmpfs scratch via [[benchScratch]].
     */
-  private def scratchDir: Option[String] =
-    sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
-      val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > (8L << 30))
-        Some("/dev/shm/graft-local")
-      else None
-    }
-
-  /** Apply graft's standard configs to any builder. */
-  def configure(b: SparkSession.Builder): SparkSession.Builder = {
-    val b1 = b
-      .config("spark.sql.shuffle.partitions", "32")
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -52,8 +37,38 @@ object GraftSession {
       // keep managed (bucketed) tables out of the repo working dir
       .config("spark.sql.warehouse.dir",
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse")
-    scratchDir.fold(b1)(d => b1.config("spark.local.dir", d))
+
+  /** Tmpfs shuffle scratch for MEASUREMENT entry points (Bench/Verify)
+    * ONLY — never [[configure]]/[[clusterDefaults]]: tmpfs spill consumes
+    * RAM, so a production profile spilling there would defeat the point
+    * of spilling. The sandbox's root volume exhibits intermittent
+    * multi-second write-throttle windows (observed as 10-30× bench
+    * medians on arbitrary queries with zero GC/safepoint pauses and an
+    * idle-CPU host); shuffle files are the only disk writes a bench
+    * query performs, so measurement scratch goes to tmpfs when one is
+    * mounted with headroom. Test-scale shuffles are MBs, far below the
+    * 8 GiB headroom sniff. Stale contents from a crashed prior run are
+    * deleted before use (they otherwise pin RAM until reboot). Override
+    * with SPARK_GRAFT_LOCAL_DIR (e.g. for a deliberately disk-bound
+    * run).
+    */
+  def benchScratch(b: SparkSession.Builder): SparkSession.Builder = {
+    val dir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > (8L << 30)) {
+        val scratch = new java.io.File(shm, "graft-local")
+        deleteRecursively(scratch) // reclaim RAM orphaned by a crashed run
+        Some(scratch.getPath)
+      } else None
+    }
+    dir.fold(b)(d => b.config("spark.local.dir", d))
   }
+
+  private def deleteRecursively(f: java.io.File): Unit =
+    if (f.exists()) {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+      f.delete(): Unit
+    }
 
   /** Cluster-profile configs on top of [[configure]] — what we'd ship
     * for a multi-hundred-executor deployment. Local runs don't need

@@ -75,9 +75,15 @@ class Smote(override val uid: String) extends Transformer
     val lc = $(labelCol); val fc = $(featuresCol)
     val df = ds.toDF.select(col(lc), col(fc))
     // class histogram is |classes| rows — driver-side collect is exact
-    // and cheap at any scale
-    val counts = df.groupBy(col(lc)).count().collect()
-      .map(r => (r.get(0), r.getLong(1)))
+    // and cheap at any scale. The per-class sample vector rides along so
+    // the feature dimension comes out of the SAME pass (round-9: a
+    // separate head() action re-executed the whole upstream prep
+    // transform once more per call — measurable when the input is an
+    // unpersisted pipeline output).
+    val stats = df.groupBy(col(lc))
+      .agg(count(lit(1)).as("__n"), first(col(fc)).as("__sample"))
+      .collect()
+    val counts = stats.map(r => (r.get(0), r.getLong(1)))
     if (counts.length < 2) return df
     val (_, majCount) = counts.maxBy(_._2)
     val (minLabel, minCount) = counts.minBy(_._2)
@@ -87,7 +93,7 @@ class Smote(override val uid: String) extends Transformer
     val minority = df.filter(col(lc) === lit(minLabel))
 
     // deterministic unit projection direction from the seed
-    val dim = minority.select(col(fc)).head().getAs[Vector](0).size
+    val dim = stats.head.getAs[Vector]("__sample").size
     val rng = new scala.util.Random($(seed))
     val raw = Array.fill(dim)(rng.nextGaussian())
     val nrm = math.sqrt(raw.map(x => x * x).sum)
@@ -97,9 +103,17 @@ class Smote(override val uid: String) extends Transformer
         lit(u), (x, w) => x * w),
       lit(0.0d), (acc, v) => acc + v)
 
+    // localCheckpoint: the slab frame is read TWICE (the offsets collect
+    // below and the synthesis job) and its lineage contains the entire
+    // upstream prep transform — without truncation each reader
+    // re-executes that transform (round-9 profiling: 4 full upstream
+    // passes per SMOTE call; 2 after this + the fused stats pass above).
+    // Minority-class rows only, so the materialization is the small side
+    // by construction.
     val slabbed = minority
       .withColumn("__proj", proj)
       .withColumn("__slab", floor(col("__proj") / SlabWidth))
+      .localCheckpoint()
     // slab sizes: tiny driver-side frame → global sid = slab offset + rank,
     // attached via a broadcast join (stays cheap at any slab count)
     val slabSizes = slabbed.groupBy("__slab").count().collect()

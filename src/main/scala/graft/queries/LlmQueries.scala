@@ -465,6 +465,189 @@ object LlmQueries extends QueryModule {
       "full-containment dedup via complete rarest-shingle blocking + " +
         "exact subset verify — the inclusion case Jaccard misses"),
 
+    "q_neardup_pair_stats" -> QueryDef(
+      (s, dir) => {
+        // The BOUNDED production shape of the near-dup pair list (round-8
+        // verdict #6): a jaccard-decile histogram of member-level pair
+        // counts, computed ENTIRELY COLLAPSED — LSH banding + exact
+        // verify run on distinct texts, and member multiplicities enter
+        // as integer weights (cross text-pairs contribute cnt_a·cnt_b,
+        // identical-text groups C(cnt,2) at jaccard exactly 1.0). No
+        // member-level pair row ever exists in the engine, so cost
+        // scales with DISTINCT-text pairs while the exact gates
+        // (q_minhash_neardup) stay the full-list contract at gate scale.
+        // Output ≤ 6 rows (deciles 5..10).
+        val docs = T(s, dir, "documents")
+        val fp = xxhash64(col("text"))
+        val counts = docs.groupBy(fp.as("__fp"))
+          .agg(count(lit(1)).as("__cnt"))
+        val dist = docs.select(fp.as("__fp"), col("text"))
+          .dropDuplicates("__fp")
+        val cross = NearDup.minHashPairs(dist, "__fp", "text",
+            minJaccard = 0.5)
+          .join(counts.select(col("__fp").as("id_a"),
+            col("__cnt").as("__ca")), Seq("id_a"))
+          .join(counts.select(col("__fp").as("id_b"),
+            col("__cnt").as("__cb")), Seq("id_b"))
+          .select(col("jaccard"), (col("__ca") * col("__cb")).as("__w"))
+        val within = counts.filter(col("__cnt") >= 2)
+          .select(lit(1.0d).as("jaccard"),
+            expr("__cnt * (__cnt - 1) DIV 2").as("__w"))
+        cross.unionByName(within)
+          .groupBy(floor(col("jaccard") * 10).cast("int").as("j_decile"))
+          .agg(sum(col("__w")).as("n_pairs"))
+          .orderBy(col("j_decile"))
+      },
+      // truth buckets the exact member-level pair set; decile edges are
+      // IEEE-double floor(j*10) on bit-identical jaccard values (the
+      // full-value q_minhash_neardup gate proves both engines agree)
+      Some(ExactNearDupPairsSql +
+        """SELECT CAST(FLOOR(jaccard * 10) AS INT) AS j_decile,
+          |   COUNT(*) AS n_pairs
+          | FROM p WHERE jaccard >= 0.5
+          | GROUP BY 1 ORDER BY j_decile""".stripMargin),
+      "bounded near-dup gate: jaccard-decile histogram of pair counts, " +
+        "computed collapsed (weights, never member pairs)"),
+
+    "q_neardup_topk_pairs" -> QueryDef(
+      (s, dir) => {
+        // Deterministic top-k SAMPLE of the near-dup pair list (round-8
+        // verdict #6): the top 20 distinct-text pairs by (jaccard desc,
+        // rep_a, rep_b), each with the member-pair count it stands for —
+        // what a curation dashboard shows instead of the O(copies²)
+        // list. Representatives are min member doc_id per text group, so
+        // the output is engine-independent; TakeOrderedAndProject keeps
+        // the sort a per-partition top-k + driver merge of 20 rows, not
+        // a total order.
+        val docs = T(s, dir, "documents")
+        val fp = xxhash64(col("text"))
+        val grp = docs.groupBy(fp.as("__fp"))
+          .agg(min(col("doc_id")).as("__rep"), count(lit(1)).as("__cnt"))
+        val dist = docs.select(fp.as("__fp"), col("text"))
+          .dropDuplicates("__fp")
+        NearDup.minHashPairs(dist, "__fp", "text", minJaccard = 0.5)
+          .join(grp.select(col("__fp").as("id_a"), col("__rep").as("__ra"),
+            col("__cnt").as("__ca")), Seq("id_a"))
+          .join(grp.select(col("__fp").as("id_b"), col("__rep").as("__rb"),
+            col("__cnt").as("__cb")), Seq("id_b"))
+          .select(least(col("__ra"), col("__rb")).as("rep_a"),
+            greatest(col("__ra"), col("__rb")).as("rep_b"),
+            col("jaccard"),
+            (col("__ca") * col("__cb")).as("n_member_pairs"))
+          .orderBy(col("jaccard").desc, col("rep_a"), col("rep_b"))
+          .limit(20)
+      },
+      Some("""WITH grp AS (SELECT text, min(doc_id) AS rep,
+             |     count(*) AS cnt
+             |   FROM documents GROUP BY text),
+             | t AS (SELECT rep, cnt,
+             |   regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |   FROM grp),
+             | g AS (SELECT rep, cnt,
+             |   list_distinct(list_transform(range(1, greatest(len(ts)-2,1)+1),
+             |     i -> array_to_string(ts[i:least(i+2, len(ts))], ' '))) AS gs
+             |   FROM t),
+             | u AS (SELECT rep, unnest(gs) AS s FROM g),
+             | iv AS (SELECT a.rep AS ra, b.rep AS rb, count(*) AS inter
+             |   FROM u a JOIN u b ON a.s = b.s AND a.rep < b.rep
+             |   GROUP BY a.rep, b.rep),
+             | vp AS (SELECT iv.ra AS rep_a, iv.rb AS rep_b,
+             |     CAST(iv.inter AS DOUBLE)
+             |       / (len(ga.gs) + len(gb.gs) - iv.inter) AS jaccard,
+             |     CAST(ga.cnt * gb.cnt AS BIGINT) AS n_member_pairs
+             |   FROM iv JOIN g ga ON ga.rep = iv.ra
+             |     JOIN g gb ON gb.rep = iv.rb)
+             | SELECT rep_a, rep_b, jaccard, n_member_pairs FROM vp
+             | WHERE jaccard >= 0.5
+             | ORDER BY jaccard DESC, rep_a, rep_b LIMIT 20""".stripMargin),
+      "bounded near-dup gate: deterministic top-20 representative pairs " +
+        "with member-pair weights (dashboard shape, no list expansion)"),
+
+    "q_containment_stats" -> QueryDef(
+      (s, dir) => {
+        // The BOUNDED production shape of containment dedup (round-8
+        // verdict #6): a containers-per-document histogram, computed
+        // ENTIRELY COLLAPSED on the distinct-shingle-set frames. Every
+        // member of set a has the same container count — Σ cnt_b over
+        // strict supersets b, plus (cnt_a - 1) mutual containments
+        // inside its own equal-set group — so the histogram is a keyed
+        // agg over set-level pairs; no member-level pair row ever
+        // exists. Same self-seeded corpus as q_containment_dedup.
+        val d = T(s, dir, "documents")
+        val toks = split(trim(lower(col("text"))), "\\s+")
+        val seeded = d.select(col("doc_id"), col("text")).unionByName(
+          d.filter(col("doc_id") < 40 && size(toks) >= 18)
+            .select((col("doc_id") + 20000).as("doc_id"),
+              array_join(slice(toks, 1, 15), " ").as("text")))
+        val (members, setPairs) =
+          NearDup.containmentSetPairs(seeded, "doc_id", "text", 3)
+        val sizes = members.groupBy(col("__did"))
+          .agg(count(lit(1)).as("__cnt"))
+        val strict = setPairs
+          .join(sizes.select(col("__did").as("__db"),
+            col("__cnt").as("__cb")), Seq("__db"))
+          .groupBy(col("__da").as("__did"))
+          .agg(sum(col("__cb")).as("__strict"))
+        sizes.join(strict, Seq("__did"), "left")
+          .select((coalesce(col("__strict"), lit(0L)) + col("__cnt") -
+            lit(1L)).as("n_containers"), col("__cnt"))
+          .filter(col("n_containers") > 0)
+          .groupBy(col("n_containers"))
+          .agg(sum(col("__cnt")).as("n_docs"))
+          .orderBy(col("n_containers"))
+      },
+      // truth: per-contained-doc container counts from the exact
+      // member-level containment pair set (same construction as the
+      // q_containment_dedup oracle), then histogram
+      Some("""WITH base AS (SELECT doc_id, text FROM documents
+             |   UNION ALL
+             |   SELECT doc_id + 20000 AS doc_id,
+             |     array_to_string((regexp_split_to_array(
+             |       trim(lower(text)), '\s+'))[1:15], ' ') AS text
+             |   FROM documents
+             |   WHERE doc_id < 40 AND len(regexp_split_to_array(
+             |     trim(lower(text)), '\s+')) >= 18),
+             | grp AS (SELECT text, min(doc_id) AS rep,
+             |     list_sort(list(doc_id)) AS ids
+             |   FROM base GROUP BY text),
+             | t AS (SELECT rep, ids,
+             |     regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |   FROM grp),
+             | g AS (SELECT rep, ids,
+             |     list_distinct(list_transform(
+             |       range(1, greatest(len(ts)-2,1)+1),
+             |       i -> array_to_string(ts[i:least(i+2, len(ts))], ' ')))
+             |       AS gs
+             |   FROM t),
+             | u AS (SELECT rep, unnest(gs) AS s FROM g),
+             | iv AS (SELECT a.rep AS ra, b.rep AS rb, count(*) AS inter
+             |   FROM u a JOIN u b ON a.s = b.s AND a.rep < b.rep
+             |   GROUP BY a.rep, b.rep),
+             | vp AS (SELECT ga.ids AS ids_a, gb.ids AS ids_b
+             |     FROM iv JOIN g ga ON ga.rep = iv.ra
+             |       JOIN g gb ON gb.rep = iv.rb
+             |     WHERE iv.inter = len(ga.gs)
+             |   UNION ALL
+             |   SELECT gb.ids AS ids_a, ga.ids AS ids_b
+             |     FROM iv JOIN g ga ON ga.rep = iv.ra
+             |       JOIN g gb ON gb.rep = iv.rb
+             |     WHERE iv.inter = len(gb.gs)),
+             | p AS (
+             |   SELECT ua.ia AS id_a, ub.ib AS id_b
+             |   FROM vp CROSS JOIN UNNEST(ids_a) AS ua(ia)
+             |     CROSS JOIN UNNEST(ids_b) AS ub(ib)
+             |   UNION ALL
+             |   SELECT u1.ia AS id_a, u2.ib AS id_b
+             |   FROM grp CROSS JOIN UNNEST(ids) AS u1(ia)
+             |     CROSS JOIN UNNEST(ids) AS u2(ib)
+             |   WHERE u1.ia != u2.ib),
+             | pc AS (SELECT id_a, COUNT(*) AS n_containers FROM p
+             |   GROUP BY id_a)
+             | SELECT n_containers, COUNT(*) AS n_docs FROM pc
+             | GROUP BY n_containers ORDER BY n_containers""".stripMargin),
+      "bounded containment gate: containers-per-doc histogram from the " +
+        "collapsed set-level frames (no member-pair expansion)"),
+
     "q_neardup_incremental" -> QueryDef(
       (s, dir) => {
         // ingest-time near-dup: an incoming batch (odd doc_ids) dedups
@@ -543,8 +726,12 @@ object LlmQueries extends QueryModule {
             col("__cnt").as("__cb")), Seq("id_b"))
           .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L))
             .as("__cross"))
+        // DIV (integer division), not `/` (double): cnt*(cnt-1) is even so
+        // the value is identical, but `/` would make the pair count a
+        // double — exact only below 2^53, a silent precision cliff for a
+        // copy-heavy corpus at scale
         val withinFound = counts
-          .agg(coalesce(sum(col("__cnt") * (col("__cnt") - 1) / 2),
+          .agg(coalesce(sum(expr("__cnt * (__cnt - 1) DIV 2")),
             lit(0L)).as("__within"))
         val truth = cachedMinHashPairs(s, dir)
         crossFound.crossJoin(withinFound)

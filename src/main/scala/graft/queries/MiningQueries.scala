@@ -133,8 +133,11 @@ object MiningQueries extends QueryModule {
         val nodes = e.select(col("pa").as("v"))
           .unionByName(e.select(col("pb").as("v")))
         val deg = nodes.groupBy(col("v")).agg(count(lit(1)).as("d"))
+        // DIV keeps the wedge count integral end-to-end (d*(d-1) is even);
+        // `/` would route it through double — a hub node past ~1e8 degree
+        // would silently lose wedges to the 2^53 mantissa at corpus scale
         val nNodes = deg.agg(count(lit(1)).as("n_nodes"),
-          sum(col("d") * (col("d") - 1) / 2).cast(LongType).as("wedges"))
+          sum(expr("d * (d - 1) DIV 2")).cast(LongType).as("wedges"))
         // orient by (degree, id): da/db looked up with two keyed joins,
         // then src = lower endpoint in that total order
         val withDeg = e

@@ -251,18 +251,47 @@ object NearDup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    // DUPLICATE-COLLAPSED blocking (round-7 sf1 sweep finding): web
-    // corpora are duplicate-heavy, and running blocking + verify on raw
-    // ids is QUADRATIC in copy count — 10 exact copies of every doc
-    // multiplied the candidate volume 100× and took the 10× sweep 65×
-    // longer. Identical shingle SETS collapse to one representative
-    // (64-bit digest of the sorted-distinct hash array — same ~1e-15
-    // collision budget as the shingle hashes themselves); blocking,
-    // posting lists and the subset verify all run on DISTINCT sets, and
-    // only the final expansion joins the member ids back in. The OUTPUT
-    // is inherently copy-quadratic (every copy pair must be listed) —
-    // after this change that is the only quadratic-in-duplication step
-    // left, and it is pure output materialization.
+    val (members, setPairs) = containmentSetPairs(df, idCol, textCol, n)
+    val cross = setPairs
+      .join(members.select(col("__did").as("__da"), col("__id").as("id_a")),
+        Seq("__da"))
+      .join(members.select(col("__did").as("__db"), col("__id").as("id_b")),
+        Seq("__db"))
+      .select(col("id_a"), col("id_b"))
+    // equal sets (same digest) contain each other: every ordered pair
+    // within a duplicate group, both directions
+    val within = members.select(col("__did"), col("__id").as("id_a"))
+      .join(members.select(col("__did"), col("__id").as("id_b")),
+        Seq("__did"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    cross.unionByName(within)
+  }
+
+  /** The COLLAPSED (distinct-shingle-set-level) core of
+    * [[containmentPairs]]: blocking and the exact subset verify, before
+    * any member expansion.
+    *
+    * DUPLICATE-COLLAPSED blocking (round-7 sf1 sweep finding): web
+    * corpora are duplicate-heavy, and running blocking + verify on raw
+    * ids is QUADRATIC in copy count — 10 exact copies of every doc
+    * multiplied the candidate volume 100× and took the 10× sweep 65×
+    * longer. Identical shingle SETS collapse to one representative
+    * (64-bit digest of the sorted-distinct hash array — same ~1e-15
+    * collision budget as the shingle hashes themselves); blocking,
+    * posting lists and the subset verify all run on DISTINCT sets.
+    *
+    * @return (members, setPairs): members = (__did, __id) mapping every
+    *   document to its set digest; setPairs = (__da, __db) STRICT
+    *   set-level containments (set __da ⊂ set __db — distinct digests ⇒
+    *   distinct sets; equal sets share one __did and appear only in
+    *   members). Member-level expansion is inherently copy-quadratic
+    *   (Σ cnt_a·cnt_b); bounded consumers (stats gates, survivorship)
+    *   must aggregate on these frames and never expand — the 100 TB
+    *   guidance in SCALE.md.
+    */
+  def containmentSetPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): (DataFrame, DataFrame) = {
     val g = shingleHashes(df, textCol, n)
       .select(col(idCol).as("__id"), col("__shingle_hashes").as("__hs"))
       .withColumn("__did", xxhash64(col("__hs")))
@@ -296,20 +325,7 @@ object NearDup {
         Seq("__da"))
       .filter(col("__ncommon") === col("__nsh"))
       .select(col("__da"), col("__db"))
-    val cross = setPairs
-      .join(members.select(col("__did").as("__da"), col("__id").as("id_a")),
-        Seq("__da"))
-      .join(members.select(col("__did").as("__db"), col("__id").as("id_b")),
-        Seq("__db"))
-      .select(col("id_a"), col("id_b"))
-    // equal sets (same digest) contain each other: every ordered pair
-    // within a duplicate group, both directions
-    val within = members.select(col("__did"), col("__id").as("id_a"))
-      .join(members.select(col("__did"), col("__id").as("id_b")),
-        Seq("__did"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    cross.unionByName(within)
+    (members, setPairs)
   }
 
   /** Exact n-gram Jaccard over the hashed shingle sets — identical to

@@ -21,7 +21,14 @@ object ExplainQuery {
       .filter(q => pattern.findFirstIn(q._1).isDefined)
       .foreach { case (name, fn) =>
         println(s"\n========== $name ==========")
-        fn(spark, dir).explain("formatted")
+        val df = fn(spark, dir)
+        // GRAFT_EXPLAIN_RUN=1: execute first, then print the FINAL
+        // adaptive plan — AQE's runtime exchange reuse (stage cache) is
+        // invisible in the static plan, so reuse audits need this mode
+        if (sys.env.get("GRAFT_EXPLAIN_RUN").contains("1")) {
+          df.write.format("noop").mode("overwrite").save()
+          println(df.queryExecution.executedPlan.toString)
+        } else df.explain("formatted")
       }
     spark.stop()
   }

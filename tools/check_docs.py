@@ -88,7 +88,31 @@ def main():
         print("no verify dir and no CORRECTNESS_r*.json — nothing to check")
         sys.exit(1)
 
+    # 3) Documented ScalaTest total: COVERAGE.md and README.md must agree
+    #    with each other, and — when a fresh `sbt test` log exists (the
+    #    runner tees to /tmp/sbt_test_last.log, override via
+    #    GRAFT_TEST_LOG) — with the suite's own summary line. Round-8
+    #    verdict: the docs said 526 while the suite ran 537.
     cov = open(os.path.join(REPO, "COVERAGE.md")).read()
+    readme = open(os.path.join(REPO, "README.md")).read()
+    doc_tests = re.findall(r"runs (\d+) ScalaTest|(\d+) ScalaTest tests",
+                           cov + readme)
+    counts = {int(x) for pair in doc_tests for x in pair if x}
+    if len(counts) > 1:
+        failures.append(f"README/COVERAGE quote different test totals: {sorted(counts)}")
+    tlog = os.environ.get("GRAFT_TEST_LOG", "/tmp/sbt_test_last.log")
+    if counts and os.path.exists(tlog):
+        mt = re.findall(r"Tests: succeeded (\d+)|Total number of tests run: (\d+)",
+                        open(tlog, errors="replace").read())
+        mt = [x for pair in mt for x in pair if x]
+        if mt:
+            actual_tests = int(mt[-1])
+            doc_t = counts.pop()
+            print(f"tests: docs={doc_t} suite({tlog})={actual_tests}")
+            if doc_t != actual_tests:
+                failures.append(
+                    f"documented test total {doc_t} != suite {actual_tests}")
+
     m = re.search(r"\*\*Totals: (\d+) registered queries — ALL (\d+) "
                   r"DuckDB-oracle hash-checked\s*\((\d+)\s*rows-only\)", cov)
     if not m:
