@@ -486,7 +486,7 @@ object CorpusQueries extends QueryModule {
         val incoming = docs.filter(col("doc_id") % 10 === 0)
           .select(col("doc_id"), concat(lit("v2 "), col("text")).as("text"))
           .unionByName(docs.filter(col("doc_id") < 20)
-            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+            .select((-col("doc_id") - 1).as("doc_id"), col("text")))
         val merged = base.as("b")
           .join(incoming.as("i"), Seq("doc_id"), "full_outer")
           .select(col("doc_id"),
@@ -504,7 +504,7 @@ object CorpusQueries extends QueryModule {
              | inc AS (SELECT doc_id, 'v2 ' || text AS text FROM documents
              |     WHERE doc_id % 10 = 0
              |   UNION ALL
-             |   SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+             |   SELECT -doc_id - 1, text FROM documents WHERE doc_id < 20),
              | m AS (SELECT COALESCE(b.doc_id, i.doc_id) AS doc_id,
              |   COALESCE(i.text, b.text) AS text,
              |   CASE WHEN i.text IS NULL THEN 'keep'
@@ -535,7 +535,7 @@ object CorpusQueries extends QueryModule {
               when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev")))
                 .otherwise(col("text"))).as("h"))
           .unionByName(docs.filter(col("doc_id") < 10)
-            .select((col("doc_id") + 200000).as("doc_id"),
+            .select((-col("doc_id") - 1).as("doc_id"),
               TextStats.fingerprintMd5(col("text")).as("h")))
         a.as("a").join(b.as("b"), Seq("doc_id"), "full_outer")
           .select(
@@ -553,7 +553,7 @@ object CorpusQueries extends QueryModule {
              |       ELSE text END) AS h
              |   FROM documents WHERE doc_id % 7 <> 0
              |   UNION ALL
-             |   SELECT doc_id + 200000, md5(text) FROM documents
+             |   SELECT -doc_id - 1, md5(text) FROM documents
              |     WHERE doc_id < 10),
              | m AS (SELECT CASE WHEN a.h IS NULL THEN 'added'
              |     WHEN b.h IS NULL THEN 'removed'

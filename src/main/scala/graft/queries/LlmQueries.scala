@@ -168,7 +168,7 @@ object LlmQueries extends QueryModule {
         val d = T(s, dir, "documents")
         val seeded = d.select(col("doc_id"), col("text")).unionByName(
           d.filter(col("doc_id") < 50)
-            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+            .select((-col("doc_id") - 1).as("doc_id"), col("text")))
         seeded
           .groupBy(TextStats.fingerprintMd5(col("text")).as("h"))
           .agg(min(col("doc_id")).as("keep_id"),
@@ -178,7 +178,7 @@ object LlmQueries extends QueryModule {
       },
       Some("""WITH u AS (SELECT doc_id, text FROM documents
              |   UNION ALL
-             |   SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50)
+             |   SELECT -doc_id - 1, text FROM documents WHERE doc_id < 50)
              | SELECT md5(text) AS h, MIN(doc_id) AS keep_id,
              | COUNT(*) AS copies FROM u
              | GROUP BY md5(text) HAVING COUNT(*) > 1
@@ -393,7 +393,7 @@ object LlmQueries extends QueryModule {
         val toks = split(trim(lower(col("text"))), "\\s+")
         val seeded = d.select(col("doc_id"), col("text")).unionByName(
           d.filter(col("doc_id") < 40 && size(toks) >= 18)
-            .select((col("doc_id") + 20000).as("doc_id"),
+            .select((-col("doc_id") - 1).as("doc_id"),
               array_join(slice(toks, 1, 15), " ").as("text")))
         // blocking and verification live in NearDup.containmentPairs
         // (64-bit rolling-hash shingles — equality-only downstream, so
@@ -421,7 +421,7 @@ object LlmQueries extends QueryModule {
       // branches, matching the original's both-direction emission.
       Some("""WITH base AS (SELECT doc_id, text FROM documents
              |   UNION ALL
-             |   SELECT doc_id + 20000 AS doc_id,
+             |   SELECT -doc_id - 1 AS doc_id,
              |     array_to_string((regexp_split_to_array(
              |       trim(lower(text)), '\s+'))[1:15], ' ') AS text
              |   FROM documents
@@ -577,7 +577,7 @@ object LlmQueries extends QueryModule {
         val toks = split(trim(lower(col("text"))), "\\s+")
         val seeded = d.select(col("doc_id"), col("text")).unionByName(
           d.filter(col("doc_id") < 40 && size(toks) >= 18)
-            .select((col("doc_id") + 20000).as("doc_id"),
+            .select((-col("doc_id") - 1).as("doc_id"),
               array_join(slice(toks, 1, 15), " ").as("text")))
         val (members, setPairs) =
           NearDup.containmentSetPairs(seeded, "doc_id", "text", 3)
@@ -601,7 +601,7 @@ object LlmQueries extends QueryModule {
       // q_containment_dedup oracle), then histogram
       Some("""WITH base AS (SELECT doc_id, text FROM documents
              |   UNION ALL
-             |   SELECT doc_id + 20000 AS doc_id,
+             |   SELECT -doc_id - 1 AS doc_id,
              |     array_to_string((regexp_split_to_array(
              |       trim(lower(text)), '\s+'))[1:15], ' ') AS text
              |   FROM documents
