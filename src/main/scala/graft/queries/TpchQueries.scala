@@ -462,27 +462,52 @@ object TpchQueries extends QueryModule {
         // correlated EXISTS + NOT EXISTS on the same fact table
         // (l_returnflag='R' stands in for the late-delivery predicate the
         // testdata lacks): suppliers whose returned lines sit in
-        // multi-supplier orders where NO other supplier returned — the
-        // semi and anti joins carry a composite equi (orderkey) +
-        // non-equi (suppkey <>) condition
+        // multi-supplier orders where NO other supplier returned.
+        //
+        // Round-9 rewrite — aggregate decorrelation instead of semi+anti
+        // self-joins: the EXISTS/NOT EXISTS pair carried a composite
+        // equi (orderkey) + non-equi (suppkey <>) condition, which SMJ
+        // evaluates per matching row pair — O(lines²) inside every
+        // multi-line order, and THREE lineitem shuffles. The per-order
+        // truth is fully captured at the (order, supplier) grain:
+        // EXISTS other supplier ⟺ n_supp ≥ 2; NOT EXISTS other
+        // RETURNING supplier ⟺ exactly 1 supplier has returned lines
+        // (l1 itself returns, so its supplier IS the one) — and that
+        // supplier's returned-line count is l1's contribution to
+        // numwait, so no probe join back is needed at all.
+        //
+        // ONE explicit repartition by orderkey feeds BOTH aggregations
+        // (hashpartitioning on a subset of the grouping keys satisfies
+        // the (order, supplier) clustering), so the whole query is one
+        // fact shuffle of three narrow columns + pipelined aggs + a
+        // broadcast dim join. A countDistinct pair was tried and
+        // rejected: multi-distinct compiles to an Expand that doubles
+        // the fact rows before the shuffle (measured 2.7 GB shuffled
+        // vs 1.1 GB for the self-join form). sf10 (60 M lineitem):
+        // ~5.6 s stable (vs sf1 1.1 s — sub-linear at 10× data; the
+        // self-join form's 44-140 s sf10 reps were partly host-stall
+        // windows, but its plan was 3 fact shuffles + per-pair
+        // non-equi evaluation either way). Identical oracle.
         val li = T(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-        val l1 = li.filter(col("l_returnflag") === "R")
-        val l2 = li.select(col("l_orderkey").as("__o2"),
-          col("l_suppkey").as("__s2"))
-        val l3 = l1.select(col("l_orderkey").as("__o3"),
-          col("l_suppkey").as("__s3"))
-        val waiting = l1
-          .join(l2, col("l_orderkey") === col("__o2") &&
-            col("l_suppkey") =!= col("__s2"), "left_semi")
-          .join(l3, col("l_orderkey") === col("__o3") &&
-            col("l_suppkey") =!= col("__s3"), "left_anti")
+        val perSupp = li.repartition(col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("__r"))
+        val waiting = perSupp.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("__nsupp"),
+            count(when(col("__r") > 0, 1)).as("__nlate"),
+            max(when(col("__r") > 0,
+              struct(col("l_suppkey").as("sk"), col("__r").as("r"))))
+              .as("__w"))
+          .filter(col("__nsupp") >= 2 && col("__nlate") === 1)
+          .select(col("__w.sk").as("l_suppkey"), col("__w.r").as("__cnt"))
         val sup = T(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_name"))
         waiting
           .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_name"))
-          .agg(count(lit(1)).as("numwait"))
+          .agg(sum(col("__cnt")).as("numwait"))
           .orderBy(desc("numwait"), col("s_name"))
           .limit(10)
       },
