@@ -7,16 +7,33 @@ import graft.core.GraftSession
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
   *
-  * Methodology: each query gets one un-timed warmup run (JIT, scan cache,
-  * shared TrainingCache population) followed by SPARK_GRAFT_REPS timed
-  * runs (default 5); the reported per-query number is the STALL-AWARE
-  * median of the timed runs (median over reps within 3× of the best rep
-  * — see [[stallAwareMedian]]), so round-over-round comparisons are
-  * robust both to the ±30-50% single-run variance measured on local[32]
-  * and to the host's multi-rep external stall windows. Raw rep samples
-  * are preserved in bench_full.json. A query that throws is recorded as
-  * -1.0 (never silently counted as a fast success) and excluded from
-  * the total.
+  * Methodology (round-10 revision):
+  *   - Each query gets one un-timed warmup run (JIT, scan cache, shared
+  *     TrainingCache population); the warmup doubles as the
+  *     metrics-accounting run (realized scan rows / shuffle bytes).
+  *   - Timed reps are INTERLEAVED round-robin across queries (pass 1 runs
+  *     every query once, pass 2 runs every query again, ...). Rationale:
+  *     the host shows external stall windows of ~1-2 min that inflate
+  *     whatever runs inside them 10-30×; with back-to-back reps a single
+  *     window could cover ALL reps of one query (BENCH_sf1_r09 committed
+  *     q_a16_cube at 87.9 s over reps [109.7, 87.9, 56.4] — isolated
+  *     re-run 3.9 s). Round-robin spacing puts minutes between one
+  *     query's reps, so a stall window inflates at most one rep of many
+  *     queries instead of every rep of one.
+  *   - The committed per-query number is the STALL-AWARE median (median
+  *     over reps within 3× of the best rep); the PLAIN median is emitted
+  *     alongside it in bench_full.json, and queries where the two
+  *     diverge >3× are listed in "median_divergent" — so a genuine
+  *     bimodal regression (AQE fallback, cache miss on most reps) is
+  *     surfaced rather than silently filtered as a stall.
+  *   - Every completed rep is APPENDED to bench_progress.jsonl as it
+  *     finishes, and the summary (bench_full.json + the compact stdout
+  *     line) is emitted from a JVM shutdown hook as well as at normal
+  *     completion — an external `timeout` kill (driver BENCH_r09, rc=124)
+  *     now leaves a valid partial artifact with "partial":true instead
+  *     of nothing.
+  *   - A query that throws is recorded as -1.0 (never silently counted
+  *     as a fast success), excluded from the total and from later passes.
   */
 object Bench {
 
@@ -43,7 +60,9 @@ object Bench {
     * 18.2 s over [31.0, 3.4, 35.4, 12.0, 18.2]; clean rep 3.4 s). Reps
     * within 3× of min are engine behavior (JIT/cache variance measured
     * ≤2× on a quiet host); beyond 3× is the stall signature. Raw
-    * rep_samples stay in the artifact so the filter is auditable.
+    * rep_samples stay in the artifact, the plain median is emitted next
+    * to this one, and >3× divergence is flagged — the filter is fully
+    * auditable and cannot hide a real bimodal regression.
     */
   private def stallAwareMedian(xs: Seq[Double]): Double = {
     val lo = xs.min
@@ -54,141 +73,222 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // default 5 (round 8): the sandbox host shows external stall windows
-    // of ~1-2 min that inflate 1-2 CONSECUTIVE reps 10-30x (rep_samples
-    // in bench_full.json carry the evidence); a median of 3 flips on a
-    // 2-rep window, a median of 5 survives it
+    // of ~1-2 min that inflate consecutive runs 10-30x (rep_samples in
+    // bench_full.json carry the evidence); 5 interleaved reps survive one
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt.max(0)
-    val spark = GraftSession.benchScratch(GraftSession.configure(
-      SparkSession.builder().master(s"local[$cpus]").appName("graft-bench")))
-      .config("spark.sql.shuffle.partitions", cpus)
+    // SPARK_GRAFT_PROFILE=cluster: run under clusterDefaults() (2000
+    // shuffle partitions pre-AQE, Kryo, skew join, 64 MiB broadcast) —
+    // the smoke path that proves the documented cluster profile actually
+    // executes. Default stays the local measurement profile.
+    val clusterProfile =
+      sys.env.get("SPARK_GRAFT_PROFILE").contains("cluster")
+    val base = SparkSession.builder().master(s"local[$cpus]")
+      .appName("graft-bench")
+    val spark = (if (clusterProfile)
+        GraftSession.benchScratch(GraftSession.clusterDefaults(base))
+      else GraftSession.benchScratch(GraftSession.configure(base))
+        .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     // ERROR, not WARN: repeated executor warnings (cache-manager,
     // single-partition-window notices) add hundreds of lines to the
     // merged output the driver captures; the bench result must not
     // depend on how much of that noise fits the capture window
     spark.sparkContext.setLogLevel("ERROR")
-    // local-iteration aid: SPARK_GRAFT_ONLY=<regex> restricts the run to
-    // matching query names (unset in the driver's per-round invocation)
+    // local-iteration aids (both unset in the driver's per-round
+    // invocation): SPARK_GRAFT_ONLY=<regex> restricts the run to matching
+    // query names; SPARK_GRAFT_SKIP=<regex> excludes matches — used by
+    // the scale sweeps to leave out the queries whose CONTRACTED OUTPUT
+    // grows super-linearly (the full pair-list gates), so the ladder's
+    // numbers measure the engine, not the contracted output volume
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.r)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
-    val profiles = scala.collection.mutable.LinkedHashMap
-      .empty[String, graft.core.QueryMetrics.PlanProfile]
-    // per-rep samples + sweep-relative start offsets: the medians alone
-    // cannot distinguish a real regression from an environment stall
-    // window (observed: host write-throttle episodes inflating whichever
-    // query runs inside them 10-30× for several consecutive reps, a
-    // different query every sweep). The full file keeps the evidence.
-    val repsDetail = scala.collection.mutable.LinkedHashMap
-      .empty[String, Seq[Double]]
-    val startOff = scala.collection.mutable.LinkedHashMap
-      .empty[String, Double]
-    val sweepT0 = System.nanoTime()
-    val results = selected.map { case (name, fn) =>
-      val sec =
-        try {
-          // collect between queries, outside the timed region: garbage
-          // from the previous query's runs otherwise surfaces as a GC
-          // pause INSIDE some later query's timing (measured 6-12×
-          // inflation on mid-run queries in full 129-query rounds)
-          System.gc()
-          startOff(name) = (System.nanoTime() - sweepT0) / 1e9
-          // the first warmup run doubles as the metrics-accounting run
-          // (QueryMetrics executes the same noop materialization) —
-          // realized scan rows / shuffle bytes land in bench_full.json
-          // at zero added cost
-          if (warmup >= 1)
-            profiles(name) = graft.core.QueryMetrics.profile(fn(spark, sfDir))
-          (1 until warmup).foreach(_ => runOnce(spark, sfDir, fn))
-          val samples = (1 to reps).map(_ => runOnce(spark, sfDir, fn))
-          repsDetail(name) = samples
-          stallAwareMedian(samples)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1.0
-        }
-      // stderr progress line per query (diagnosing a long sweep no
-      // longer needs jstack guesswork); all of these print BEFORE the
-      // final stdout JSON line, so the driver's bounded tail capture
-      // still ends with the compact result
-      System.err.println(f"[bench] $name done: $sec%.2fs")
-      name -> sec
-    }
-    // Full per-query medians go to a file: the driver's log capture keeps
-    // only a ~2000-char tail of stdout, and an 80-query JSON line (~4 KB)
-    // overflows it — which is why BENCH_r01..r03 all recorded parsed:null.
+      .filter { case (n, _) => !skip.exists(_.findFirstIn(n).isDefined) }
+
     val fmt = new java.text.DecimalFormat("0.###",
       java.text.DecimalFormatSymbols.getInstance(java.util.Locale.ROOT))
     // every JSON key goes through esc(): query names are identifiers
     // today, but a quote/backslash in a future name must corrupt nothing
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     def ent(k: String, v: Double) = "\"" + esc(k) + "\":" + fmt.format(v)
-    val fullJson = results.map { case (k, v) => ent(k, v) }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failed = results.count(_._2 < 0)
-    val profJson = profiles.map { case (k, p) =>
-      "\"" + k + "\":{\"scan_rows\":" + p.scanRows +
-        ",\"shuffle_bytes\":" + p.shuffleBytes +
-        ",\"n_shuffles\":" + p.nShuffles + "}"
-    }.mkString("{", ",", "}")
-    // Shared-cache build attribution (round-7 verdict): FrameCache /
-    // ModelCache / TrainingCache builds happen during whichever consumer
-    // query runs FIRST (its warmup invocation), so per-query medians are
-    // clean of build cost — but the build time itself swung invisible
-    // between rounds. Report every build as its own ledger line so the
-    // bench total decomposes into query time + cache-build time.
-    val cacheBuilds: Seq[(String, Double)] =
-      graft.core.FrameCache.buildLog.toSeq.map { case ((_, k), s) =>
-        s"frame:$k" -> s } ++
-      graft.ml.ModelCache.buildLog.toSeq.map { case ((_, k, tag), s) =>
-        s"model:$k:$tag" -> s } ++
-      graft.ml.TrainingCache.buildLog.toSeq.map { case ((_, k, fc), s) =>
-        s"matrix:$k:${fc.mkString("+")}" -> s }
-    val cacheBuildSec = cacheBuilds.map(_._2).sum
-    val cacheJson = cacheBuilds.sortBy(-_._2)
-      .map { case (k, s) => "\"" + esc(k) + "\":" + fmt.format(s) }
-      .mkString("{", ",", "}")
-    val repsJson = repsDetail.map { case (k, xs) =>
-      "\"" + esc(k) + "\":[" + xs.map(fmt.format).mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    val offJson = startOff.map { case (k, o) => ent(k, o) }
-      .mkString("{", ",", "}")
-    val fullLine =
-      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$fullJson,"profiles":$profJson,"cache_build_sec":${fmt.format(cacheBuildSec)},"cache_builds":$cacheJson,"rep_samples":$repsJson,"start_offset_sec":$offJson,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"failed":$failed}"""
-    val fullPath = java.nio.file.Paths.get("bench_full.json")
-    java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
-    // The full line goes ONLY to the file, never to stderr: sbt's
-    // StdoutOutput forwards the forked process's stderr into the same
-    // stream as stdout, and a ~10 KB stderr line can swamp or truncate
-    // the driver's bounded capture window — BENCH_r04 recorded
-    // parsed:null with its tail cut mid-full-line for exactly this
-    // reason. Stdout must end with the one compact JSON line below.
-    System.err.println(s"[bench] full per-query medians: $fullPath")
 
-    // Final stdout line: compact enough (<1500 chars) to survive the tail
-    // window intact. Lists failures first, then the costliest queries,
-    // until the budget is spent; the rest are summarized.
-    val byCost = results.filter(_._2 < 0) ++ results.filter(_._2 >= 0).sortBy(-_._2)
-    val budget = 1400
-    val head =
-      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"warmup":$warmup,"n_queries":${results.size},"failed":$failed,"cache_build_sec":${fmt.format(cacheBuildSec)},"full":"bench_full.json","queries":{"""
-    val tail0 = "}}"
-    val kept = scala.collection.mutable.ListBuffer.empty[String]
-    var len = head.length + tail0.length + 40 // slack for omitted_* fields
-    byCost.foreach { case (k, v) =>
-      val e = ent(k, v)
-      if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
+    val profiles = scala.collection.mutable.LinkedHashMap
+      .empty[String, graft.core.QueryMetrics.PlanProfile]
+    // per-rep samples + sweep-relative start offsets PER REP: the medians
+    // alone cannot distinguish a real regression from an environment
+    // stall window; offsets reconstruct which reps shared a window
+    val repsDetail = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    val startOff = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    val failedQ = scala.collection.mutable.LinkedHashSet.empty[String]
+    val sweepT0 = System.nanoTime()
+
+    // ---- streaming progress: one JSONL line per completed run --------
+    val progressPath = java.nio.file.Paths.get("bench_progress.jsonl")
+    java.nio.file.Files.deleteIfExists(progressPath)
+    def appendProgress(line: String): Unit = synchronized {
+      java.nio.file.Files.write(progressPath, (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     }
-    val omitted = results.size - kept.size
-    val omittedSec = total - byCost.take(kept.size).collect {
-      case (_, v) if v >= 0 => v
-    }.sum
-    if (omitted > 0)
-      kept += ent("omitted_" + omitted + "_queries_sec", omittedSec)
-    println(head + kept.mkString(",") + tail0)
+
+    // ---- summary emission (normal path AND shutdown hook) ------------
+    // compareAndSet guard: the hook fires on normal exit too, and must
+    // not double-write after a successful in-line emit
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emitSummary(partial: Boolean): Unit =
+      if (emitted.compareAndSet(false, true)) synchronized {
+        val results: Seq[(String, Double)] = selected.map { case (name, _) =>
+          val xs = repsDetail.getOrElse(name, Nil).toSeq
+          val sec =
+            if (failedQ.contains(name)) -1.0
+            else if (xs.isEmpty) -2.0 // never reached (partial sweep)
+            else stallAwareMedian(xs)
+          name -> sec
+        }
+        val done = results.filter(_._2 >= 0)
+        val plain = results.collect { case (k, v) if v >= 0 =>
+          k -> median(repsDetail(k).toSeq) }
+        // >3× disagreement between the plain and stall-aware medians
+        // means MOST reps were slow — either a long stall run or a real
+        // bimodal regression; either way a human must look, so it is
+        // flagged, not filtered silently
+        val divergent = plain.filter { case (k, m) =>
+          m > 3.0 * results.toMap.apply(k) }.map(_._1)
+        val fullJson = results.map { case (k, v) => ent(k, v) }
+          .mkString("{", ",", "}")
+        val plainJson = plain.map { case (k, v) => ent(k, v) }
+          .mkString("{", ",", "}")
+        val total = done.map(_._2).sum
+        val failed = results.count(_._2 == -1.0)
+        val unreached = results.count(_._2 == -2.0)
+        val profJson = profiles.map { case (k, p) =>
+          "\"" + esc(k) + "\":{\"scan_rows\":" + p.scanRows +
+            ",\"shuffle_bytes\":" + p.shuffleBytes +
+            ",\"n_shuffles\":" + p.nShuffles + "}"
+        }.mkString("{", ",", "}")
+        // Shared-cache build attribution (round-7 verdict): FrameCache /
+        // ModelCache / TrainingCache builds happen during whichever
+        // consumer query runs FIRST (its warmup invocation), so per-query
+        // medians are clean of build cost — but the build time itself
+        // swung invisible between rounds. Report every build as its own
+        // ledger line so the bench total decomposes into query time +
+        // cache-build time.
+        val cacheBuilds: Seq[(String, Double)] =
+          graft.core.FrameCache.buildLog.toSeq.map { case ((_, k), s) =>
+            s"frame:$k" -> s } ++
+          graft.ml.ModelCache.buildLog.toSeq.map { case ((_, k, tag), s) =>
+            s"model:$k:$tag" -> s } ++
+          graft.ml.TrainingCache.buildLog.toSeq.map { case ((_, k, fc), s) =>
+            s"matrix:$k:${fc.mkString("+")}" -> s }
+        val cacheBuildSec = cacheBuilds.map(_._2).sum
+        val cacheJson = cacheBuilds.sortBy(-_._2)
+          .map { case (k, s) => "\"" + esc(k) + "\":" + fmt.format(s) }
+          .mkString("{", ",", "}")
+        val repsJson = repsDetail.map { case (k, xs) =>
+          "\"" + esc(k) + "\":[" + xs.map(fmt.format).mkString(",") + "]"
+        }.mkString("{", ",", "}")
+        val offJson = startOff.map { case (k, os) =>
+          "\"" + esc(k) + "\":[" + os.map(fmt.format).mkString(",") + "]"
+        }.mkString("{", ",", "}")
+        val divJson = divergent.map("\"" + esc(_) + "\"")
+          .mkString("[", ",", "]")
+        val fullLine =
+          s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$fullJson,"plain_median":$plainJson,"median_divergent":$divJson,"profiles":$profJson,"cache_build_sec":${fmt.format(cacheBuildSec)},"cache_builds":$cacheJson,"rep_samples":$repsJson,"start_offset_sec":$offJson,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"interleaved":true,"failed":$failed,"unreached":$unreached,"partial":$partial}"""
+        val fullPath = java.nio.file.Paths.get("bench_full.json")
+        java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
+        // The full line goes ONLY to the file, never to stderr: sbt's
+        // StdoutOutput forwards the forked process's stderr into the same
+        // stream as stdout, and a ~10 KB stderr line can swamp or
+        // truncate the driver's bounded capture window — BENCH_r04
+        // recorded parsed:null with its tail cut mid-full-line for
+        // exactly this reason. Stdout must end with the one compact JSON
+        // line below.
+        System.err.println(s"[bench] full per-query medians: $fullPath" +
+          (if (partial) " (PARTIAL — killed mid-sweep)" else ""))
+
+        // Final stdout line: compact enough (<1500 chars) to survive the
+        // tail window intact. Lists failures first, then the costliest
+        // queries, until the budget is spent; the rest are summarized.
+        val byCost = results.filter(_._2 < 0) ++ done.sortBy(-_._2)
+        val budget = 1400
+        val head =
+          s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"warmup":$warmup,"n_queries":${results.size},"failed":$failed,"unreached":$unreached,"partial":$partial,"cache_build_sec":${fmt.format(cacheBuildSec)},"full":"bench_full.json","queries":{"""
+        val tail0 = "}}"
+        val kept = scala.collection.mutable.ListBuffer.empty[String]
+        var len = head.length + tail0.length + 40 // slack for omitted_*
+        byCost.foreach { case (k, v) =>
+          val e = ent(k, v)
+          if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
+        }
+        val omitted = results.size - kept.size
+        val omittedSec = total - byCost.take(kept.size).collect {
+          case (_, v) if v >= 0 => v
+        }.sum
+        if (omitted > 0)
+          kept += ent("omitted_" + omitted + "_queries_sec", omittedSec)
+        println(head + kept.mkString(",") + tail0)
+      }
+
+    // SIGTERM (external `timeout`, the driver's kill) runs JVM shutdown
+    // hooks; this one snapshots whatever completed. It writes files and
+    // stdout only — no Spark calls, so it cannot race the context's own
+    // stop hook.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emitSummary(true)))
+
+    // ---- pass 0: warmup + plan profile, one query at a time ----------
+    selected.foreach { case (name, fn) =>
+      try {
+        // collect between queries, outside the timed region: garbage
+        // from the previous query's runs otherwise surfaces as a GC
+        // pause INSIDE some later query's timing (measured 6-12×
+        // inflation on mid-run queries in full 129-query rounds)
+        System.gc()
+        // the first warmup run doubles as the metrics-accounting run
+        // (QueryMetrics executes the same noop materialization) —
+        // realized scan rows / shuffle bytes land in bench_full.json
+        // at zero added cost
+        if (warmup >= 1)
+          profiles(name) = graft.core.QueryMetrics.profile(fn(spark, sfDir))
+        (1 until warmup).foreach(_ => runOnce(spark, sfDir, fn))
+        System.err.println(s"[bench] warmup $name ok")
+      } catch {
+        case e: Throwable =>
+          failedQ += name
+          System.err.println(s"[bench] $name FAILED (warmup): ${e.getMessage}")
+      }
+    }
+
+    // ---- passes 1..reps: round-robin timed reps -----------------------
+    (1 to reps).foreach { pass =>
+      selected.foreach { case (name, fn) =>
+        if (!failedQ.contains(name)) {
+          try {
+            System.gc()
+            val off = (System.nanoTime() - sweepT0) / 1e9
+            val sec = runOnce(spark, sfDir, fn)
+            repsDetail.getOrElseUpdate(name,
+              scala.collection.mutable.ArrayBuffer.empty) += sec
+            startOff.getOrElseUpdate(name,
+              scala.collection.mutable.ArrayBuffer.empty) += off
+            appendProgress(s"""{"q":"${esc(name)}","pass":$pass,"sec":${fmt.format(sec)},"off":${fmt.format(off)}}""")
+          } catch {
+            case e: Throwable =>
+              failedQ += name
+              appendProgress(
+                s"""{"q":"${esc(name)}","pass":$pass,"failed":true}""")
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+        }
+      }
+      System.err.println(s"[bench] pass $pass/$reps complete " +
+        f"(t=${(System.nanoTime() - sweepT0) / 1e9}%.0fs)")
+    }
+
+    emitSummary(false)
     spark.stop()
   }
 }

@@ -7,11 +7,18 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.core.GraftSession.benchScratch(
-      graft.core.GraftSession.configure(
-        SparkSession.builder().master(s"local[$cpus]")
-          .appName("graft-verify")))
-      .config("spark.sql.shuffle.partitions", cpus)
+    // SPARK_GRAFT_PROFILE=cluster: dump under clusterDefaults() so the
+    // documented cluster profile's CORRECTNESS (not just liveness) is
+    // checkable — oracle results must be identical under 2000-partition
+    // Kryo-serialized execution or the profile is wrong
+    val base = SparkSession.builder().master(s"local[$cpus]")
+      .appName("graft-verify")
+    val spark = (if (sys.env.get("SPARK_GRAFT_PROFILE").contains("cluster"))
+        graft.core.GraftSession.benchScratch(
+          graft.core.GraftSession.clusterDefaults(base))
+      else graft.core.GraftSession.benchScratch(
+        graft.core.GraftSession.configure(base))
+        .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

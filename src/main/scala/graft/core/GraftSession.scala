@@ -47,17 +47,37 @@ object GraftSession {
     * idle-CPU host); shuffle files are the only disk writes a bench
     * query performs, so measurement scratch goes to tmpfs when one is
     * mounted with headroom. Test-scale shuffles are MBs, far below the
-    * 8 GiB headroom sniff. Stale contents from a crashed prior run are
-    * deleted before use (they otherwise pin RAM until reboot). Override
-    * with SPARK_GRAFT_LOCAL_DIR (e.g. for a deliberately disk-bound
-    * run).
+    * 8 GiB headroom sniff. Each process gets its OWN subdirectory
+    * (graft-local-<pid>) — a flat shared dir meant a second measurement
+    * process (e.g. Verify started while a Bench sweep runs) wiped the
+    * first's live shuffle files at startup. Stale siblings whose owning
+    * pid is gone are deleted (they otherwise pin RAM until reboot), and
+    * a JVM shutdown hook removes this process's own dir on exit.
+    * Override with SPARK_GRAFT_LOCAL_DIR (e.g. for a deliberately
+    * disk-bound run).
     */
   def benchScratch(b: SparkSession.Builder): SparkSession.Builder = {
     val dir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
       val shm = new java.io.File("/dev/shm")
       if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > (8L << 30)) {
-        val scratch = new java.io.File(shm, "graft-local")
-        deleteRecursively(scratch) // reclaim RAM orphaned by a crashed run
+        val pid = ProcessHandle.current().pid()
+        // reclaim RAM orphaned by crashed runs — only dirs whose owning
+        // process is dead; a live sibling's shuffle files are untouched
+        Option(shm.listFiles()).foreach(_.foreach { f =>
+          f.getName match {
+            case s if s.startsWith("graft-local-") =>
+              val owner = s.stripPrefix("graft-local-")
+              val alive = owner.toLongOption
+                .exists(p => ProcessHandle.of(p).map[Boolean](_.isAlive)
+                  .orElse(false))
+              if (!alive) deleteRecursively(f)
+            case "graft-local" => deleteRecursively(f) // pre-round-10 layout
+            case _ => ()
+          }
+        })
+        val scratch = new java.io.File(shm, s"graft-local-$pid")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          deleteRecursively(scratch)))
         Some(scratch.getPath)
       } else None
     }

@@ -763,5 +763,102 @@ object BehaviorQueries extends QueryModule {
              | ORDER BY user_id, start_us""".stripMargin),
       "streaming sessionization gate: session_window + watermark in " +
         "append mode over file-source micro-batches, oracle recomputes " +
-        "sessions AND the watermark retention rule"))
+        "sessions AND the watermark retention rule"),
+
+    "q_session_stats" -> QueryDef(
+      (s, dir) => {
+        // Bounded streaming gate (round-10): the SAME session_window +
+        // watermark + append-mode pipeline as q_stream_sessionize, but
+        // the sessions are reduced to a duration histogram INSIDE the
+        // stream (foreachBatch: distributed per-batch aggregate, driver
+        // merges ≤ a-few-bucket rows per batch) — so this gate measures
+        // the sessionization OPERATOR, not the sink materializing every
+        // emitted session row (q_stream_sessionize's sf10 8.1× was
+        // memory-sink output growth, not operator cost). At 100 TB the
+        // sink-side state here is O(histogram buckets), invariant to
+        // event volume; the operator state stays one merging window per
+        // open session, watermark-evicted.
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
+        try {
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$dir/events.parquet"),
+            tmp.resolve("events.parquet"))
+          val events = graft.streaming.EventStream.readEvents(s, tmp.toString)
+          val sess = graft.streaming.EventStream.sessionWindows(
+            events.withWatermark("event_time", "10 minutes"), "30 minutes")
+          // bucket -> (n_sessions, n_events); plain map + synchronized:
+          // micro-batches execute sequentially, merge cost is |buckets|
+          val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+          val q = sess.writeStream
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], _: Long) =>
+              // 10-minute duration buckets over the closed sessions this
+              // batch released; the aggregate runs on the executors, only
+              // the bucket rows reach the driver
+              // integral `div` end to end — Spark's `/` on longs is
+              // DOUBLE division, and the determinism contract forbids
+              // float rounding between the engines
+              val rows = batch
+                .select(expr("(unix_micros(session_end) - " +
+                  "unix_micros(session_start)) div 1000000").as("dur_s"),
+                  col("n_events"))
+                .groupBy(expr("dur_s div 600").as("dur_bucket"))
+                .agg(count(lit(1)).as("ns"), sum(col("n_events")).as("ne"))
+                .collect()
+              acc.synchronized {
+                rows.foreach { r =>
+                  val k = r.getLong(0)
+                  val (ns0, ne0) = acc.getOrElse(k, (0L, 0L))
+                  acc(k) = (ns0 + r.getLong(1), ne0 + r.getLong(2))
+                }
+              }
+            }
+            .start()
+          require(q.awaitTermination(300000),
+            "q_session_stats: streaming query did not terminate")
+          import s.implicits._
+          acc.toSeq.map { case (b, (ns, ne)) => (b, ns, ne) }
+            .toDF("dur_bucket", "n_sessions", "n_events")
+            .orderBy(col("dur_bucket"))
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      },
+      // oracle: batch sessionization + the SAME append-mode retention
+      // rule as q_stream_sessionize (sessions whose watermark-extended
+      // end has passed the final watermark), aggregated to the identical
+      // 10-minute duration histogram. Duration uses session_window's
+      // [start, last_event + gap) interval, so end_us carries the +gap.
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+             | x AS (SELECT user_id, tu,
+             |     CASE WHEN LAG(tu) OVER (PARTITION BY user_id
+             |         ORDER BY tu) IS NULL
+             |       OR tu - LAG(tu) OVER (PARTITION BY user_id
+             |         ORDER BY tu) > 1800000000
+             |       THEN 1 ELSE 0 END AS brk
+             |   FROM e),
+             | sgrp AS (SELECT user_id, tu,
+             |     SUM(brk) OVER (PARTITION BY user_id ORDER BY tu
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |       AS sid
+             |   FROM x),
+             | sess AS (SELECT user_id, MIN(tu) AS start_us,
+             |     MAX(tu) + 1800000000 AS end_us,
+             |     COUNT(*) AS n_events
+             |   FROM sgrp GROUP BY user_id, sid),
+             | wm AS (SELECT ((MAX(tu) // 1000) - 600000) * 1000 AS wm_us
+             |   FROM e)
+             | SELECT (end_us - start_us) // 1000000 // 600 AS dur_bucket,
+             |   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             |   CAST(SUM(n_events) AS BIGINT) AS n_events
+             | FROM sess, wm WHERE end_us <= wm_us
+             | GROUP BY 1 ORDER BY 1""".stripMargin),
+      "bounded streaming gate: sessionization reduced to a duration " +
+        "histogram in-stream (foreachBatch distributed aggregate), so " +
+        "the measurement is the operator, never the emitted-row volume"))
 }

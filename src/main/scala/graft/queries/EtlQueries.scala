@@ -1155,15 +1155,27 @@ object EtlQueries extends QueryModule {
         // 0.2·avg threshold is evaluated in exact decimal×long arithmetic
         // (qty·5·cnt < sum_qty) so both engines agree on every row; only
         // the final sum is cast to double.
+        //
+        // Round-10 scale fix (sf10 was 8× at 10× data): the per-part
+        // aggregate runs AFTER the broadcast brand filter, not before.
+        // Per-part stats group by l_partkey, and the brand gate is a
+        // part-level predicate, so restricting the aggregate's input to
+        // Brand#4 lines leaves every probed group's sum/count identical —
+        // but shrinks the only fact shuffle ~25× (brand selectivity) and
+        // the probe join's build side by the same factor. perPart gets NO
+        // broadcast hint: it is one row per Brand#4 part — dim-scaled, so
+        // AQE broadcasts it at bench scales, but at 100 TB it is
+        // fact-proportional (~800 M parts / 25) and must be allowed to
+        // shuffle-join the equally-filtered probe side.
         val l = T(s, dir, "lineitem").select(col("l_partkey"),
           col("l_quantity"), col("l_extendedprice"))
         val p = T(s, dir, "part").filter(col("p_brand") === "Brand#4")
           .select(col("p_partkey"))
-        val perPart = l.groupBy(col("l_partkey").as("__pk"))
+        val lb = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        val perPart = lb.groupBy(col("l_partkey").as("__pk"))
           .agg(sum(col("l_quantity").cast(D2)).as("__sum_qty"),
             count(lit(1)).as("__cnt"))
-        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
-          .join(perPart, col("l_partkey") === col("__pk"))
+        lb.join(perPart, col("l_partkey") === col("__pk"))
           .filter(col("l_quantity").cast(D2) * lit(5) * col("__cnt")
             < col("__sum_qty"))
           .agg((sum(col("l_extendedprice").cast(D2)).cast(DoubleType)

@@ -494,14 +494,23 @@ object TpchQueries extends QueryModule {
           .groupBy(col("l_orderkey"), col("l_suppkey"))
           .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
             .as("__r"))
+        // The waiting supplier's (key, count) are carried as TWO primitive
+        // max aggregates, not max(struct(...)) / max_by: __nlate === 1
+        // guarantees exactly one supplier per surviving order has __r > 0,
+        // so max over each column independently picks that same supplier's
+        // values. A struct-valued buffer (either form — max(struct) is a
+        // declarative agg with a struct buffer, max_by likewise) cannot
+        // live in HashAggregate's mutable row and forced a Sort +
+        // SortAggregate per partition on the fact aggregate; two bigint
+        // maxes keep the whole decorrelation inside HashAggregate
+        // (round-10; plan-audited in PlanAuditSpec)
         val waiting = perSupp.groupBy(col("l_orderkey"))
           .agg(count(lit(1)).as("__nsupp"),
             count(when(col("__r") > 0, 1)).as("__nlate"),
-            max(when(col("__r") > 0,
-              struct(col("l_suppkey").as("sk"), col("__r").as("r"))))
-              .as("__w"))
+            max(when(col("__r") > 0, col("l_suppkey"))).as("__wsk"),
+            max(when(col("__r") > 0, col("__r"))).as("__wr"))
           .filter(col("__nsupp") >= 2 && col("__nlate") === 1)
-          .select(col("__w.sk").as("l_suppkey"), col("__w.r").as("__cnt"))
+          .select(col("__wsk").as("l_suppkey"), col("__wr").as("__cnt"))
         val sup = T(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_name"))
         waiting

@@ -24,9 +24,13 @@ object ExplainQuery {
         val df = fn(spark, dir)
         // GRAFT_EXPLAIN_RUN=1: execute first, then print the FINAL
         // adaptive plan — AQE's runtime exchange reuse (stage cache) is
-        // invisible in the static plan, so reuse audits need this mode
+        // invisible in the static plan, so reuse audits need this mode.
+        // The execution must drive df's OWN QueryExecution: df.write
+        // creates a fresh QueryExecution, leaving df.queryExecution
+        // un-executed (isFinalPlan=false) — exactly the un-reused plan
+        // this mode exists to see past. foreach(noop) executes in place.
         if (sys.env.get("GRAFT_EXPLAIN_RUN").contains("1")) {
-          df.write.format("noop").mode("overwrite").save()
+          df.foreach(_ => ())
           println(df.queryExecution.executedPlan.toString)
         } else df.explain("formatted")
       }

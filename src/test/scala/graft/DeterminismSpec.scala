@@ -85,7 +85,10 @@ class DeterminismSpec extends SparkSpec {
     // survive a repartitioning unchanged; the streaming sessionization
     // gate (stateful session_window + watermark, append mode) must emit
     // the identical session set at any shuffle-partition setting
-    "q_curation_pipeline", "q_stream_sessionize")
+    "q_curation_pipeline", "q_stream_sessionize",
+    // round-10: the bounded streaming gate's foreachBatch histogram merge
+    // must be invariant to micro-batch partitioning
+    "q_session_stats")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)

@@ -164,12 +164,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q_q21: EXISTS/NOT-EXISTS pair is a semi + anti join, no cartesian") {
+  test("q_q21: decorrelated to one fact shuffle; no semi/anti self-joins") {
+    // round-9 rewrite: the EXISTS/NOT-EXISTS pair is decorrelated into
+    // two pipelined aggregations over ONE explicit repartition by
+    // l_orderkey (hashpartitioning on a grouping-key subset satisfies
+    // both clusterings) — the old semi+anti self-join plan (3 fact
+    // shuffles + per-pair non-equi evaluation) must never come back
     val p = planOf("q_q21_waiting_supplier")
-    assert(p.contains("LeftSemi"), p.take(2000))
-    assert(p.contains("LeftAnti"))
+    assert(!p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("LeftAnti"))
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("EqualTo(l_returnflag,R)")) // pushed to the l1 scan
+    assert(!p.contains("SortMergeJoin"))
+    // exactly one fact Exchange: the user repartition by orderkey feeds
+    // BOTH aggregations; the only other hash Exchange is the tiny
+    // post-filter regroup by s_name (supplier-count-sized, not fact-sized)
+    assert("REPARTITION_BY_COL".r.findAllIn(p).size == 1, p.take(3000))
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size == 2, p.take(3000))
+    // both stacked aggregations stay in HashAggregate — the waiting
+    // supplier rides two primitive maxes, so no struct buffer forces a
+    // per-partition Sort + SortAggregate into the fact pipeline
+    assert(!p.contains("SortAggregate"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin")) // supplier dim
+    assert(p.contains("TakeOrderedAndProject")) // top-10, no global sort
   }
 
   test("q_q22: dormant-customer exclusion is an anti join; threshold broadcasts") {

@@ -101,7 +101,11 @@ def main():
     if len(counts) > 1:
         failures.append(f"README/COVERAGE quote different test totals: {sorted(counts)}")
     tlog = os.environ.get("GRAFT_TEST_LOG", "/tmp/sbt_test_last.log")
-    if counts and os.path.exists(tlog):
+    # only compare against the suite log when the docs agree with each
+    # other — with divergent doc totals, counts.pop() would pick an
+    # arbitrary one and emit a misleading second failure on top of the
+    # consistency failure already recorded above
+    if len(counts) == 1 and os.path.exists(tlog):
         mt = re.findall(r"Tests: succeeded (\d+)|Total number of tests run: (\d+)",
                         open(tlog, errors="replace").read())
         mt = [x for pair in mt for x in pair if x]

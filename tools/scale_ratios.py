@@ -31,7 +31,8 @@ FAMILIES = [
     ("sketch", r"^q_(hll|cms|sliding_hll)"),
     ("graph/mining", r"^q_(pagerank|triangle|bfs|market_basket|top_paths|"
      r"topk_per_group|skyline|pattern_match)"),
-    ("behavior/events", r"^q_(funnel|cohort|sessionize|max_concurrency|"
+    ("behavior/events", r"^q_(funnel|cohort|sessionize|session_stats|"
+     r"max_concurrency|"
      r"interval|event_transitions|rolling_dau|dow_profile|rfm|"
      r"time_weighted|ts_gapfill|moving_window|window_running|cdc|scd2|"
      r"snapshot|stream_sessionize|cusum|heavy_changes|ks_drift|psi_drift|"
