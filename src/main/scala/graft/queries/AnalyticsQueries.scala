@@ -23,20 +23,26 @@ object AnalyticsQueries extends QueryModule {
     "q_a17_grouping_sets" -> QueryDef(
       (s, dir) => {
         // explicit GROUPING SETS — the general hierarchy-agg form (rollup
-        // and cube are its special cases, both already gated). One
-        // expand+aggregate pass: the shuffle carries |sets| x |groups|
-        // partial rows, never the fact table per set.
-        val li = T(s, dir, "lineitem")
-        li.groupingSets(
+        // and cube are its special cases, both already gated). Spark
+        // plans this as Expand (one input copy per set), so the fact is
+        // pre-aggregated to the finest grain first: count/decimal-sum
+        // re-aggregate exactly, Expand's input is |groups| rows instead
+        // of |sets| x |fact|, and the shuffle carries the same
+        // |sets| x |groups| partials either way. Same rewrite as
+        // q_a12_rollup / q_a16_cube.
+        val pre = T(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("__n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).as("__qty"))
+        pre.groupingSets(
             Seq(Seq(col("l_returnflag"), col("l_linestatus")),
               Seq(col("l_returnflag")), Seq()),
             col("l_returnflag"), col("l_linestatus"))
           .agg(
             grouping(col("l_returnflag")).as("g_flag"),
             grouping(col("l_linestatus")).as("g_status"),
-            count(lit(1)).as("cnt"),
-            sum(col("l_quantity").cast(DecimalType(18, 2)))
-              .cast(DoubleType).as("sum_qty"))
+            sum(col("__n")).as("cnt"),
+            sum(col("__qty")).cast(DoubleType).as("sum_qty"))
           .orderBy(col("g_flag"), col("g_status"),
             col("l_returnflag").asc_nulls_first,
             col("l_linestatus").asc_nulls_first)

@@ -489,13 +489,25 @@ object EtlQueries extends QueryModule {
       "A6: value histogram (notebook cell 43 value_counts)"),
 
     "q_a12_rollup" -> QueryDef(
-      (s, dir) =>
-        T(s, dir, "orders")
-          .rollup(col("o_orderstatus"), col("o_orderpriority"))
-          .agg(count(lit(1)).as("cnt"),
-            dsum(col("o_totalprice")).as("total"))
+      (s, dir) => {
+        // Pre-aggregate to the finest grain BEFORE the rollup: Spark
+        // plans hierarchy aggs as Expand (one input copy per grouping
+        // set) over its child, so rollup directly on the fact processes
+        // |sets| x |fact| rows. count/decimal-sum re-aggregate exactly,
+        // so rolling up the  (status, priority) partial frame (<= a few
+        // dozen rows at any scale) is value-identical while Expand's
+        // input drops from the fact to the group count. Same rewrite in
+        // q_a16_cube / q_a17_grouping_sets.
+        val pre = T(s, dir, "orders")
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("__n"),
+            sum(col("o_totalprice").cast(D2)).as("__total"))
+        pre.rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(sum(col("__n")).as("cnt"),
+            sum(col("__total")).cast(DoubleType).as("total"))
           .orderBy(asc_nulls_first("o_orderstatus"),
-            asc_nulls_first("o_orderpriority")),
+            asc_nulls_first("o_orderpriority"))
+      },
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
              | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
@@ -785,14 +797,21 @@ object EtlQueries extends QueryModule {
       "pivot (explicit values) == conditional aggregation (oracle)"),
 
     "q_a16_cube" -> QueryDef(
-      (s, dir) =>
-        // full cube over two dims: all four grouping sets in one pass
-        T(s, dir, "lineitem")
-          .cube(col("l_returnflag"), col("l_linestatus"))
-          .agg(count(lit(1)).as("n"),
-            dsum(col("l_quantity")).as("qty"))
+      (s, dir) => {
+        // full cube over two dims: all four grouping sets in one pass.
+        // Pre-aggregated before the cube (see q_a12_rollup): Expand's
+        // input is the (flag, status) partial frame — |groups| rows —
+        // instead of 4 copies of the fact table.
+        val pre = T(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("__n"),
+            sum(col("l_quantity").cast(D2)).as("__qty"))
+        pre.cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("__n")).as("n"),
+            sum(col("__qty")).cast(DoubleType).as("qty"))
           .orderBy(col("l_returnflag").asc_nulls_first,
-            col("l_linestatus").asc_nulls_first),
+            col("l_linestatus").asc_nulls_first)
+      },
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
              | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
              | FROM lineitem
