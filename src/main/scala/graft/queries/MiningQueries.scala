@@ -65,19 +65,24 @@ object MiningQueries extends QueryModule {
         // market-basket lift mining: top-20 part pairs by
         // lift = P(a,b)/(P(a)P(b)), support-pruned (cab >= 3), as the
         // fixed-point floor(1e6 * ln(N*cab/(ca*cb))) of an exact
-        // integer ratio. Per-item counts broadcast onto the pruned
-        // pair stream; the pair stream itself never re-shuffles after
-        // its one reduce.
+        // integer ratio. The per-item count frame is ITEM-DOMAIN-sized
+        // (every distinct part) — forcing it broadcast is the
+        // vocabulary-broadcast anti-shape (an executor OOM once the
+        // item domain outgrows memory), so no hint: AQE broadcasts it
+        // at runtime while it is small and shuffle-joins it once it is
+        // not. The support-pruned pair stream and the item counts then
+        // co-shuffle on the item key — both bounded by the pruned pair
+        // count, never by the raw basket stream.
         val b = baskets(T(s, dir, "lineitem"), "l_partkey")
         val n = b.select(col("l_orderkey")).distinct()
           .agg(count(lit(1)).as("n_orders"))
         val items = b.groupBy(col("item")).agg(count(lit(1)).as("c1"))
         val pairs = cachedPartPairs(s, dir).filter(col("cab") >= 3)
         pairs
-          .join(broadcast(items.select(col("item").as("pa"),
-            col("c1").as("ca"))), Seq("pa"))
-          .join(broadcast(items.select(col("item").as("pb"),
-            col("c1").as("cb"))), Seq("pb"))
+          .join(items.select(col("item").as("pa"),
+            col("c1").as("ca")), Seq("pa"))
+          .join(items.select(col("item").as("pb"),
+            col("c1").as("cb")), Seq("pb"))
           .crossJoin(broadcast(n))
           .withColumn("lift_scaled",
             floor(lit(1e6) * log(
