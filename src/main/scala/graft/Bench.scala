@@ -257,7 +257,7 @@ object Bench {
         System.err.println(s"[bench] warmup $name ok")
       } catch {
         case e: Throwable =>
-          failedQ += name
+          synchronized { failedQ += name }
           System.err.println(s"[bench] $name FAILED (warmup): ${e.getMessage}")
       }
     }
@@ -270,14 +270,19 @@ object Bench {
             System.gc()
             val off = (System.nanoTime() - sweepT0) / 1e9
             val sec = runOnce(spark, sfDir, fn)
-            repsDetail.getOrElseUpdate(name,
-              scala.collection.mutable.ArrayBuffer.empty) += sec
-            startOff.getOrElseUpdate(name,
-              scala.collection.mutable.ArrayBuffer.empty) += off
+            // same lock as emitSummary: the SIGTERM shutdown hook
+            // snapshots these maps while this loop is still running —
+            // unsynchronized inserts could corrupt its iteration
+            synchronized {
+              repsDetail.getOrElseUpdate(name,
+                scala.collection.mutable.ArrayBuffer.empty) += sec
+              startOff.getOrElseUpdate(name,
+                scala.collection.mutable.ArrayBuffer.empty) += off
+            }
             appendProgress(s"""{"q":"${esc(name)}","pass":$pass,"sec":${fmt.format(sec)},"off":${fmt.format(off)}}""")
           } catch {
             case e: Throwable =>
-              failedQ += name
+              synchronized { failedQ += name }
               appendProgress(
                 s"""{"q":"${esc(name)}","pass":$pass,"failed":true}""")
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

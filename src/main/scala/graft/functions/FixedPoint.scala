@@ -1,31 +1,46 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Exact fixed-point arithmetic helpers for oracle-gated queries.
   *
   * The determinism contract (COVERAGE.md header) requires every float
   * the gate sees to be minted exactly once from exact integer
-  * intermediates with the same expression shape on both engines. These
-  * helpers keep ratio-minting inside long arithmetic: truncating and
-  * flooring division agree on non-negative operands, which is what
-  * makes Spark's `div` and DuckDB's `//` interchangeable.
+  * intermediates with the same expression shape on both engines.
+  * Truncating and flooring division agree on non-negative operands,
+  * which is what makes Spark's `div` and DuckDB's `//`
+  * interchangeable.
+  *
+  * All internal arithmetic runs in decimal(38,0), NOT long: the
+  * round-10 sf10 sweep caught q_cohens_kappa overflowing long inside
+  * the old split-division identity ((a mod b) * scale exceeds 2^63
+  * once b*scale does — there b was ~n^2 of a 200k-row table under a
+  * 1e9 scale). Decimal(38,0) gives 10^38 of exact headroom, the
+  * helpers only ever run on post-aggregation frames (counts and
+  * sufficient statistics, never fact-table rows), and the returned
+  * column is still LongType, so oracle schemas are unchanged.
   */
 object FixedPoint {
 
-  /** Exact long integer division a div b for non-negative operands:
-    * (a - a mod b) is exactly divisible, so the decimal divide is an
-    * exact integer — no double rounding above 2^53.
-    */
-  def ldiv(a: Column, b: Column): Column =
-    ((a - a.mod(b)).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
-      .cast(LongType)
+  private val D38 = DecimalType(38, 0)
 
-  /** floor(scale * a / b) for non-negative long columns without leaving
-    * exact integer arithmetic: (a div b)*scale + ((a mod b)*scale) div b
-    * — no intermediate exceeds b*scale.
+  /** Exact integer division a div b (floor) for non-negative operands:
+    * (a - a mod b) is exactly divisible, so the decimal divide is an
+    * exact integer — no double rounding above 2^53 and no long
+    * overflow below 10^38.
+    */
+  def ldiv(a: Column, b: Column): Column = {
+    val ad = a.cast(D38)
+    val bd = b.cast(D38)
+    ((ad - ad.mod(bd)) / bd).cast(LongType)
+  }
+
+  /** floor(scale * a / b) for non-negative operands. a*scale stays in
+    * decimal(38,0) — exact up to 10^38, no split-division identity
+    * needed (the pre-round-10 long form overflowed at b*scale > 2^63).
     */
   def scaledDiv(a: Column, b: Column, scale: Long): Column =
-    ldiv(a, b) * scale + ldiv(a.mod(b) * scale, b)
+    ldiv(a.cast(D38) * lit(scale).cast(D38), b)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.core.{QueryDef, QueryModule, Tables}
 import graft.functions.FixedPoint.scaledDiv
@@ -127,11 +127,13 @@ object CompositionQueries extends QueryModule {
         // the corpus mixture confounded?). Uses the algebraic identity
         // chi2 = n * (sum_ij n_ij^2/(r_i*c_j) - 1), which needs no
         // per-cell float expected values: each cell term is
-        // fixed-pointed from exact integer counts (scale 1e10 keeps
-        // (r*c)*scale under long overflow through sf well beyond the
-        // bench sizes), summed as longs, and the -1 shift + n multiply
-        // stay integral. One grid agg + two marginal aggs (all tiny)
-        // + a broadcast three-way join on the cells.
+        // fixed-pointed from exact integer counts — the nij^2 and
+        // ri*cj products widen to decimal(38,0) so no cell or marginal
+        // size can overflow (the count-product class the sf10 sweep
+        // caught in q_cohens_kappa), terms sum as longs, and the -1
+        // shift + n multiply stay integral. One grid agg + two
+        // marginal aggs (all tiny) + a broadcast three-way join on
+        // the cells.
         val d = T(s, dir, "documents").select(col("lang"), col("source"))
         val cells = d.groupBy(col("lang"), col("source"))
           .agg(count(lit(1)).as("nij"))
@@ -141,8 +143,10 @@ object CompositionQueries extends QueryModule {
         val terms = cells
           .join(broadcast(rows), Seq("lang"))
           .join(broadcast(cols), Seq("source"))
-          .select(scaledDiv(col("nij") * col("nij"),
-            col("ri") * col("cj"), 10000000000L).as("term"))
+          .select(scaledDiv(
+            col("nij").cast(DecimalType(38, 0)) * col("nij"),
+            col("ri").cast(DecimalType(38, 0)) * col("cj"),
+            10000000000L).as("term"))
         terms.agg(sum(col("term")).as("sumterm"))
           .crossJoin(broadcast(
             cells.agg(countDistinct(col("lang")).as("r"),

@@ -1217,25 +1217,28 @@ object EtlQueries extends QueryModule {
 
     "q_q18_large_orders" -> QueryDef(
       (s, dir) => {
-        // HAVING-filtered aggregate as a semi-join gate on the fact
-        // table, then dim joins and exact-decimal re-aggregation; top-k
-        // via TakeOrderedAndProject with a unique tiebreak
-        val l = T(s, dir, "lineitem").select(col("l_orderkey"),
-          col("l_quantity"))
-        val big = l.groupBy(col("l_orderkey"))
+        // HAVING-filtered aggregate, dim joins, top-k. The classic Q18
+        // plan re-scans the fact for a second (c_name, o_orderkey)
+        // aggregate behind a semi join — but o_orderkey functionally
+        // determines the group, so that re-aggregation would just
+        // recompute the per-order sum the HAVING gate already holds
+        // (round-10: one fact scan + one fact shuffle instead of two
+        // of each; the surviving orders are the only rows that ever
+        // join). Top-k via TakeOrderedAndProject with a unique
+        // tiebreak.
+        val big = T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+          .groupBy(col("l_orderkey"))
           .agg(sum(col("l_quantity").cast(D2)).as("__q"))
           .filter(col("__q") > lit(250).cast(D2))
-          .select(col("l_orderkey"))
         val o = T(s, dir, "orders").select(col("o_orderkey"),
           col("o_custkey"))
         val c = T(s, dir, "customer").select(col("c_custkey"),
           col("c_name"))
-        l.join(big, Seq("l_orderkey"), "left_semi")
-          .join(o, col("l_orderkey") === col("o_orderkey"))
+        big.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .groupBy(col("c_name"), col("o_orderkey"))
-          .agg(sum(col("l_quantity").cast(D2)).cast(DoubleType)
-            .as("total_qty"))
+          .select(col("c_name"), col("o_orderkey"),
+            col("__q").cast(DoubleType).as("total_qty"))
           .orderBy(desc("total_qty"), col("o_orderkey"))
           .limit(10)
       },

@@ -174,10 +174,17 @@ object EvalQueries extends QueryModule {
             .otherwise(0L)).as("n10"),
           sum(when(col("ra") === 1 && col("rb") === 1, 1L)
             .otherwise(0L)).as("n11"))
-        val chance = (col("n00") + col("n01")) * (col("n00") + col("n10")) +
-          (col("n10") + col("n11")) * (col("n01") + col("n11"))
-        val num = col("n") * (col("n00") + col("n11")) - chance
-        val den = col("n") * col("n") - chance
+        // marginal products widen to decimal(38,0) BEFORE multiplying:
+        // chance/den are ~n^2, which leaves long at n ~ 3e9 rows — and
+        // the sf10 sweep already tripped the downstream b*scale long
+        // overflow at n = 200k before FixedPoint widened internally
+        val dec38 = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
+        val chance =
+          (dec38(col("n00")) + col("n01")) * (dec38(col("n00")) + col("n10")) +
+          (dec38(col("n10")) + col("n11")) * (dec38(col("n01")) + col("n11"))
+        val num = dec38(col("n")) * (dec38(col("n00")) + col("n11")) - chance
+        val den = dec38(col("n")) * dec38(col("n")) - chance
         c.select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
           (scaledDiv(num + den, den, 1000000000L) - 1000000000L)
             .as("kappa_scaled"))
@@ -222,11 +229,19 @@ object EvalQueries extends QueryModule {
           .agg(count(lit(1)).as("cnt"))
         val w = Window.orderBy(col("cnt"), col("source"))
         val ranked = c.withColumn("i", row_number().over(w))
+        // k*total and 2*swc widen to decimal before the products —
+        // swc ~ k*n leaves long headroom thin at corpus scale (same
+        // count-product class as the kappa sf10 overflow)
+        val dec38 = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
         ranked.agg(count(lit(1)).as("k"), sum(col("cnt")).as("total"),
             sum(col("i") * col("cnt")).as("swc"))
           .select(col("k"), col("total"),
-            scaledDiv(lit(2) * col("swc") - (col("k") + 1) * col("total"),
-              col("k") * col("total"), 1000000000L).as("gini_scaled"))
+            scaledDiv(
+              lit(2) * dec38(col("swc"))
+                - (dec38(col("k")) + 1) * dec38(col("total")),
+              dec38(col("k")) * dec38(col("total")),
+              1000000000L).as("gini_scaled"))
       },
       Some("""WITH c AS (SELECT source, COUNT(*) AS cnt
              |   FROM documents GROUP BY source),

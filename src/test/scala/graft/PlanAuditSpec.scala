@@ -85,10 +85,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("EqualTo(p_brand,Brand#4)")) // pushed to the scan
   }
 
-  test("q_q18: HAVING gate joins as a real semi-join, no cartesian") {
+  test("q_q18: single fact aggregate — no semi-join re-scan, top-k sort") {
+    // round-10 rewrite: o_orderkey functionally determines the
+    // (c_name, o_orderkey) group, so the per-order HAVING sum IS the
+    // final measure — the classic semi-join + second fact aggregate
+    // would scan and shuffle lineitem twice for identical output
     val p = planOf("q_q18_large_orders")
-    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("LeftSemi"), p.take(2000))
     assert(!p.contains("CartesianProduct"))
+    // exactly one aggregation subtree over the fact: a partial+final
+    // HashAggregate pair = 2 operator instances = 4 substring hits in
+    // the formatted dump (each instance prints in the tree AND in the
+    // details section)
+    assert(p.sliding("HashAggregate".length)
+      .count(_ == "HashAggregate") == 4, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"))
   }
 
   test("q_q4: EXISTS runs as a left-semi join with the date filter pushed") {
