@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.FixedPoint.{ldiv, scaledDiv}
+
+/** FixedPoint helpers: exactness and the round-10 overflow regression.
+  *
+  * The sf10 sweep caught q_cohens_kappa failing with ARITHMETIC_OVERFLOW:
+  * the pre-round-10 scaledDiv split-division identity computed
+  * (a mod b) * scale in LONG, which exceeds 2^63 once b*scale does
+  * (there b ≈ n² of a 200k-row table under a 1e9 scale). The helpers
+  * now run internally in decimal(38,0); these tests pin both the exact
+  * values and the formerly-overflowing regime.
+  */
+class FixedPointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Long =
+    Seq(1).toDF("x").select(c.as("r")).head().getLong(0)
+
+  test("ldiv: floor division matches BigInt on representative pairs") {
+    val cases = Seq[(Long, Long)](
+      (0L, 7L), (6L, 7L), (7L, 7L), (8L, 7L),
+      (Long.MaxValue, 3L), (Long.MaxValue, Long.MaxValue),
+      (1234567890123456789L, 97L))
+    cases.foreach { case (a, b) =>
+      assert(one(ldiv(lit(a), lit(b))) ===
+        (BigInt(a) / BigInt(b)).toLong, s"ldiv($a, $b)")
+    }
+  }
+
+  test("scaledDiv: floor(scale*a/b) matches BigInt on representative pairs") {
+    val scale = 1000000000L
+    val cases = Seq[(Long, Long)](
+      (1L, 3L), (2L, 3L), (999999999L, 1000000000L),
+      (40000000000L, 80000000000L))
+    cases.foreach { case (a, b) =>
+      assert(one(scaledDiv(lit(a), lit(b), scale)) ===
+        (BigInt(a) * scale / BigInt(b)).toLong, s"scaledDiv($a, $b)")
+    }
+  }
+
+  test("regression: the kappa sf10 regime (b*scale > 2^63) stays exact") {
+    // the exact shape that failed: b ~ n² at n = 200k, scale 1e9 —
+    // (a mod b) * scale ≈ 4e19 > Long.MaxValue in the old long identity
+    val n = 200000L
+    val b = n * n // 4e10
+    val a = 2L * b - 12345L // kappa's num+den ∈ [0, 2*den]
+    assert(one(scaledDiv(lit(a), lit(b), 1000000000L)) ===
+      (BigInt(a) * 1000000000L / BigInt(b)).toLong)
+    // and far beyond long entirely: decimal(38,0) arguments
+    val big = lit("99999999999999999999").cast("decimal(38,0)") // 1e20
+    assert(one(scaledDiv(big, big, 1000000000L)) === 1000000000L)
+  }
+}
