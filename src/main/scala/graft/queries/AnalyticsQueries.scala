@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType,
   TimestampNTZType}
 
 import graft.core.{QueryDef, QueryModule, Tables}
-import graft.functions.FixedPoint.ldiv
+import graft.functions.FixedPoint.{ldiv, scaledDiv}
 
 /** OLAP/time-series analytics extensions: explicit GROUPING SETS (the
   * general form behind rollup/cube), time-series gap-filling with
@@ -784,8 +784,10 @@ object AnalyticsQueries extends QueryModule {
             sum(when(era, 0L).otherwise(1L)).as("cnt_b"))
         val tot = per.agg(sum(col("cnt_a")).as("na"),
           sum(col("cnt_b")).as("nb"))
-        val shareA = ldiv(col("cnt_a") * 1000000L, col("na"))
-        val shareB = ldiv(col("cnt_b") * 1000000L, col("nb"))
+        // scaledDiv widens internally; a long cnt*1e6 pre-multiply is
+        // the q_cohens_kappa sf10 overflow class
+        val shareA = scaledDiv(col("cnt_a"), col("na"), 1000000L)
+        val shareB = scaledDiv(col("cnt_b"), col("nb"), 1000000L)
         per.crossJoin(broadcast(tot))
           .select(col("l_partkey"), col("cnt_a"), col("cnt_b"),
             abs(shareA - shareB).as("delta_ppm"))
@@ -834,7 +836,7 @@ object AnalyticsQueries extends QueryModule {
               .as("rows_below_5"))
           .select(col("n_groups"), col("n_rows"), col("min_k"),
             col("groups_below_5"), col("rows_below_5"),
-            ldiv(col("rows_below_5") * 1000000L, col("n_rows"))
+            scaledDiv(col("rows_below_5"), col("n_rows"), 1000000L)
               .as("risk_ppm"))
       },
       Some("""WITH g AS (SELECT c_nationkey, c_mktsegment,
@@ -1048,8 +1050,8 @@ object AnalyticsQueries extends QueryModule {
           .select(col("digit"),
             coalesce(col("observed"), lit(0L)).as("observed"),
             col("expected_ppm"),
-            (ldiv(coalesce(col("observed"), lit(0L)) * 1000000L,
-              col("total")) - col("expected_ppm")).as("dev_ppm"))
+            (scaledDiv(coalesce(col("observed"), lit(0L)),
+              col("total"), 1000000L) - col("expected_ppm")).as("dev_ppm"))
           .orderBy(col("digit"))
       },
       Some("""WITH digits AS (SELECT CAST(substr(CAST(CAST(

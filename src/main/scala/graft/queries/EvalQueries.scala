@@ -283,8 +283,11 @@ object EvalQueries extends QueryModule {
         val tot = o.agg(
           sum(when(col("period") === "p", 1L).otherwise(0L)).as("np"),
           sum(when(col("period") === "q", 1L).otherwise(0L)).as("nq"))
-        val pppm = ldiv((col("cp") + 1) * 1000000L, col("np") + 10)
-        val qppm = ldiv((col("cq") + 1) * 1000000L, col("nq") + 10)
+        // scaledDiv, not ldiv(a*1e6, b): the pre-multiply is a LONG
+        // product of a count — the overflow class the sf10 sweep caught
+        // in q_cohens_kappa; scaledDiv widens internally
+        val pppm = scaledDiv(col("cp") + 1, col("np") + 10, 1000000L)
+        val qppm = scaledDiv(col("cq") + 1, col("nq") + 10, 1000000L)
         counts.crossJoin(broadcast(tot))
           .select(col("bucket"), col("cp"), col("cq"),
             pppm.as("p_ppm"), qppm.as("q_ppm"))
