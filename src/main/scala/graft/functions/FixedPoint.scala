@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.functions.{concat, lit, raise_error, when}
+import org.apache.spark.sql.types.{DecimalType, LongType, StringType}
 
 /** Exact fixed-point arithmetic helpers for oracle-gated queries.
   *
@@ -31,10 +31,26 @@ object FixedPoint {
     * exact integer — no double rounding above 2^53 and no long
     * overflow below 10^38.
     */
+  /** Loud-overflow guard: in non-ANSI mode an out-of-range decimal(38,0)
+    * result (or a division by zero) is a silent NULL, which would
+    * surface as a null metric instead of a failure (round-10 advice).
+    * `expr` null while every input is non-null is exactly that
+    * out-of-contract case — raise instead of propagating the null.
+    * The helpers run on post-aggregation frames only, so the extra
+    * null-checks cost nothing measurable.
+    */
+  private def guarded(expr: Column, what: String,
+      inputs: Column*): Column =
+    when(inputs.map(_.isNotNull).reduce(_ && _) && expr.isNull,
+      raise_error(concat(lit(s"FixedPoint $what out of contract " +
+        "(decimal(38,0) overflow or zero divisor); inputs: "),
+        concat(inputs.map(_.cast(StringType)): _*))))
+      .otherwise(expr)
+
   def ldiv(a: Column, b: Column): Column = {
     val ad = a.cast(D38)
     val bd = b.cast(D38)
-    ((ad - ad.mod(bd)) / bd).cast(LongType)
+    guarded((ad - ad.mod(bd)) / bd, "ldiv", a, b).cast(LongType)
   }
 
   /** floor(scale * a / b) for non-negative operands. a*scale stays in
@@ -42,5 +58,6 @@ object FixedPoint {
     * needed (the pre-round-10 long form overflowed at b*scale > 2^63).
     */
   def scaledDiv(a: Column, b: Column, scale: Long): Column =
-    ldiv(a.cast(D38) * lit(scale).cast(D38), b)
+    ldiv(guarded(a.cast(D38) * lit(scale).cast(D38),
+      "scaledDiv product", a), b)
 }

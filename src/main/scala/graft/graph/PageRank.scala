@@ -38,7 +38,8 @@ object PageRank {
     */
   def run(nodes: DataFrame, edges: DataFrame, idCol: String,
       srcCol: String, dstCol: String, iterations: Int,
-      damping: Int = 85, scale: Long = 1000000000000L): DataFrame = {
+      damping: Int = 85, scale: Long = 1000000000000L,
+      edgeCacheKey: Option[String] = None): DataFrame = {
     require(iterations >= 1 && damping >= 0 && damping <= 100)
     val n = nodes.select(count(lit(1)).as("__n"))
     // out-degree per node, joined once onto edges (broadcast-sized for
@@ -46,7 +47,28 @@ object PageRank {
     // stats). Each edge carries its src's outdeg so the per-iteration
     // contribution is a pure projection.
     val outdeg = edges.groupBy(col(srcCol)).agg(count(lit(1)).as("__deg"))
-    val e = edges.join(outdeg, srcCol)
+    // Materialize the degree-annotated edge list ONCE, hash-partitioned
+    // by src — the in-memory analogue of a src-bucketed table layout
+    // (io/Bucketing.scala proves the on-disk variant). InMemoryTableScan
+    // preserves the cached plan's outputPartitioning, so every
+    // iteration's join-by-src consumes the edges WITHOUT a new Exchange:
+    // only the (node-sized) rank frame moves per iteration, instead of
+    // re-shuffling the whole edge list K times. At 100 TB the edge list
+    // is the graph's dominant volume, so this turns K edge shuffles into
+    // one (PlanAuditSpec pins it). NOT localCheckpoint: the LogicalRDD
+    // it produces reports UnknownPartitioning — the layout would survive
+    // physically but be invisible to EnsureRequirements, putting the
+    // per-iteration Exchange right back. Callers without a cache key
+    // still get the one-shuffle layout; the frame is just scoped to this
+    // plan (ReuseExchange dedupes the K identical subtrees) instead of
+    // shared across runs.
+    val e = edgeCacheKey match {
+      case Some(k) =>
+        graft.core.FrameCache.cached(nodes.sparkSession, k) {
+          edges.join(outdeg, srcCol).repartition(col(srcCol))
+        }
+      case None => edges.join(outdeg, srcCol).repartition(col(srcCol))
+    }
     // teleport share per node: ((scale * (100-damping)) div 100) div n
     // — all integer, n carried in-plan via the broadcast 1-row count
     var ranks = nodes

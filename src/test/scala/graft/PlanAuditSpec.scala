@@ -94,11 +94,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("LeftSemi"), p.take(2000))
     assert(!p.contains("CartesianProduct"))
     // exactly one aggregation subtree over the fact: a partial+final
-    // HashAggregate pair = 2 operator instances = 4 substring hits in
-    // the formatted dump (each instance prints in the tree AND in the
-    // details section)
-    assert(p.sliding("HashAggregate".length)
-      .count(_ == "HashAggregate") == 4, p.take(2000))
+    // HashAggregate pair = 2 operator INSTANCES. Count "(n) HashAggregate"
+    // operator-id headers in the details section — raw substring
+    // frequency also counted the tree-section duplicates, coupling the
+    // test to the formatted-explain layout (round-10 advice)
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).size == 2,
+      p.take(2000))
     assert(p.contains("TakeOrderedAndProject"))
   }
 
@@ -528,5 +529,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(3000))
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  /** Run `body` with auto-broadcast disabled: the iterative graph pins
+    * assert the AT-SCALE co-location shape (SMJ consuming the cached
+    * layout), which toy-SF statistics hide behind broadcast joins —
+    * adaptivity choosing broadcast while small is correct and separately
+    * audited, but it is not the property these tests pin.
+    */
+  private def withoutAutoBroadcast[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  test("q_bfs_reach: src-bucketed edge cache — no per-hop edge re-shuffle") {
+    withoutAutoBroadcast {
+      val p = planOf("q_bfs_reach")
+      // the edge list is consumed from the cache...
+      assert(p.contains("InMemoryTableScan"), p.take(2000))
+      // ...and no hop re-shuffles it: an ENSURE_REQUIREMENTS exchange
+      // over the 2-column (src, dst) pair frame is exactly the per-hop
+      // edge shuffle the bucketed layout removes (only the small
+      // frontier, keyed on `node`, may move per hop). The cached
+      // build's OWN src exchange carries the collect_set buffer, not a
+      // dst column, so the signature below cannot match it.
+      val edgeShuffle =
+        ("""Input \[2\]: \[src#\d+L, dst#\d+L\]\n""" +
+          """Arguments: hashpartitioning\(src#\d+L, \d+\), """ +
+          """ENSURE_REQUIREMENTS""").r
+      assert(edgeShuffle.findAllIn(p).isEmpty,
+        "edge list re-shuffled at a hop join:\n" + p.take(3000))
+    }
+  }
+
+  test("q_pagerank_links: cached edges never re-shuffle per iteration") {
+    withoutAutoBroadcast {
+      val p = planOf("q_pagerank_links")
+      // the degree-annotated edge list is cached hash(src)-partitioned
+      // (graph/PageRank.scala edgeCacheKey)...
+      assert(p.contains("InMemoryTableScan"), p.take(2000))
+      // ...and no join ever re-shuffles it: an ENSURE_REQUIREMENTS
+      // exchange over the 3-column (src, dst, __deg) frame is exactly
+      // the per-iteration edge shuffle the layout removes. (The rank
+      // frame's own exchanges hash on src too after its rename, so the
+      // pin keys on the edge frame's column signature, not the name;
+      // and in fact only iteration 1's rank frame shuffles at all —
+      // later ranks arrive hash(doc_id)-partitioned from the dst
+      // aggregate and the alias-aware projection carries that through.)
+      val edgeShuffle =
+        ("""Input \[3\]: \[src#\d+L, dst#\d+L, __deg#\d+L\]\n""" +
+          """Arguments: hashpartitioning\(src#\d+L, \d+\), """ +
+          """ENSURE_REQUIREMENTS""").r
+      assert(edgeShuffle.findAllIn(p).isEmpty,
+        "edge list re-shuffled inside the iteration loop:\n" + p.take(3000))
+    }
   }
 }

@@ -54,4 +54,22 @@ class FixedPointSpec extends SparkSpec {
     val big = lit("99999999999999999999").cast("decimal(38,0)") // 1e20
     assert(one(scaledDiv(big, big, 1000000000L)) === 1000000000L)
   }
+
+  test("out-of-contract inputs raise instead of returning silent nulls") {
+    // round-10 advice: past 10^38 a non-ANSI decimal(38,0) product is a
+    // silent NULL — the guard must turn that into a loud error, and the
+    // same for a zero divisor
+    val nearMax = lit("9" * 38).cast("decimal(38,0)") // 10^38 - 1
+    val overflow = intercept[Exception] {
+      one(scaledDiv(nearMax, lit(1L), 1000000000L))
+    }
+    assert(overflow.getMessage.contains("FixedPoint"),
+      overflow.getMessage)
+    val divZero = intercept[Exception] { one(ldiv(lit(7L), lit(0L))) }
+    assert(divZero.getMessage.contains("FixedPoint"), divZero.getMessage)
+    // genuine null inputs still propagate as null (in-contract)
+    val r = Seq(1).toDF("x")
+      .select(ldiv(lit(null).cast("long"), lit(3L)).as("r")).head()
+    assert(r.isNullAt(0))
+  }
 }

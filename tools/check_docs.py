@@ -117,6 +117,19 @@ def main():
                 failures.append(
                     f"documented test total {doc_t} != suite {actual_tests}")
 
+    # 4) Duplicate table rows in COVERAGE.md (round-10 judge found a
+    #    copy-pasted Z-order row): any identical non-separator row
+    #    appearing twice is doc padding — fail loudly.
+    seen_rows, dup_rows = set(), []
+    for line in cov.splitlines():
+        row = line.strip()
+        if (row.startswith("|") and not re.match(r"^\|[\s\-|:]+\|$", row)):
+            if row in seen_rows:
+                dup_rows.append(row[:80])
+            seen_rows.add(row)
+    if dup_rows:
+        failures.append(f"COVERAGE.md has duplicate table row(s): {dup_rows}")
+
     m = re.search(r"\*\*Totals: (\d+) registered queries — ALL (\d+) "
                   r"DuckDB-oracle hash-checked\s*\((\d+)\s*rows-only\)", cov)
     if not m:

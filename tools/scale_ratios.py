@@ -63,9 +63,48 @@ def pick(d, use_min):
     return qs
 
 
+def golden(prev_path, cur_path):
+    """Round-over-round deltas on the pinned golden-20 artifacts
+    (tools/golden_bench.sh): same scale factor, isolated quiet-window
+    reps, so a delta IS a code delta. Regressions are judged on the
+    MIN rep (stall-robust); medians are shown for context. Flag
+    threshold 1.3x + 0.3s absolute — below that is JIT/host jitter
+    even in a quiet window."""
+    prev = json.load(open(prev_path))
+    cur = json.load(open(cur_path))
+    pm, cm = prev.get("queries", {}), cur.get("queries", {})
+    pmin = {k: min(v) for k, v in prev.get("rep_samples", {}).items() if v}
+    cmin = {k: min(v) for k, v in cur.get("rep_samples", {}).items() if v}
+    names = sorted(set(pm) & set(cm))
+    print(f"| query | prev med | cur med | prev min | cur min | "
+          f"min delta |")
+    print("|---|---|---|---|---|---|")
+    flagged = []
+    for n in names:
+        a, b = pmin.get(n, pm[n]), cmin.get(n, cm[n])
+        mark = ""
+        if b > 1.3 * a and b - a > 0.3:
+            mark = " **REGRESSED**"
+            flagged.append(n)
+        elif a > 1.3 * b and a - b > 0.3:
+            mark = " (improved)"
+        print(f"| {n} | {pm[n]:.2f} | {cm[n]:.2f} | {a:.2f} | {b:.2f} | "
+              f"{b - a:+.2f}{mark} |")
+    print(f"| **total** | {sum(pm[n] for n in names):.1f} | "
+          f"{sum(cm[n] for n in names):.1f} | "
+          f"{sum(pmin.get(n, pm[n]) for n in names):.1f} | "
+          f"{sum(cmin.get(n, cm[n]) for n in names):.1f} | |")
+    if flagged:
+        print(f"\nREGRESSED (min rep >1.3x and >0.3s): {flagged}")
+        sys.exit(1)
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a != "--min"]
+    args = [a for a in sys.argv[1:] if a not in ("--min", "--golden")]
     use_min = "--min" in sys.argv[1:]
+    if "--golden" in sys.argv[1:]:
+        golden(args[0], args[1])
+        return
     small = json.load(open(args[0]))
     big = json.load(open(args[1]))
     factor = float(args[2]) if len(args) > 2 else 10.0
