@@ -240,28 +240,27 @@ object Bench {
     // stop hook.
     Runtime.getRuntime.addShutdownHook(new Thread(() => emitSummary(true)))
 
-    // ---- pass P: parallel shared-cache prime --------------------------
-    // The serial warmup pass used to pay every FrameCache / ModelCache /
-    // TrainingCache build back-to-back (cache_build_sec was >50% of the
-    // sf0.1 sweep's measured total in round 10). The builds are
-    // independent across cache FAMILIES (ml matrix+fits vs dedup pair
-    // frames vs graph edges vs ANN codebooks) and every cache is
-    // promise-per-key concurrent-safe, so the first consumer of each
-    // family is now materialized CONCURRENTLY before warmup: the wall
-    // cost collapses from sum-of-builds to the longest dependency chain.
-    // Two side-effects, both wanted: (a) the ledger (cache_builds) still
-    // attributes per-build seconds — only the wall changes, reported as
-    // cache_prime_wall_sec; (b) plan profiles of first-consumer queries
-    // now capture the QUERY's execution, not the cache build's count()
-    // (the profile listener takes the first completed execution, which
-    // used to be the build job).
-    // SPARK_GRAFT_PRIME overrides the consumer list ("off" disables);
-    // a name here that stops matching any registered query is harmless —
-    // its family's build just moves back into that consumer's warmup.
-    val primeRe = sys.env.getOrElse("SPARK_GRAFT_PRIME",
-      "^(q_l[0-9]|q_m2_smote|q_a10_importance|q_cv_folds|q_ann_|" +
-        "q_minhash_neardup|q_neardup_|q_containment|q_market_basket|" +
-        "q_bfs_reach|q_sessionize_batch|q_curation_pipeline)")
+    // ---- pass P (opt-in): parallel shared-cache prime ------------------
+    // SPARK_GRAFT_PRIME=<regex of consumer queries> materializes the
+    // first consumer of each FrameCache / ModelCache / TrainingCache
+    // family CONCURRENTLY before warmup (all three caches are
+    // promise-per-key safe), so the cache builds overlap instead of
+    // running back-to-back inside the serial warmup.
+    // DEFAULT OFF — measured NET-NEGATIVE at sf0.1 on local[32]
+    // (round 11, back-to-back full sweeps): each query already
+    // saturates the 32 cores, so concurrent priming only adds
+    // contention — warmup wall 466 s with prime vs 386 s without, and
+    // the per-build ledger inflates ~3x (292 s contended vs 95 s
+    // serial) because each build's wall now includes its neighbors'
+    // CPU. Kept as an opt-in for environments where builds are
+    // latency-bound rather than CPU-bound (e.g. a real cluster where
+    // the driver waits on executor scheduling, or a much bigger SF
+    // where spill I/O dominates). A name that matches no registered
+    // query is harmless — that family's build just stays in its
+    // consumer's warmup. When enabled, cache_prime_wall_sec reports
+    // the phase's wall and per-build ledger seconds must be read as
+    // contended, not serial, cost.
+    val primeRe = sys.env.getOrElse("SPARK_GRAFT_PRIME", "off")
     if (primeRe != "off") {
       val re = primeRe.r
       val primes = selected.filter { case (n, _) =>
