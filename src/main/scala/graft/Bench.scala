@@ -7,10 +7,18 @@ import graft.core.GraftSession
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
   *
-  * Methodology (round-10 revision):
-  *   - Each query gets one un-timed warmup run (JIT, scan cache, shared
-  *     TrainingCache population); the warmup doubles as the
-  *     metrics-accounting run (realized scan rows / shuffle bytes).
+  * Methodology (round-12 revision):
+  *   - The warmup run (JIT, scan cache, shared TrainingCache population)
+  *     doubles as the metrics-accounting run (realized scan rows /
+  *     shuffle bytes) AND — by default — as timed pass 1: its wall time
+  *     is recorded per query in "warmup_sec" but EXCLUDED from the
+  *     committed medians (it carries JIT + cache-build cost), and only
+  *     reps-1 clean passes follow. This folding (round-11 verdict #5)
+  *     cuts one full pass (~170 s at sf0.1) off the sweep wall while
+  *     keeping the stall-aware median contract on the clean reps.
+  *     SPARK_GRAFT_FOLD_WARMUP=0 restores the round-10 shape (un-timed
+  *     warmup + reps clean passes); folding also auto-disables when
+  *     reps==1 so at least one clean rep always exists.
   *   - Timed reps are INTERLEAVED round-robin across queries (pass 1 runs
   *     every query once, pass 2 runs every query again, ...). Rationale:
   *     the host shows external stall windows of ~1-2 min that inflate
@@ -77,6 +85,13 @@ object Bench {
     // bench_full.json carry the evidence); 5 interleaved reps survive one
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt.max(0)
+    // fold the warmup/profile run into pass 1 (timed, median-excluded) —
+    // see the methodology note above; needs a warmup run to fold and at
+    // least one clean rep left over
+    val foldWarmup =
+      sys.env.getOrElse("SPARK_GRAFT_FOLD_WARMUP", "1") == "1" &&
+        warmup >= 1 && reps >= 2
+    val cleanReps = if (foldWarmup) reps - 1 else reps
     // SPARK_GRAFT_PROFILE=cluster: run under clusterDefaults() (2000
     // shuffle partitions pre-AQE, Kryo, skew join, 64 MiB broadcast) —
     // the smoke path that proves the documented cluster profile actually
@@ -121,6 +136,10 @@ object Bench {
     // stall window; offsets reconstruct which reps shared a window
     val repsDetail = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    // per-query wall of the folded warmup/profile run — reported for
+    // transparency, never part of the medians (JIT + cache-build cost)
+    val warmupSec = scala.collection.mutable.LinkedHashMap
+      .empty[String, Double]
     val startOff = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
     val failedQ = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -192,13 +211,15 @@ object Bench {
         val repsJson = repsDetail.map { case (k, xs) =>
           "\"" + esc(k) + "\":[" + xs.map(fmt.format).mkString(",") + "]"
         }.mkString("{", ",", "}")
+        val warmJson = warmupSec.map { case (k, v) => ent(k, v) }
+          .mkString("{", ",", "}")
         val offJson = startOff.map { case (k, os) =>
           "\"" + esc(k) + "\":[" + os.map(fmt.format).mkString(",") + "]"
         }.mkString("{", ",", "}")
         val divJson = divergent.map("\"" + esc(_) + "\"")
           .mkString("[", ",", "]")
         val fullLine =
-          s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$fullJson,"plain_median":$plainJson,"median_divergent":$divJson,"profiles":$profJson,"cache_build_sec":${fmt.format(cacheBuildSec)},"cache_prime_wall_sec":${fmt.format(primeWall)},"cache_builds":$cacheJson,"rep_samples":$repsJson,"start_offset_sec":$offJson,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"interleaved":true,"failed":$failed,"unreached":$unreached,"partial":$partial}"""
+          s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$fullJson,"plain_median":$plainJson,"median_divergent":$divJson,"profiles":$profJson,"cache_build_sec":${fmt.format(cacheBuildSec)},"cache_prime_wall_sec":${fmt.format(primeWall)},"cache_builds":$cacheJson,"rep_samples":$repsJson,"warmup_sec":$warmJson,"start_offset_sec":$offJson,"sf":"$sfDir","reps":$reps,"clean_reps":$cleanReps,"fold_warmup":$foldWarmup,"warmup":$warmup,"interleaved":true,"failed":$failed,"unreached":$unreached,"partial":$partial}"""
         val fullPath = java.nio.file.Paths.get("bench_full.json")
         java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
         // The full line goes ONLY to the file, never to stderr: sbt's
@@ -217,7 +238,7 @@ object Bench {
         val byCost = results.filter(_._2 < 0) ++ done.sortBy(-_._2)
         val budget = 1400
         val head =
-          s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"warmup":$warmup,"n_queries":${results.size},"failed":$failed,"unreached":$unreached,"partial":$partial,"cache_build_sec":${fmt.format(cacheBuildSec)},"cache_prime_wall_sec":${fmt.format(primeWall)},"full":"bench_full.json","queries":{"""
+          s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"clean_reps":$cleanReps,"warmup":$warmup,"n_queries":${results.size},"failed":$failed,"unreached":$unreached,"partial":$partial,"cache_build_sec":${fmt.format(cacheBuildSec)},"cache_prime_wall_sec":${fmt.format(primeWall)},"full":"bench_full.json","queries":{"""
         val tail0 = "}}"
         val kept = scala.collection.mutable.ListBuffer.empty[String]
         var len = head.length + tail0.length + 40 // slack for omitted_*
@@ -266,16 +287,21 @@ object Bench {
       val primes = selected.filter { case (n, _) =>
         re.findFirstIn(n).isDefined }
       val t0 = System.nanoTime()
+      // numeric fallback: SPARK_GRAFT_CPUS may be "*" (Spark accepts it
+      // in local[...]); the pool sizing must not throw on it
+      val cpuN = cpus.toIntOption.getOrElse(
+        Runtime.getRuntime.availableProcessors())
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(8, math.max(2, cpus.toInt / 4)))
+        math.min(8, math.max(2, cpuN / 4)))
       try {
         primes.map { case (name, fn) =>
           pool.submit(new Runnable { def run(): Unit =
             try {
               fn(spark, sfDir).write.format("noop").mode("overwrite").save()
               System.err.println(s"[bench] prime $name ok")
-            } catch { case e: Throwable =>
-              // swallowed: the serial warmup below records the failure
+            } catch { case scala.util.control.NonFatal(e) =>
+              // non-fatal only, and swallowed: the serial warmup below
+              // records the failure; fatal VM errors must kill the sweep
               System.err.println(
                 s"[bench] prime $name failed (ignored): ${e.getMessage}")
             } })
@@ -287,6 +313,9 @@ object Bench {
     }
 
     // ---- pass 0: warmup + plan profile, one query at a time ----------
+    // With foldWarmup (default) this IS timed pass 1 of the sweep: the
+    // per-query wall lands in warmup_sec (median-excluded) and only
+    // cleanReps = reps-1 plain passes follow.
     selected.foreach { case (name, fn) =>
       try {
         // collect between queries, outside the timed region: garbage
@@ -298,19 +327,24 @@ object Bench {
         // (QueryMetrics executes the same noop materialization) —
         // realized scan rows / shuffle bytes land in bench_full.json
         // at zero added cost
-        if (warmup >= 1)
+        if (warmup >= 1) {
+          val t0 = System.nanoTime()
           profiles(name) = graft.core.QueryMetrics.profile(fn(spark, sfDir))
+          if (foldWarmup) synchronized {
+            warmupSec(name) = (System.nanoTime() - t0) / 1e9
+          }
+        }
         (1 until warmup).foreach(_ => runOnce(spark, sfDir, fn))
         System.err.println(s"[bench] warmup $name ok")
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           synchronized { failedQ += name }
           System.err.println(s"[bench] $name FAILED (warmup): ${e.getMessage}")
       }
     }
 
-    // ---- passes 1..reps: round-robin timed reps -----------------------
-    (1 to reps).foreach { pass =>
+    // ---- passes 1..cleanReps: round-robin timed reps ------------------
+    (1 to cleanReps).foreach { pass =>
       selected.foreach { case (name, fn) =>
         if (!failedQ.contains(name)) {
           try {
@@ -328,7 +362,10 @@ object Bench {
             }
             appendProgress(s"""{"q":"${esc(name)}","pass":$pass,"sec":${fmt.format(sec)},"off":${fmt.format(off)}}""")
           } catch {
-            case e: Throwable =>
+            // NonFatal only: an OOM/VM error means every later timing
+            // from this JVM is garbage — let it propagate (the shutdown
+            // hook still emits a partial artifact)
+            case scala.util.control.NonFatal(e) =>
               synchronized { failedQ += name }
               appendProgress(
                 s"""{"q":"${esc(name)}","pass":$pass,"failed":true}""")
@@ -336,7 +373,7 @@ object Bench {
           }
         }
       }
-      System.err.println(s"[bench] pass $pass/$reps complete " +
+      System.err.println(s"[bench] pass $pass/$cleanReps complete " +
         f"(t=${(System.nanoTime() - sweepT0) / 1e9}%.0fs)")
     }
 

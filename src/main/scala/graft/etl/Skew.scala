@@ -40,4 +40,39 @@ object Skew {
     saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
+
+  /** [[saltedJoin]] that salts ONLY the keys that are actually hot on
+    * the big side; every other key takes the plain co-partitioned path.
+    *
+    * Full salting multiplies the ENTIRE small side ×buckets — at 100 TB
+    * that pays the fan-out for millions of cold keys to fix a handful of
+    * hot ones. Here hot keys are found with one exact count-by-key over
+    * the big side (map-side partial agg, so the shuffle is key-grain —
+    * dimension-sized by construction, never fact-sized), broadcast to
+    * split both inputs, and the two joins union back to exactly the
+    * plain join's multiset: the key sets are disjoint, so each big row
+    * matches in exactly one branch.
+    *
+    * @param hotThreshold rows-per-key on the big side above which a key
+    *   is salted. Pick it so the hot set stays broadcast-able (the hot
+    *   frame has at most |big|/hotThreshold keys).
+    */
+  def hotSaltedJoin(big: DataFrame, small: DataFrame, key: String,
+      buckets: Int = 8, hotThreshold: Long = 1000000L,
+      joinType: String = "inner"): DataFrame = {
+    require(buckets > 0 && hotThreshold > 0)
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi")(jt),
+      s"hotSaltedJoin supports inner/left/left_semi joins, not $joinType")
+    val hot = broadcast(
+      big.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > hotThreshold)
+        .select(col(key)))
+    val bigHot = big.join(hot, Seq(key), "left_semi")
+    val bigCold = big.join(hot, Seq(key), "left_anti")
+    val smallHot = small.join(hot, Seq(key), "left_semi")
+    val smallCold = small.join(hot, Seq(key), "left_anti")
+    saltedJoin(bigHot, smallHot, key, buckets, joinType)
+      .unionByName(bigCold.join(smallCold, Seq(key), joinType))
+  }
 }

@@ -58,16 +58,18 @@ object PageRank {
     // one (PlanAuditSpec pins it). NOT localCheckpoint: the LogicalRDD
     // it produces reports UnknownPartitioning — the layout would survive
     // physically but be invisible to EnsureRequirements, putting the
-    // per-iteration Exchange right back. Callers without a cache key
-    // still get the one-shuffle layout; the frame is just scoped to this
-    // plan (ReuseExchange dedupes the K identical subtrees) instead of
-    // shared across runs.
+    // per-iteration Exchange right back. Callers without a cache key get
+    // the UN-repartitioned plan: a small (broadcast-able) edge side then
+    // pays ZERO exchanges, and a big one still shuffles only once because
+    // ReuseExchange dedupes the K identical join subtrees — forcing the
+    // repartition there would make small-graph callers pay a shuffle the
+    // optimizer would otherwise skip.
     val e = edgeCacheKey match {
       case Some(k) =>
         graft.core.FrameCache.cached(nodes.sparkSession, k) {
           edges.join(outdeg, srcCol).repartition(col(srcCol))
         }
-      case None => edges.join(outdeg, srcCol).repartition(col(srcCol))
+      case None => edges.join(outdeg, srcCol)
     }
     // teleport share per node: ((scale * (100-damping)) div 100) div n
     // — all integer, n carried in-plan via the broadcast 1-row count

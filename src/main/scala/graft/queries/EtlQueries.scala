@@ -729,6 +729,34 @@ object EtlQueries extends QueryModule {
              | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
       "skew-salted join == plain join results (oracle-checked)"),
 
+    "q_join_salted_hot" -> QueryDef(
+      (s, dir) => {
+        // hot-key-ONLY salting — the production form of q_join_salted:
+        // full salting explodes the whole small side ×buckets, paying
+        // the fan-out for every cold key; here one key-grain count
+        // detects the hot keys (threshold 15 ≈ p95 of the ~Poisson(10)
+        // orders-per-customer distribution, so BOTH branches carry rows
+        // at every oracle scale) and only their rows salt. Results are
+        // the plain join's exact multiset (disjoint key split), which
+        // the shared oracle pins.
+        val o = T(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+        val c = T(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        Skew.hotSaltedJoin(o, c, "custkey", buckets = 8,
+            hotThreshold = 15L)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total_price"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+             | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |   AS total_price
+             | FROM orders JOIN customer ON o_custkey = c_custkey
+             | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      "hot-key-only salted join == plain join results (oracle-checked)"),
+
     "q_q1_pricing_summary" -> QueryDef(
       (s, dir) =>
         T(s, dir, "lineitem")

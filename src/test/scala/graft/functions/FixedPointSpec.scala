@@ -72,4 +72,42 @@ class FixedPointSpec extends SparkSpec {
       .select(ldiv(lit(null).cast("long"), lit(3L)).as("r")).head()
     assert(r.isNullAt(0))
   }
+
+  test("chaos: a registry-shaped run under cluster confs fails loudly " +
+    "on an overflowed input") {
+    // Round-11 verdict #6: the guard is spec-pinned on literals above,
+    // but the driver-harness contract is that an out-of-contract input
+    // fails the RUN — through a parquet scan, a real Exchange at the
+    // cluster profile's 2000 shuffle partitions with AQE, whole-stage
+    // codegen, and the same noop-write materialization Bench/Verify
+    // use — never completing silently with null metrics. (The profile's
+    // context-level configs — Kryo — can't be flipped in the shared test
+    // JVM; the full-run proof of those is CORRECTNESS_cluster_r11.txt.)
+    val dir = java.nio.file.Files.createTempDirectory("fp_chaos").toString
+    // adversarial table: one group whose aggregate lands at 10^38 - 1
+    // (max decimal(38,0)), one healthy group — the failure must surface
+    // even though most of the data is in-contract
+    spark.range(0, 4)
+      .selectExpr("id % 2 as g",
+        s"case when id % 2 = 0 then cast('${"9" * 38}' as decimal(38,0)) " +
+          "else cast(id as decimal(38,0)) end as v")
+      .write.mode("overwrite").parquet(s"$dir/chaos")
+    // query-shaped exactly like a SparkEntry.queries entry
+    val q: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame = (s, d) =>
+      s.read.parquet(s"$d/chaos")
+        .groupBy(col("g")).agg(max(col("v")).as("mx")) // forces an Exchange
+        .select(col("g"), scaledDiv(col("mx"), lit(1L), 1000000000L)
+          .as("ppm"))
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "2000")
+    sess.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val e = intercept[Exception] {
+      q(sess, dir).write.format("noop").mode("overwrite").save()
+    }
+    // the raise_error message must survive Spark's job-failure wrapping
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("FixedPoint"), msgs)
+  }
 }

@@ -44,7 +44,7 @@ def main():
                  v.get("n_shuffles"))
              for k, v in b.get("profiles", {}).items()}
     pinned = parse_plans(plans)
-    flagged, new, gone = [], [], []
+    flagged, improved, new, gone = [], [], [], []
     for name, f in sorted(fresh.items()):
         p = pinned.get(name)
         if p is None:
@@ -56,13 +56,21 @@ def main():
             a, c = p[i], f[i]
             if a is None or c is None:
                 continue
+            # direction matters: growth past the gate is a regression;
+            # shrinkage past it means the plan got BETTER than its pin —
+            # report as IMPROVED and prompt a re-pin, never exit 1
             if exact:
-                if abs(a - c) > 1:
+                if c - a > 1:
                     flagged.append((name, label, a, c))
+                elif a - c > 1:
+                    improved.append((name, label, a, c))
             # small absolute values jitter with AQE coalescing; only
             # compare ratios above a materiality floor
-            elif max(a, c) >= 100_000 and (c > a * FACTOR or a > c * FACTOR):
-                flagged.append((name, label, a, c))
+            elif max(a, c) >= 100_000:
+                if c > a * FACTOR:
+                    flagged.append((name, label, a, c))
+                elif a > c * FACTOR:
+                    improved.append((name, label, a, c))
     gone = sorted(set(pinned) - set(fresh))
     # a silently-empty gate is worse than a failing one: if the PLANS.md
     # table format drifted (parse found nothing) or nothing overlapped,
@@ -77,6 +85,9 @@ def main():
         sys.exit(1)
     for name, label, a, c in flagged:
         print(f"REGRESSION {name}: {label} {a:,} -> {c:,}")
+    for name, label, a, c in improved:
+        print(f"IMPROVED {name}: {label} {a:,} -> {c:,} "
+              "(stale pin — regenerate PLANS.md via tools/plan_summary.py)")
     if new:
         print(f"new (not pinned): {len(new)}: {', '.join(new)}")
     if gone:
@@ -85,7 +96,8 @@ def main():
         print(f"{len(flagged)} profile regression(s) vs {plans}")
         sys.exit(1)
     print(f"profiles stable: {len(fresh) - len(new)} compared, "
-          f"0 regressions (factor {FACTOR}, n_shuffles +/-1)")
+          f"0 regressions, {len(improved)} improved "
+          f"(factor {FACTOR}, n_shuffles +/-1)")
 
 
 if __name__ == "__main__":
