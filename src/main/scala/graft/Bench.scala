@@ -105,6 +105,7 @@ object Bench {
       else GraftSession.benchScratch(GraftSession.configure(base))
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
+    GraftSession.tuneScanSplits(spark)
     // ERROR, not WARN: repeated executor warnings (cache-manager,
     // single-partition-window notices) add hundreds of lines to the
     // merged output the driver captures; the bench result must not

@@ -20,6 +20,7 @@ object Verify {
         graft.core.GraftSession.configure(base))
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
+    graft.core.GraftSession.tuneScanSplits(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // local-iteration aid (same contract as Bench): SPARK_GRAFT_ONLY=<regex>

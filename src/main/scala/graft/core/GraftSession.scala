@@ -34,6 +34,16 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // scan-split floor (round 12): maxSplitBytes = min(maxPartitionBytes,
+      // max(openCostInBytes, totalBytes/minPartitionNum)) — with the 4 MiB
+      // default openCost, a small-but-CPU-dense compressed file lands in
+      // one task (documents at sf10 is a 9.7 MB parquet hiding ~1 GB of
+      // string work → ONE core ran every text query's regex/shingle pass;
+      // measured 3-9x on the sf10 text family). 64 KiB keeps splits
+      // governed by the parallelism-aware bytes-per-core term instead.
+      // At 100 TB splits are plentiful and this floor is inert; it only
+      // stops compact files from starving CPU.
+      .config("spark.sql.files.openCostInBytes", "65536")
       // keep managed (bucketed) tables out of the repo working dir
       .config("spark.sql.warehouse.dir",
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse")
@@ -112,6 +122,17 @@ object GraftSession {
       SparkSession.builder().master(s"local[$cores]").appName(appName))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    tuneScanSplits(spark)
+  }
+
+  /** Scan-split balance: at least 2 splits per core (the classic
+    * straggler guard), expressed against the RUNTIME defaultParallelism
+    * so it scales with the cluster instead of pinning a local constant.
+    * Session-settable, so entry points apply it after getOrCreate.
+    */
+  def tuneScanSplits(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.files.minPartitionNum",
+      (2L * spark.sparkContext.defaultParallelism).toString)
     spark
   }
 

@@ -241,18 +241,15 @@ object LlmQueries extends QueryModule {
       "document fingerprinting (content digest)"),
 
     "q_ngram_jaccard" -> QueryDef(
-      (s, dir) => {
+      (s, dir) =>
         // exact 3-gram Jaccard over a deterministic pair set (adjacent
         // doc_ids) — the verification primitive of the near-dup family,
-        // oracle-checked end to end.
-        val docs = T(s, dir, "documents")
-        val pairs = docs.select(col("doc_id").as("id_a"),
-          (col("doc_id") + 1).as("id_b"))
-          .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"))
-          .select(col("id_a"), col("id_b"))
-        NearDup.ngramJaccard(docs, "doc_id", "text", pairs, n = 3)
-          .orderBy(col("id_a"))
-      },
+        // oracle-checked end to end. The adjacent specialization
+        // assembles each pair with ONE exchange (see
+        // NearDup.adjacentNgramJaccard; equality with the general join
+        // shape is pinned in NearDupSpec).
+        NearDup.adjacentNgramJaccard(T(s, dir, "documents"),
+          "doc_id", "text", n = 3),
       Some("""WITH t AS (SELECT doc_id,
              |   regexp_split_to_array(trim(lower(text)), '\s+') AS ts
              |   FROM documents),
@@ -960,22 +957,27 @@ object LlmQueries extends QueryModule {
         // the production dedup DECISION: per near-dup cluster, keep the
         // highest-quality member (argmax quality, doc_id tiebreak) — not
         // just the min id. Components come from the pointer-jumping
-        // clusterer; quality joins on (bounded-size) cluster membership;
-        // the argmax is a per-component window. Everything after
-        // clustering shuffles |clustered docs| rows only.
+        // clusterer; quality is ONE fused TextProfile pass (the
+        // multi-pass qualityScore was 3x the cost — round-12 probe,
+        // equality spec-pinned in TextProfileSpec); the per-component
+        // argmax+count is a groupBy over max(struct(quality, -id))
+        // (lexicographic struct max = highest quality, then lowest id),
+        // which partial-aggregates map-side where the previous
+        // row_number window shuffled and sorted every clustered row
+        // (sf10: 11.2 s → 1.3 s with both changes). Everything after
+        // clustering shuffles |components| rows only.
         val d = T(s, dir, "documents")
         val comp = cachedLangChainComponents(s, dir)
         val q = d.select(col("doc_id").as("id"),
-          TextStats.qualityScore(col("text")).as("quality"))
-        val w = Window.partitionBy(col("component"))
-          .orderBy(col("quality").desc, col("id"))
+          TextStats.qualityScoreFrom(TextStats.profile(col("text")))
+            .as("quality"))
         comp.join(q, Seq("id"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n_members",
-            count(lit(1)).over(Window.partitionBy(col("component"))))
-          .filter(col("rn") === 1)
-          .select(col("component"), col("id").as("keep_id"),
-            col("n_members"), col("quality").as("best_quality"))
+          .groupBy(col("component"))
+          .agg(max(struct(col("quality"), (-col("id")).as("nid")))
+            .as("__b"),
+            count(lit(1)).as("n_members"))
+          .select(col("component"), (-col("__b.nid")).as("keep_id"),
+            col("n_members"), col("__b.quality").as("best_quality"))
           .orderBy(col("component"))
       },
       Some("""WITH RECURSIVE e AS (
@@ -1860,14 +1862,20 @@ object LlmQueries extends QueryModule {
             lit("@example.com or call +1-555-"),
             lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
           .otherwise(col("text"))
+        // regex columns ABOVE the sort, not below it: a global sort's
+        // range-sampling job re-executes its child, so ordering the
+        // regex output paid the whole scrub pass twice (sf10: 20.6 s vs
+        // 2.0 s — round-12 probe, output value-identical). Sampling the
+        // (doc_id, text) child costs one cheap scan, the regex work runs
+        // once post-exchange, and projection preserves the sort order.
         docs.select(col("doc_id"), seeded.as("__t"))
+          .orderBy(col("doc_id"))
           .select(
             col("doc_id"),
             TextStats.emailCount(col("__t")).cast("long").as("n_emails"),
             TextStats.phoneCount(col("__t")).cast("long").as("n_phones"),
             md5(TextStats.scrubPii(col("__t")).cast("binary"))
               .as("scrub_digest"))
-          .orderBy(col("doc_id"))
       },
       Some("""WITH seeded AS (SELECT doc_id,
              |     CASE WHEN doc_id % 10 = 0 THEN text || ' contact user'

@@ -62,6 +62,50 @@ object Probe {
     "ngram_shingles" -> ((s, dir) =>
       NearDup.shingles(T(s, dir, "documents"), "text", 3)
         .agg(sum(size(col("__shingles"))).as("n"))),
+    // candidate A: current join shape + localCheckpoint of the skinny
+    // result before the global sort (the sort's range-sampling pass then
+    // scans the 24-byte rows instead of re-executing joins+intersect)
+    "ngram_ckpt" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val j = ngramJoined(docs)
+        .withColumn("__inter",
+          size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
+        .withColumn("jaccard",
+          col("__inter") /
+            (size(col("__sa")) + size(col("__sb")) - col("__inter")))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .localCheckpoint()
+      j.orderBy(col("id_a"))
+    }),
+    // candidate B: single-shuffle pair assembly — each doc's shingle
+    // array is tagged to the two adjacent pairs it serves and grouped by
+    // pair id (ONE exchange of 2 arrays/doc; the join shape moves arrays
+    // ~3x and computes shingles twice)
+    "ngram_grouped" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val sh = NearDup.shingles(docs, "text", 3)
+        .select(col("doc_id"), col("__shingles"))
+      val tagged = sh.select(explode(array(
+        struct(col("doc_id").as("pid"), lit(0).as("role"),
+          col("__shingles").as("arr")),
+        struct((col("doc_id") - 1).as("pid"), lit(1).as("role"),
+          col("__shingles").as("arr")))).as("x"))
+        .select(col("x.pid"), col("x.role"), col("x.arr"))
+      val g = tagged.groupBy(col("pid"))
+        .agg(first(when(col("role") === 0, col("arr")), ignoreNulls = true)
+          .as("__sa"),
+          first(when(col("role") === 1, col("arr")), ignoreNulls = true)
+            .as("__sb"))
+        .filter(col("__sa").isNotNull && col("__sb").isNotNull)
+      val skinny = g.withColumn("__inter",
+          size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
+        .select(col("pid").as("id_a"), (col("pid") + 1).as("id_b"),
+          (col("__inter") /
+            (size(col("__sa")) + size(col("__sb")) - col("__inter")))
+            .as("jaccard"))
+        .localCheckpoint()
+      skinny.orderBy(col("id_a"))
+    }),
     // ---- q_canonical_select ---------------------------------------------
     "canon_full" -> registered("q_canonical_select"),
     "canon_quality" -> ((s, dir) =>
@@ -108,6 +152,38 @@ object Probe {
       counts = false, scrub = true)),
     "pii_scan" -> ((s, dir) => piiBody(s, dir, order = false,
       counts = false, scrub = false)),
+    // candidate: range-sort the (doc_id, text) frame FIRST, compute the
+    // regex columns ABOVE the sort — the sort's sampling pass then
+    // re-executes only the scan+seed (0.4 s at sf10), not the regex work
+    "pii_sortfirst" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val seeded = when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text"))
+      docs.select(col("doc_id"), seeded.as("__t"))
+        .orderBy(col("doc_id"))
+        .select(
+          col("doc_id"),
+          TextStats.emailCount(col("__t")).cast("long").as("n_emails"),
+          TextStats.phoneCount(col("__t")).cast("long").as("n_phones"),
+          md5(TextStats.scrubPii(col("__t")).cast("binary"))
+            .as("scrub_digest"))
+    }),
+    // equivalence gates for the candidates (must return [0, 0])
+    "pii_diff" -> ((s, dir) => {
+      val a = registered("q_pii_scrub")(s, dir)
+      val b = variants("pii_sortfirst")(s, dir)
+      a.exceptAll(b).agg(count(lit(1)).as("a_minus_b"))
+        .crossJoin(b.exceptAll(a).agg(count(lit(1)).as("b_minus_a")))
+    }),
+    "ngram_diff" -> ((s, dir) => {
+      val a = registered("q_ngram_jaccard")(s, dir)
+      val b = variants("ngram_grouped")(s, dir)
+      a.exceptAll(b).agg(count(lit(1)).as("a_minus_b"))
+        .crossJoin(b.exceptAll(a).agg(count(lit(1)).as("b_minus_a")))
+    }),
     // ---- q_join_salted --------------------------------------------------
     "salted_full" -> registered("q_join_salted"),
     "salted_plain" -> ((s, dir) => {
@@ -166,22 +242,34 @@ object Probe {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-probe")))
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
+    GraftSession.tuneScanSplits(spark)
     spark.sparkContext.setLogLevel("ERROR")
+    // PROBE_SPLIT=0: undo the session's scan-split tuning, for A/Bs of
+    // the pre-round-12 split behavior (4 MiB openCost, default
+    // minPartitionNum — tiny compressed files land in one CPU task)
+    if (sys.env.get("PROBE_SPLIT").contains("0")) {
+      spark.conf.set("spark.sql.files.openCostInBytes", 4194304L)
+      spark.conf.unset("spark.sql.files.minPartitionNum")
+    }
     val fmt = new java.text.DecimalFormat("0.###")
     variants.toSeq.sortBy(_._1)
       .filter(v => pattern.findFirstIn(v._1).isDefined)
       .foreach { case (name, fn) =>
         try {
-          System.gc()
-          fn(spark, dir).write.format("noop").mode("overwrite").save()
-          val xs = (1 to reps).map { _ =>
+          if (name.endsWith("_diff")) {
+            println(s"$name: " + fn(spark, dir).collect().mkString(" "))
+          } else {
             System.gc()
-            val t0 = System.nanoTime()
             fn(spark, dir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
+            val xs = (1 to reps).map { _ =>
+              System.gc()
+              val t0 = System.nanoTime()
+              fn(spark, dir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            }
+            println(s"$name: reps=[" + xs.map(fmt.format).mkString(", ") +
+              s"] min=${fmt.format(xs.min)}")
           }
-          println(s"$name: reps=[" + xs.map(fmt.format).mkString(", ") +
-            s"] min=${fmt.format(xs.min)}")
         } catch {
           case scala.util.control.NonFatal(e) =>
             println(s"$name: FAILED ${e.getMessage}")

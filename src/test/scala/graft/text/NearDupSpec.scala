@@ -26,6 +26,29 @@ class NearDupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("adjacentNgramJaccard equals ngramJaccard on the adjacent pair set") {
+    // gapped + shuffled ids: pair (2,3) exists, (4,5)/(1,2) partial-gap
+    // cases (5 and 0 absent) must behave identically in both shapes,
+    // including a doc (id 7) with NO adjacent partner at all
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and never"),
+      (4L, "completely different content about spark query engines"),
+      (7L, "an island document with no neighbor either side"))
+      .toDF("doc_id", "text")
+    val pairs = d.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1).as("id_b"))
+      .join(d.select(col("doc_id").as("id_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val general = NearDup.ngramJaccard(d, "doc_id", "text", pairs, n = 3)
+      .orderBy(col("id_a")).collect().toSeq
+    val adjacent = NearDup.adjacentNgramJaccard(d, "doc_id", "text", n = 3)
+      .collect().toSeq
+    assert(adjacent === general)
+    assert(adjacent.map(_.getLong(0)) === Seq(1L, 2L, 3L))
+  }
+
   test("exact-dup pair has jaccard 1.0; near-dup below 1") {
     val rows = NearDup.minHashPairs(docs, "doc_id", "text",
         minJaccard = 0.2, numHashTables = 8)
