@@ -18,6 +18,37 @@ object AnalyticsQueries extends QueryModule {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Exact linear-interpolated MEDIAN per group from a value histogram
+    * `(group, v, cnt)` — `percentile(v, 0.5)` / `quantile_cont(v, 0.5)`
+    * semantics on the expanded multiset, computed entirely with window
+    * math over the (tiny) histogram frame. Exactness: the 0.5-quantile
+    * rank r = (n-1)/2 splits into integer index i and fraction f in
+    * {0, 0.5}; value-at-index is a cumulative-count range probe; with
+    * small-integer-grained values the interpolation
+    * v_i + f*(v_{i+1} - v_i) is an exact double, bit-identical to both
+    * engines (the q_outlier_iqr argument at p=1/2). Returns
+    * (group, med: double).
+    */
+  private def histMedian(hist: DataFrame, group: String,
+      v: String): DataFrame = {
+    val wg = Window.partitionBy(col(group))
+    val wc = wg.orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = hist
+      .withColumn("__n", sum(col("cnt")).over(wg))
+      .withColumn("__cum", sum(col("cnt")).over(wc))
+      .withColumn("__cum0", col("__cum") - col("cnt"))
+      .withColumn("__i", expr("(__n - 1) div 2"))
+      .withColumn("__f", expr("((__n - 1) % 2) / 2.0"))
+      .withColumn("__iu", least(col("__i") + 1, col("__n") - 1))
+    def vat(i: Column): Column =
+      max(when(col("__cum0") <= i && i < col("__cum"),
+        col(v).cast(DoubleType))).over(wg)
+    d.withColumn("__med", vat(col("__i")) +
+        col("__f") * (vat(col("__iu")) - vat(col("__i"))))
+      .groupBy(col(group)).agg(first(col("__med")).as("med"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     "q_a17_grouping_sets" -> QueryDef(
@@ -510,22 +541,40 @@ object AnalyticsQueries extends QueryModule {
     "q_robust_scale" -> QueryDef(
       (s, dir) => {
         // robust scaling (median/MAD normalization — the outlier-proof
-        // alternative to z-scores for heavy-tailed features): exact
-        // median per group, exact median absolute deviation via a
-        // second grouped percentile over |x - median|, then the scaled
-        // value for a bounded sample of rows. Two grouped percentile
-        // passes + one broadcast join; at 100 TB swap the exact
-        // percentile for the mergeable approx sketch (q_a14 pattern)
-        // without changing the join shape.
+        // alternative to z-scores for heavy-tailed features). Round-12:
+        // the two exact grouped `percentile` passes (each buffering 60 M
+        // values per group at sf10) are replaced by the q_outlier_iqr
+        // grouped value-histogram — ONE fact scan with map-side partial
+        // combine into (group, value, cnt); the exact interpolated
+        // median AND the exact MAD (deviations re-histogrammed from the
+        // tiny frame, never from rows) come from window math over
+        // <=|groups|x|domain| rows. Same exactness argument as
+        // q_outlier_iqr: rank splits into integer index + exact 1/2
+        // fraction, values are small ints (deviations exact k.0/k.5
+        // doubles), so v_i + f*(v_{i+1}-v_i) is bit-identical to
+        // percentile()/quantile_cont. The sampled-row rescale join is
+        // unchanged (broadcast 3-row stats).
         val li = T(s, dir, "lineitem")
-        val med = li.groupBy(col("l_returnflag"))
-          .agg(expr("percentile(l_quantity, 0.5)").as("med"))
-        val mad = li.join(broadcast(med), Seq("l_returnflag"))
-          .groupBy(col("l_returnflag"))
-          .agg(expr("percentile(abs(l_quantity - med), 0.5)").as("mad"),
-            first(col("med")).as("med"))
+        val hist = li.groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("cnt"))
+        val med = histMedian(hist, "l_returnflag", "l_quantity")
+        val devHist = hist.join(broadcast(med), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"),
+            abs(col("l_quantity").cast(DoubleType) - col("med"))
+              .as("dev"))
+          .agg(sum(col("cnt")).as("cnt"))
+        val mad = histMedian(devHist, "l_returnflag", "dev")
+          .withColumnRenamed("med", "mad")
+        // lazily checkpoint the |groups|-row stats frame: the hist
+        // subtree is referenced by BOTH median paths and the final
+        // sort's sampling job re-executes its child — without the
+        // checkpoint the static plan carries 8 copies of the fact scan
+        // (exchange reuse recovers some, the sampler none). One stats
+        // job, 3 rows pinned, everything downstream reads them.
+        val stats = med.join(mad, Seq("l_returnflag"))
+          .localCheckpoint(false)
         li.filter(col("l_orderkey") <= 320)
-          .join(broadcast(mad), Seq("l_returnflag"))
+          .join(broadcast(stats), Seq("l_returnflag"))
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_returnflag"), col("med"), col("mad"),
             round((col("l_quantity") - col("med")) / col("mad"), 8)
