@@ -53,6 +53,15 @@ object Skew {
     * plain join's multiset: the key sets are disjoint, so each big row
     * matches in exactly one branch.
     *
+    * Cost trade-off vs [[saltedJoin]]: this shape EXECUTES THE BIG SIDE
+    * THREE TIMES — the count-by-key pass plus the left_semi/left_anti
+    * split branches. When `big` is a cheap columnar scan the extra
+    * passes are pruned-column reads and the avoided ×buckets fan-out
+    * dominates; when `big` is itself an expensive subplan (joins, regex,
+    * exploded arrays), persist or localCheckpoint it first — or prefer
+    * full [[saltedJoin]] when the small side is tiny enough that its
+    * fan-out costs less than two extra big-side executions.
+    *
     * @param hotThreshold rows-per-key on the big side above which a key
     *   is salted. Pick it so the hot set stays broadcast-able (the hot
     *   frame has at most |big|/hotThreshold keys).

@@ -36,13 +36,6 @@ object BehaviorQueries extends QueryModule {
   /** 30-minute session gap in integral microseconds. */
   private val GapUs = 30L * 60 * 1000000L
 
-  /** Unique memory-sink table suffix per streaming-gate invocation (the
-    * result is deterministic; only the sink name must not collide when
-    * the gate runs repeatedly in one session — bench reps, determinism
-    * sweeps).
-    */
-  private val StreamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-
   /** Microseconds per epoch-anchored week. */
   private val WeekUs = 7L * 86400 * 1000000L
 
@@ -687,7 +680,7 @@ object BehaviorQueries extends QueryModule {
         // §2.10 promoted from spec-covered to ORACLE-covered: a REAL
         // Structured Streaming run — file-source micro-batches,
         // `session_window` + event-time watermark in APPEND mode,
-        // Trigger.AvailableNow termination — whose final sink table is
+        // Trigger.AvailableNow termination — whose final sink output is
         // hash-compared to a batch-SQL oracle. Append-mode semantics are
         // part of the gate: a session is released only once the final
         // watermark (max event time, ms-truncated, minus 10 min) passes
@@ -695,15 +688,19 @@ object BehaviorQueries extends QueryModule {
         // retention rule. Scale shape: the session state store holds one
         // merging window per open session (bounded by active users, not
         // event volume), evicted by the watermark; swap the file source
-        // for Kafka and this query runs unchanged on a cluster. The
-        // memory sink is the gate-scale harness; production writes
-        // parquet (spec-covered restart-exactly-once in EventStreamSpec).
+        // for Kafka and this query runs unchanged on a cluster. The sink
+        // is PARQUET — the documented production path (spec-covered
+        // restart-exactly-once in EventStreamSpec): emitted sessions are
+        // written executor-side per micro-batch and never funnel through
+        // the driver. (Round 12 used a memory sink here; at sf10 its
+        // driver-side collect of every session row was 43 s of the
+        // query's 49 s — the operator itself, measured by the twin gate
+        // q_session_stats, runs ~6 s.)
         val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
-        val tbl = s"stream_sessions_${StreamSeq.incrementAndGet()}"
         // every invocation cleans up after itself (round-7 advice: bench
-        // reps and determinism sweeps multiplied the leaked temp copies
-        // and memory-sink tables): localCheckpoint detaches the result
-        // from the sink table AND the source files, so both can go
+        // reps and determinism sweeps multiplied the leaked temp copies):
+        // localCheckpoint detaches the result from the sink files AND the
+        // source files, so both can go
         try {
           java.nio.file.Files.copy(
             java.nio.file.Paths.get(s"$dir/events.parquet"),
@@ -711,13 +708,16 @@ object BehaviorQueries extends QueryModule {
           val events = graft.streaming.EventStream.readEvents(s, tmp.toString)
           val sess = graft.streaming.EventStream.sessionWindows(
             events.withWatermark("event_time", "10 minutes"), "30 minutes")
-          val q = sess.writeStream.format("memory").queryName(tbl)
+          val out = tmp.resolve("sessions").toString
+          val q = sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
             .outputMode("append")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           require(q.awaitTermination(300000),
             "q_stream_sessionize: streaming query did not terminate")
-          s.table(tbl)
+          s.read.parquet(out)
             .select(col("user_id"),
               unix_micros(col("session_start")).as("start_us"),
               unix_micros(col("session_end")).as("end_us"),
@@ -725,7 +725,6 @@ object BehaviorQueries extends QueryModule {
             .orderBy(col("user_id"), col("start_us"))
             .localCheckpoint()
         } finally {
-          s.catalog.dropTempView(tbl)
           // the checkpointed frame no longer reads these files
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(tmp).iterator().asScala.toSeq

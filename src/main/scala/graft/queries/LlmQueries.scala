@@ -330,7 +330,9 @@ object LlmQueries extends QueryModule {
         // hitting the exact top-1). The dedup decision itself is a
         // threshold over this candidate set.
         val emb = T(s, dir, "embeddings")
-        val probes = emb.orderBy(col("vec_id")).limit(50)
+        // 50 rows, consumed by three subplans (LSH, brute gate, final
+        // frame) — checkpointed so the TakeOrdered scan runs once
+        val probes = emb.orderBy(col("vec_id")).limit(50).localCheckpoint()
         val nn = Ann.lshTopK(emb, probes, "vec_id", "embedding", k = 1,
           bucketLength = 2.0, numHashTables = 4)
         val brute10 = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding",

@@ -326,13 +326,22 @@ object Ann {
     }
     val c = banded(corpus, "neighbor_id")
     val p = broadcast(banded(probes, "probe_id"))
-    val cand = p.join(c, Seq("__table", "__bucket"))
+    // score IMMEDIATELY inside the broadcast-join stage, then dedup the
+    // SKINNY (probe, neighbor, cosine) rows with a map-side partial agg.
+    // The earlier shape (dropDuplicates first, cosine after) shuffled
+    // every multi-table candidate WITH both vectors attached — at sf10
+    // that was ~9.5M wide rows through one exchange, 5.6-10 s; this
+    // shape never exchanges a vector (scan -> broadcast join -> fused
+    // cosine -> 24-byte rows), and a pair's up-to-numHashTables
+    // duplicates are born in one input partition, so the partial max()
+    // collapses them before the shuffle. Output is bit-identical: same
+    // candidate set, same exact scores (max over equal values).
+    val scored = p.join(c, Seq("__table", "__bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("__v_probe_id"),
-        col("neighbor_id"), col("__v_neighbor_id"))
-      .dropDuplicates("probe_id", "neighbor_id")
-    val scored = cand.withColumn("cosine",
-      cosine(col("__v_probe_id"), col("__v_neighbor_id")))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("__v_probe_id"), col("__v_neighbor_id")).as("cosine"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(desc("cosine"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

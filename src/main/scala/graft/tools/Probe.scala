@@ -12,7 +12,7 @@
 // registered query keeps its oracle in SparkEntry.
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -47,6 +47,63 @@ object Probe {
   }
 
   private def registered(name: String) = SparkEntry.queries(name)
+
+  /** Row-index-preserving frame: rdd.zipWithIndex keeps the frame's
+    * row order (partition-major, and the frames under test end in a
+    * global sort), so equality of the indexed frames pins VALUES AND
+    * ORDER together.
+    */
+  private def indexed(df: DataFrame): DataFrame = {
+    val schema = df.schema.add("__idx", org.apache.spark.sql.types.LongType)
+    df.sparkSession.createDataFrame(
+      df.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema)
+  }
+
+  /** Order-sensitive symmetric difference — must return [0, 0]. */
+  private def orderedDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val ai = indexed(a)
+    val bi = indexed(b)
+    ai.exceptAll(bi).agg(count(lit(1)).as("a_minus_b"))
+      .crossJoin(bi.exceptAll(ai).agg(count(lit(1)).as("b_minus_a")))
+  }
+
+  private val BuildSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Exact linear-interpolated p25/p50/p75 from a value histogram
+    * `(v, cnt)` — `percentile(v, p)` semantics on the expanded multiset
+    * (rank r = p*(n-1), v_i + f*(v_{i+1}-v_i)), computed with window math
+    * over the tiny histogram. p in {1/4, 1/2, 3/4} and small-integer
+    * grained v make every step exact in doubles (the histMedian argument
+    * from q_robust_scale, generalized to quartiles).
+    */
+  private def histPercentiles(hist: DataFrame): DataFrame = {
+    val wg = Window.partitionBy(col("__g"))
+    val wc = wg.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = hist.withColumn("__g", lit(1))
+      .withColumn("__n", sum(col("cnt")).over(wg))
+      .withColumn("__cum", sum(col("cnt")).over(wc))
+      .withColumn("__cum0", col("__cum") - col("cnt"))
+    def vat(i: Column): Column =
+      max(when(col("__cum0") <= i && i < col("__cum"),
+        col("v").cast("double"))).over(wg)
+    def pct(p: Double): Column = {
+      val r = lit(p) * (col("__n") - 1).cast("double")
+      val i = floor(r).cast("long")
+      val f = r - i.cast("double")
+      val iu = least(i + 1, col("__n") - 1)
+      vat(i) + f * (vat(iu) - vat(i))
+    }
+    d.withColumn("__p25", pct(0.25)).withColumn("__p50", pct(0.5))
+      .withColumn("__p75", pct(0.75))
+      .groupBy(col("__g"))
+      .agg(first(col("__p25")).as("exact_p25"),
+        first(col("__p50")).as("exact_p50"),
+        first(col("__p75")).as("exact_p75"))
+      .drop("__g")
+  }
 
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q_ngram_jaccard ------------------------------------------------
@@ -171,19 +228,128 @@ object Probe {
           md5(TextStats.scrubPii(col("__t")).cast("binary"))
             .as("scrub_digest"))
     }),
-    // equivalence gates for the candidates (must return [0, 0])
-    "pii_diff" -> ((s, dir) => {
-      val a = registered("q_pii_scrub")(s, dir)
-      val b = variants("pii_sortfirst")(s, dir)
-      a.exceptAll(b).agg(count(lit(1)).as("a_minus_b"))
-        .crossJoin(b.exceptAll(a).agg(count(lit(1)).as("b_minus_a")))
+    // equivalence gates for the candidates (must return [0, 0]).
+    // ORDER-SENSITIVE (round-12 advice): both frames are zipped with a
+    // row index before the symmetric difference, so a rewrite that moves
+    // a global sort cannot pass while emitting the right rows in the
+    // wrong order — exactly the property the sort-motion candidates risk.
+    "pii_diff" -> ((s, dir) => orderedDiff(
+      registered("q_pii_scrub")(s, dir),
+      variants("pii_sortfirst")(s, dir))),
+    "ngram_diff" -> ((s, dir) => orderedDiff(
+      registered("q_ngram_jaccard")(s, dir),
+      variants("ngram_grouped")(s, dir))),
+    // ---- q_join_idx_rejoin (round 13) -----------------------------------
+    "idx_full" -> registered("q_join_idx_rejoin"),
+    // scan cost alone: both projections of the fact, no join
+    "idx_scan" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .unionByName(li.select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0)
+            .as("l_quantity")))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sv"))
     }),
-    "ngram_diff" -> ((s, dir) => {
-      val a = registered("q_ngram_jaccard")(s, dir)
-      val b = variants("ngram_grouped")(s, dir)
-      a.exceptAll(b).agg(count(lit(1)).as("a_minus_b"))
-        .crossJoin(b.exceptAll(a).agg(count(lit(1)).as("b_minus_a")))
+    // the bucketed production path (warmup builds the layout; timed reps
+    // measure the steady-state zero-exchange rejoin)
+    "idx_bucketed" -> registered("q_join_idx_bucketed"),
+    // layout build cost in isolation: fresh bucketed write of both
+    // halves each rep (unique table names defeat the build-once cache)
+    "idx_build" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val n = BuildSeq.incrementAndGet()
+      val keys = Seq("l_orderkey", "l_linenumber")
+      graft.io.Bucketing.writeBucketed(
+        li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity")), s"probe_x_$n", keys, 32)
+      graft.io.Bucketing.writeBucketed(
+        li.select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_returnflag") === "R", 1).otherwise(0).as("label")),
+        s"probe_y_$n", keys, 32)
+      s.sql(s"DROP TABLE probe_x_$n")
+      s.sql(s"DROP TABLE probe_y_$n")
+      s.range(1).select(lit(n).as("built"))
     }),
+    "idx_diff" -> ((s, dir) => orderedDiff(
+      registered("q_join_idx_rejoin")(s, dir),
+      registered("q_join_idx_bucketed")(s, dir))),
+
+    // ---- q_dedup_embedding (round 13) -----------------------------------
+    "emb_full" -> registered("q_dedup_embedding"),
+    "emb_probes" -> ((s, dir) =>
+      T(s, dir, "embeddings").orderBy(col("vec_id")).limit(50)),
+    "emb_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val probes = emb.orderBy(col("vec_id")).limit(50).localCheckpoint()
+      graft.sim.Ann.lshTopK(emb, probes, "vec_id", "embedding", k = 1,
+        bucketLength = 2.0, numHashTables = 4)
+    }),
+    "emb_brute" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val probes = emb.orderBy(col("vec_id")).limit(50).localCheckpoint()
+      graft.sim.Ann.bruteForceTopK(emb, probes, "vec_id", "embedding",
+        k = 10)
+    }),
+
+    // ---- q_approx_quantiles (round 13) ----------------------------------
+    "aq_full" -> registered("q_approx_quantiles"),
+    "aq_exact3" -> ((s, dir) =>
+      T(s, dir, "lineitem").agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"))),
+    "aq_approx3" -> ((s, dir) =>
+      T(s, dir, "lineitem").agg(
+        expr("approx_percentile(l_quantity, 0.25, 10000)").as("a25"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(l_quantity, 0.75, 10000)").as("a75"))),
+    "aq_exact_arr" -> ((s, dir) =>
+      T(s, dir, "lineitem").agg(
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+          .as("ps"))),
+    "aq_approx_arr" -> ((s, dir) =>
+      T(s, dir, "lineitem").agg(
+        expr("approx_percentile(l_quantity, array(0.25D, 0.5D, 0.75D), " +
+          "10000)").as("as"))),
+    // exact percentiles from a grouped value histogram (codegen'd hash
+    // agg scan; interpolation is window math over the ~50-row histogram)
+    "aq_hist" -> ((s, dir) => histPercentiles(
+      T(s, dir, "lineitem").groupBy(col("l_quantity").as("v"))
+        .agg(count(lit(1)).as("cnt")))),
+
+    // ---- q_multi_distinct (round 13) ------------------------------------
+    "mdist_full" -> registered("q_multi_distinct"),
+    "mdist_one" -> ((s, dir) =>
+      T(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("d_parts"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+    "mdist_plain" -> ((s, dir) =>
+      T(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("l_returnflag"))),
+    // two-level pre-agg alternative: dedup (flag, key) pairs first, then
+    // count — 3 scans instead of Expand's 1 scan x3 fan-out
+    "mdist_preagg" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val dp = li.groupBy(col("l_returnflag"), col("l_partkey")).count()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("d_parts"))
+      val ds = li.groupBy(col("l_returnflag"), col("l_suppkey")).count()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("d_supps"))
+      val pl = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+      dp.join(ds, Seq("l_returnflag")).join(pl, Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- q_stream_sessionize (round 13: parquet sink) --------------------
+    "sess_full" -> registered("q_stream_sessionize"),
+    "sess_stats" -> registered("q_session_stats"),
+
     // ---- q_join_salted --------------------------------------------------
     "salted_full" -> registered("q_join_salted"),
     "salted_plain" -> ((s, dir) => {

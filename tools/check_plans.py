@@ -15,8 +15,13 @@ variance (observed on untouched queries across same-code sweeps), while
 a 2+ jump means the plan actually changed shape.
 
 Usage: python3 tools/check_plans.py [bench_full.json] [PLANS.md]
-Exit 1 if any regression is flagged; new/removed queries are reported
-informationally only.
+               [--allow-improved]
+Exit 1 if any regression is flagged, AND (round-12 advice) if any pin is
+IMPROVED: a stale larger pin would silently re-admit a regression back up
+to the old level, so shrinkage demands a re-pin (the exact replacement
+rows are printed; regenerate with tools/plan_summary.py). Pass
+--allow-improved during mid-iteration runs where the re-pin lands with
+the final sweep. New/removed queries are reported informationally only.
 """
 import json, re, sys
 
@@ -83,17 +88,34 @@ def main():
         print(f"ERROR: 0 queries compared ({len(fresh)} fresh, "
               f"{len(pinned)} pinned, no overlap) — stale inputs?")
         sys.exit(1)
+    allow_improved = "--allow-improved" in sys.argv
     for name, label, a, c in flagged:
         print(f"REGRESSION {name}: {label} {a:,} -> {c:,}")
     for name, label, a, c in improved:
         print(f"IMPROVED {name}: {label} {a:,} -> {c:,} "
               "(stale pin — regenerate PLANS.md via tools/plan_summary.py)")
+    if improved:
+        # exact replacement rows, so the re-pin is copy-pasteable even
+        # without a full plan_summary regeneration
+        secs = b.get("queries", {})
+        print("replacement rows for the improved pins:")
+        for name in sorted({n for n, *_ in improved}):
+            sr, sb, ns = fresh[name]
+            def cell(v):
+                return "—" if v is None else f"{v:,}"
+            print(f"| {name} | {secs.get(name, 0):.3f} | {cell(sr)} "
+                  f"| {cell(sb)} | {cell(ns)} |")
     if new:
         print(f"new (not pinned): {len(new)}: {', '.join(new)}")
     if gone:
         print(f"pinned but absent: {len(gone)}: {', '.join(gone)}")
     if flagged:
         print(f"{len(flagged)} profile regression(s) vs {plans}")
+        sys.exit(1)
+    if improved and not allow_improved:
+        print(f"{len(improved)} IMPROVED pin(s): stale baseline would "
+              "re-admit a regression — re-pin PLANS.md (or pass "
+              "--allow-improved for a mid-iteration run)")
         sys.exit(1)
     print(f"profiles stable: {len(fresh) - len(new)} compared, "
           f"0 regressions, {len(improved)} improved "
