@@ -715,21 +715,29 @@ object AnalyticsQueries extends QueryModule {
     "q_unpivot_melt" -> QueryDef(
       (s, dir) => {
         // UNPIVOT/melt — the inverse of q_a15_pivot: wide measures to
-        // long form via stack(), then one grouped profile pass. stack is
-        // a map-side Expand (4 output rows per input row, no shuffle
-        // until the 4-group aggregate), so the 100 TB cost is the scan
-        // plus an expansion that partial aggregation collapses
-        // immediately — never a per-measure re-scan.
+        // long form, then a per-measure profile. The aggregate is PUSHED
+        // THROUGH the Expand (the q_a17_grouping_sets rewrite, applied
+        // to unpivot): each measure's count/sum/min/max distributes over
+        // the stack labels, so the fact is profiled ONCE in wide form —
+        // 16 agg updates per row, no row copies — and stack() melts the
+        // 1-row aggregate instead of the 60 M-row fact. The pre-rewrite
+        // shape (stack first, 4x row Expand through the agg) was the
+        // worst super-linear ladder line left at r13 (sf1→sf10 ratio
+        // 5.4x); values are identical — same per-measure multisets, same
+        // exact-decimal sums (umelt_diff [0,0]).
         val li = T(s, dir, "lineitem")
-        li.select(expr(
-            "stack(4, 'quantity', l_quantity, " +
-              "'extendedprice', l_extendedprice, " +
-              "'discount', l_discount, 'tax', l_tax) as (measure, val)"))
-          .groupBy(col("measure"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("val").cast(DecimalType(18, 2)))
-              .cast(DoubleType).as("total"),
-            min(col("val")).as("mn"), max(col("val")).as("mx"))
+        def m(c: String, tag: String) = Seq(
+          sum(col(c).cast(DecimalType(18, 2)))
+            .cast(DoubleType).as(s"t_$tag"),
+          min(col(c)).as(s"mn_$tag"), max(col(c)).as(s"mx_$tag"))
+        li.agg(count(lit(1)).as("n"),
+            (m("l_quantity", "q") ++ m("l_extendedprice", "e") ++
+              m("l_discount", "d") ++ m("l_tax", "t")): _*)
+          .select(expr(
+            "stack(4, 'quantity', n, t_q, mn_q, mx_q, " +
+              "'extendedprice', n, t_e, mn_e, mx_e, " +
+              "'discount', n, t_d, mn_d, mx_d, " +
+              "'tax', n, t_t, mn_t, mx_t) as (measure, n, total, mn, mx)"))
           .orderBy(col("measure"))
       },
       Some("""WITH long AS (

@@ -432,12 +432,16 @@ object BehaviorQueries extends QueryModule {
               array_sort(collect_list(
                 struct(col("ts"), col("event_id"), col("ch")))),
               x => x.getField("ch"))).as("journey"))
-        j.select(col("user_id"), col("n_events"),
+        // regex ABOVE the sort (round-13 audit): the sort's sampling
+        // pass re-executes its child; with the journey regex below the
+        // sort it ran twice (the child's shuffle is reused, the final
+        // agg + regex are not). 2.28 -> 1.99 s at sf10, pat_diff [0,0].
+        j.orderBy(col("user_id"))
+          .select(col("user_id"), col("n_events"),
             size(expr("regexp_extract_all(journey, 'vc*p', 0)"))
               .cast(LongType).as("n_matches"),
             (size(expr("regexp_extract_all(journey, 'vc*p', 0)")) > 0)
               .as("converted"))
-          .orderBy(col("user_id"))
       },
       Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id,
              |     substr(event_type, 1, 1) AS ch FROM events),

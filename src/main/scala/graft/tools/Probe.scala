@@ -346,6 +346,66 @@ object Probe {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- round-13 orderBy-over-expensive-map audit ------------------------
+    "pat_full" -> registered("q_pattern_match"),
+    // candidate: sort the user-grain journey frame FIRST, regex above —
+    // the sort's sampling pass then re-executes only the (shuffle-reused)
+    // final agg, not the regex
+    "pat_sortfirst" -> ((s, dir) => {
+      val j = T(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          concat_ws("", transform(
+            array_sort(collect_list(
+              struct(col("ts"), col("event_id"), col("ch")))),
+            x => x.getField("ch"))).as("journey"))
+      j.orderBy(col("user_id"))
+        .select(col("user_id"), col("n_events"),
+          size(expr("regexp_extract_all(journey, 'vc*p', 0)"))
+            .cast("long").as("n_matches"),
+          (size(expr("regexp_extract_all(journey, 'vc*p', 0)")) > 0)
+            .as("converted"))
+    }),
+    "pat_diff" -> ((s, dir) => orderedDiff(
+      registered("q_pattern_match")(s, dir),
+      variants("pat_sortfirst")(s, dir))),
+    "edit_full" -> registered("q_edit_distance"),
+    // candidate: range-sort the joined 80-char prefixes, Levenshtein
+    // above the sort (the q_pii_scrub treatment)
+    "edit_sortfirst" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val a = docs.select(col("doc_id").as("id_a"),
+        substring(col("text"), 1, 80).as("ta"))
+      val b = docs.select((col("doc_id") - 1).as("id_a"),
+        col("doc_id").as("id_b"), substring(col("text"), 1, 80).as("tb"))
+      a.join(b, Seq("id_a"))
+        .orderBy(col("id_a"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("ta"), col("tb")).as("edit_dist"),
+          (levenshtein(col("ta"), col("tb")) <= 20).as("near_dup"))
+    }),
+    "edit_diff" -> ((s, dir) => orderedDiff(
+      registered("q_edit_distance")(s, dir),
+      variants("edit_sortfirst")(s, dir))),
+
+    "umelt_full" -> registered("q_unpivot_melt"),
+    // the pre-r13 shape: stack() first, 4x row Expand through the agg
+    "umelt_expand" -> ((s, dir) =>
+      T(s, dir, "lineitem").select(expr(
+          "stack(4, 'quantity', l_quantity, " +
+            "'extendedprice', l_extendedprice, " +
+            "'discount', l_discount, 'tax', l_tax) as (measure, val)"))
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("val").cast("decimal(18,2)")).cast("double").as("total"),
+          min(col("val")).as("mn"), max(col("val")).as("mx"))
+        .orderBy(col("measure"))),
+    "umelt_diff" -> ((s, dir) => orderedDiff(
+      registered("q_unpivot_melt")(s, dir),
+      variants("umelt_expand")(s, dir))),
+
     // ---- q_stream_sessionize (round 13: parquet sink) --------------------
     "sess_full" -> registered("q_stream_sessionize"),
     "sess_stats" -> registered("q_session_stats"),
