@@ -72,20 +72,56 @@ object GraftSession {
       if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > (8L << 30)) {
         val pid = ProcessHandle.current().pid()
         // reclaim RAM orphaned by crashed runs — only dirs whose owning
-        // process is dead; a live sibling's shuffle files are untouched
+        // process is PROVEN dead. Liveness is probed at the FILESYSTEM
+        // level: every owner holds an exclusive flock on its dir's
+        // .owner file for the JVM's lifetime, and a reclaimer that can
+        // ACQUIRE that lock has proven the owner gone. The earlier
+        // pid-probe (ProcessHandle.isAlive) false-negatived across pid
+        // namespaces — a sandboxed sibling process saw a live tmux-side
+        // bench as dead and deleted its scratch MID-RUN, killing the
+        // r13 sf10 ladder (DiskBlockManager lost its dirs, local
+        // executor exited 56). flock is namespace-agnostic. Dirs
+        // without an .owner file (older layouts) fall back to the pid
+        // probe AND an age floor, so a fresh dir is never reclaimed on
+        // a pid-visibility artifact.
         Option(shm.listFiles()).foreach(_.foreach { f =>
           f.getName match {
             case s if s.startsWith("graft-local-") =>
-              val owner = s.stripPrefix("graft-local-")
-              val alive = owner.toLongOption
-                .exists(p => ProcessHandle.of(p).map[Boolean](_.isAlive)
-                  .orElse(false))
-              if (!alive) deleteRecursively(f)
+              val ownerFile = new java.io.File(f, ".owner")
+              val dead =
+                if (ownerFile.exists()) {
+                  val raf = new java.io.RandomAccessFile(ownerFile, "rw")
+                  try {
+                    val lock = Option(raf.getChannel.tryLock())
+                    lock.foreach(_.release())
+                    lock.isDefined
+                  } catch { case _: Exception => false }
+                  finally raf.close()
+                } else {
+                  val owner = s.stripPrefix("graft-local-")
+                  val pidDead = !owner.toLongOption
+                    .exists(p => ProcessHandle.of(p).map[Boolean](_.isAlive)
+                      .orElse(false))
+                  val ageMs = System.currentTimeMillis - f.lastModified()
+                  pidDead && ageMs > 30L * 60 * 1000
+                }
+              if (dead) {
+                System.err.println(s"[graft] reclaiming stale scratch $f")
+                deleteRecursively(f)
+              }
             case "graft-local" => deleteRecursively(f) // pre-round-10 layout
             case _ => ()
           }
         })
         val scratch = new java.io.File(shm, s"graft-local-$pid")
+        scratch.mkdirs()
+        // hold the liveness lock for the JVM's lifetime (kept in a
+        // static field — a GC'd channel would silently release it)
+        try {
+          val raf = new java.io.RandomAccessFile(
+            new java.io.File(scratch, ".owner"), "rw")
+          ownerLock = Option(raf.getChannel.tryLock()).map(l => (raf, l))
+        } catch { case scala.util.control.NonFatal(_) => () }
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
           deleteRecursively(scratch)))
         Some(scratch.getPath)
@@ -93,6 +129,11 @@ object GraftSession {
     }
     dir.fold(b)(d => b.config("spark.local.dir", d))
   }
+
+  // scratch-dir liveness lock — see benchScratch; the reference keeps the
+  // FileLock (and its channel) reachable for the JVM's lifetime
+  @volatile private var ownerLock
+      : Option[(java.io.RandomAccessFile, java.nio.channels.FileLock)] = None
 
   private def deleteRecursively(f: java.io.File): Unit =
     if (f.exists()) {
