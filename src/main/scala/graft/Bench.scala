@@ -109,8 +109,11 @@ object Bench {
     // ERROR, not WARN: repeated executor warnings (cache-manager,
     // single-partition-window notices) add hundreds of lines to the
     // merged output the driver captures; the bench result must not
-    // depend on how much of that noise fits the capture window
-    spark.sparkContext.setLogLevel("ERROR")
+    // depend on how much of that noise fits the capture window.
+    // SPARK_GRAFT_LOGLEVEL overrides for diagnosis runs (e.g. WARN to
+    // see executor heartbeat failures, which log below ERROR).
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "ERROR"))
     // local-iteration aids (both unset in the driver's per-round
     // invocation): SPARK_GRAFT_ONLY=<regex> restricts the run to matching
     // query names; SPARK_GRAFT_SKIP=<regex> excludes matches — used by

@@ -47,6 +47,21 @@ object GraftSession {
       // keep managed (bucketed) tables out of the repo working dir
       .config("spark.sql.warehouse.dir",
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse")
+      // Freeze resilience (round 13): the sandbox VM exhibits
+      // whole-process freeze windows (GC logs show 80-140 s spans with
+      // ZERO allocation events mid-sweep). In a single-JVM local engine
+      // there is no remote executor to suspect, but a freeze longer
+      // than spark.network.timeout (default 120 s) makes the
+      // HeartbeatReceiver expire the in-process executor — the
+      // re-registration path then blocks dispatcher threads resolving
+      // an endpoint local mode does not register, heartbeats
+      // cascade-fail, and the executor self-exits with code 56 (killed
+      // two r13 sf10 ladders mid-warmup). Timeouts here only ever
+      // false-positive locally, so raise them past any observed freeze;
+      // clusterDefaults resets them (a real cluster needs prompt dead-
+      // executor detection).
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeat.maxFailures", "120")
 
   /** Tmpfs shuffle scratch for MEASUREMENT entry points (Bench/Verify)
     * ONLY — never [[configure]]/[[clusterDefaults]]: tmpfs spill consumes
@@ -150,6 +165,11 @@ object GraftSession {
     */
   def clusterDefaults(b: SparkSession.Builder): SparkSession.Builder =
     configure(b)
+      // restore prompt failure detection: the local freeze-resilience
+      // timeouts (see configure) would delay real dead-executor
+      // detection on a cluster
+      .config("spark.network.timeout", "120s")
+      .config("spark.executor.heartbeat.maxFailures", "60")
       .config("spark.sql.shuffle.partitions", "2000")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
