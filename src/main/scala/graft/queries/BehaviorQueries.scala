@@ -134,18 +134,42 @@ object BehaviorQueries extends QueryModule {
         // weekly cohort retention matrix: cohort = a user's first active
         // epoch-week; one row per (cohort, week offset) with distinct
         // active users and the retention fraction. Week index is integral
-        // µs `div` — exact, tz-free. Two keyed aggs + one join; the
-        // (user, week) dedup is the only wide op over raw events.
-        val uw = T(s, dir, "events")
+        // µs `div` — exact, tz-free.
+        //
+        // Round-13 shape: ONE wide exchange over raw events instead of
+        // three. collect_set(w) per user dedups (user, week) AND yields
+        // the cohort (array_min) in the same keyed agg — the set union
+        // runs map-side, so the exchange carries partially-collapsed
+        // per-user week sets, never the raw event stream. Exploding the
+        // per-user set back out gives exactly one row per distinct
+        // (user, week), so n_active is a plain count — the previous
+        // distinct() → groupBy(user) → self-join → countDistinct chain
+        // (two event-scale exchanges + an Expand) collapses to
+        // set-agg → explode → grid count. Week sets are bounded by the
+        // corpus time range (weeks, not events), so the per-user state
+        // is small at any scale. Identical counts: same distinct
+        // (user, week) universe, same min-week cohorts.
+        //
+        // cohort_size needs no second pass either: every user is active
+        // in their own cohort week (cw = array_min(ws) ∈ ws), so the
+        // grid's week_offset=0 row counts the whole cohort exactly once.
+        // It attaches as a window over the cohort-week partition of the
+        // GRID (≤ weeks² rows) — not a join: a grid self-join re-ran the
+        // whole events pipeline a second time (Catalyst pushes the
+        // offset=0 filter below the partial agg, so the two branches
+        // stop being one canonical subtree and exchange reuse never
+        // fires — verified in the executed plan).
+        val perUser = T(s, dir, "events")
           .select(col("user_id"), expr(s"ts div ${WeekUs}L").as("w"))
-          .distinct()
-        val cohort = uw.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
-        val sizes = cohort.groupBy(col("cw"))
-          .agg(count(lit(1)).as("cohort_size"))
-        uw.join(cohort, "user_id")
+          .groupBy(col("user_id"))
+          .agg(collect_set(col("w")).as("ws"))
+          .select(array_min(col("ws")).as("cw"), col("ws"))
+        val act = perUser.select(col("cw"), explode(col("ws")).as("w"))
           .groupBy(col("cw"), (col("w") - col("cw")).as("week_offset"))
-          .agg(countDistinct(col("user_id")).as("n_active"))
-          .join(sizes, "cw")
+          .agg(count(lit(1)).as("n_active"))
+        act.withColumn("cohort_size",
+            max(when(col("week_offset") === 0, col("n_active")))
+              .over(Window.partitionBy(col("cw"))))
           .select(col("cw").as("cohort_week"), col("cohort_size"),
             col("week_offset"), col("n_active"),
             round(col("n_active").cast(DoubleType) / col("cohort_size"), 6)

@@ -712,6 +712,16 @@ object CorpusQueries extends QueryModule {
         // observed sizes. Only the 1-row vocab-size frame is hinted;
         // vocab gets its own map-only tokenize pass (partial distinct
         // agg — shuffles distinct tokens, never the token stream).
+        //
+        // Round-13 probe note: a map-side bigram construction (zip the
+        // in-row token array with its 1-shifted tail, no window) was
+        // built and measured AGAINST this shape at sf0.1/32 cores:
+        // 1.7-2.0 s window vs 2.9-3.0 s zipped, reps stable — the
+        // zip_with/slice higher-order chain is not whole-stage-codegen'd
+        // and its per-row array+struct allocations cost more than the
+        // skinny positional shuffle it removes, in every branch that
+        // re-tokenizes. Reverted per guide §1.1 (empirical beats the
+        // "ideal" plan); the window form stays.
         val docs = T(s, dir, "documents")
         val toks = docs.select(col("doc_id"),
           posexplode(TextStats.tokens(lower(col("text"))))
@@ -778,14 +788,22 @@ object CorpusQueries extends QueryModule {
         // building): PMI(a,b) = ln(N·c(a,b) / (c(a)·c(b))) over
         // adjacent pairs, minimum-count pruned, top-20. The argument of
         // ln is an exact integer ratio (fixed-pointed as floor(1e6·ln)),
-        // so ranking and values are engine-identical. One window pass
-        // for pairs (its Exchange is reused by all four count branches,
-        // so tokenize runs once), partial+final count aggs, then joins
-        // of the min-count-pruned pair table against the marginal count
-        // tables with NO broadcast hints — marginals are vocab-sized and
-        // a web corpus's vocabulary is unbounded, so AQE must pick
-        // broadcast vs shuffle from observed sizes. Only the 1-row
-        // grand-total frame is hinted.
+        // so ranking and values are engine-identical. Joins of the
+        // min-count-pruned pair table against the marginal count tables
+        // carry NO broadcast hints — marginals are vocab-sized and a web
+        // corpus's vocabulary is unbounded, so AQE must pick broadcast
+        // vs shuffle from observed sizes. Only the 1-row grand-total
+        // frame is hinted.
+        //
+        // Round-13: ALL marginals derive from the one unfiltered pair
+        // table — ca = Σ_w2 cab, cb = Σ_w1 cab, n_pairs = Σ cab, exact
+        // by definition — so the token stream is aggregated ONCE on
+        // (w1,w2) and the three re-aggs read the vocab²-bounded pair
+        // table (its Exchange subtree is runtime-reused across the
+        // branches) instead of four separate passes over the raw pair
+        // stream. (The map-side zip bigram construction was probed and
+        // reverted — see the q_bigram_logprob note; the window pass
+        // stays the bigram source here too.)
         val docs = T(s, dir, "documents")
         val toks = docs.select(col("doc_id"),
           posexplode(TextStats.tokens(lower(col("text"))))
@@ -795,12 +813,12 @@ object CorpusQueries extends QueryModule {
           .withColumn("w2", lead(col("tok"), 1).over(w))
           .filter(col("w2").isNotNull)
           .select(col("tok").as("w1"), col("w2"))
-        val pairN = bg.agg(count(lit(1)).as("n_pairs"))
-        val pc = bg.groupBy(col("w1"), col("w2"))
+        val pcAll = bg.groupBy(col("w1"), col("w2"))
           .agg(count(lit(1)).as("cab"))
-          .filter(col("cab") >= 30)
-        val left = bg.groupBy(col("w1")).agg(count(lit(1)).as("ca"))
-        val right = bg.groupBy(col("w2")).agg(count(lit(1)).as("cb"))
+        val pairN = pcAll.agg(sum(col("cab")).as("n_pairs"))
+        val pc = pcAll.filter(col("cab") >= 30)
+        val left = pcAll.groupBy(col("w1")).agg(sum(col("cab")).as("ca"))
+        val right = pcAll.groupBy(col("w2")).agg(sum(col("cab")).as("cb"))
         pc.join(left, Seq("w1"))
           .join(right, Seq("w2"))
           .crossJoin(broadcast(pairN))
@@ -842,8 +860,9 @@ object CorpusQueries extends QueryModule {
         // k-means-style scoring pass of embedding curation. Centroids
         // assemble in-plan from the fixed-point exact sums (never through
         // the driver), broadcast (|labels| rows), and each vector picks
-        // its argmax-cosine centroid in one map pass + per-vec window —
-        // at 100 TB this is a map-only scan against a tiny broadcast.
+        // its argmax-cosine centroid in one map pass + a map-side
+        // struct-argmax agg — at 100 TB a map-only scan against a tiny
+        // broadcast.
         // Output is the label x predicted confusion: integer counts, so
         // the gate is immune to ulp-level cosine differences (ties
         // broken by label asc).
@@ -857,14 +876,30 @@ object CorpusQueries extends QueryModule {
             x => x.getField("cv")).as("centroid"))
         val scored = e.select(col("vec_id"), col("label"), col("embedding"))
           .crossJoin(broadcast(cent))
-          .withColumn("cos",
+          .select(col("vec_id"), col("label"), col("clabel"),
             graft.functions.VectorMath.cosine_sim(
-              col("embedding"), col("centroid")))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("clabel"))
-        scored.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .groupBy(col("label"), col("clabel").as("predicted"))
+              col("embedding"), col("centroid")).as("cos"))
+        // Round-13: argmax WITHOUT the window — min_by(clabel,
+        // struct(-cos, clabel)) is the row_number()-over-(cos desc,
+        // clabel asc) pick (struct ordering compares -cos first:
+        // ascending -cos = descending cos, clabel breaks ties ascending
+        // AND makes the ordering key unique per row, so min_by's
+        // pick-on-ties never fires; Spark's double ordering is the same
+        // total order the sort used). min_by is a DeclarativeAggregate —
+        // the plan stays HashAggregate (min(struct(...)) instead falls
+        // to SortAggregate, measured 40% slower than the window it
+        // replaced). The |labels|-way fan-out collapses MAP-SIDE in the
+        // partial agg — broadcast-join output is born co-partitioned per
+        // vector — so the exchange carries one skinny
+        // (vec_id, label, predicted) row per vector instead of |labels|
+        // rows each sorted under a window. The explicit select above
+        // also keeps the embedding/centroid arrays out of the exchange
+        // (project-before-the-exchange).
+        scored.groupBy(col("vec_id"), col("label"))
+          .agg(min_by(col("clabel"),
+            struct(negate(col("cos")).as("negcos"),
+              col("clabel").as("clabel"))).as("predicted"))
+          .groupBy(col("label"), col("predicted"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("label"), col("predicted"))
       },
