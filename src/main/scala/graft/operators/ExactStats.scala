@@ -71,21 +71,68 @@ object ExactStats {
     * @return one row: (na, nb, at_cents, ks_d: double, ks_crit: double)
     */
   def ksStat(grain: DataFrame): DataFrame = {
-    val scanned = PrefixSum.runningTotals(grain, "cents",
-      Seq("da", "db"), Seq("ca", "cb"))
-    val tot = scanned.agg(max(col("ca")).as("na"),
-      max(col("cb")).as("nb"))
-    val dev = scanned.crossJoin(broadcast(tot))
-      .select(col("cents"), col("na"), col("nb"),
-        abs(dec(col("ca")) * dec(col("nb")) -
-          dec(col("cb")) * dec(col("na"))).as("dstar"))
-    val m = dev.agg(max(col("dstar")).as("md"))
+    // Round-14: the KS maximization is an AGGREGATE of the prefix
+    // stream, so it rides the bucket-combine form of the two-phase scan
+    // — no per-row bucket-offset join-back, no second grain-scale pass
+    // (the per-row join-back form measured +19% at sf0.1; this form's
+    // only cross-bucket work is over the B bucket rows).
+    //
+    // Math: with (la, lb) the bucket-LOCAL inclusive cumulative counts
+    // and (offA, offB) the bucket's exclusive cross-bucket offsets, the
+    // deviation at a row is |ca·nb − cb·na| = |signed + c_b| where
+    // signed = la·nb − lb·na is bucket-local and c_b = offA·nb − offB·na
+    // is a per-BUCKET constant. |x + c| over a set of x is maximized at
+    // an EXTREME x (max or min), so each bucket reduces to its signed
+    // extremes plus their smallest-cents witnesses, and the global
+    // max/argmax assembles exactly on the B-row bucket frame. Ties on
+    // the max deviation still break to the smallest cents: within a
+    // bucket min_by picks the smallest witness at each extreme (cents
+    // is unique, the struct order is total), across the two extremes
+    // `least` decides an exact tie, across buckets min_by again. All
+    // products stay DECIMAL(38,0) (the overflow contract above);
+    // na/nb are the grain sums (== the final cumulative values, counts
+    // are non-negative).
+    // ONE tiny grain aggregate provides the group totals AND the scan's
+    // bucket bounds, threaded through the scan as broadcast constants
+    // (a pruned bounds-only branch would stop sharing the grain
+    // exchange and re-scan the fact — the localScan bounds contract)
+    val tot = grain.agg(sum(col("da")).as("na"), sum(col("db")).as("nb"),
+      min(col("cents")).as("__kmin"), max(col("cents")).as("__kmax"))
+    val local = PrefixSum.localScan(grain, "cents", Seq("da", "db"),
+        bounds = Some(tot))
+      .withColumn("__signed",
+        dec(col("__run0")) * dec(col("nb")) -
+          dec(col("__run1")) * dec(col("na")))
+    // per-bucket reduce above the local window — same partitioning, no
+    // exchange; na/nb are constants, carried with min()
+    val perB = local.groupBy(col("__pfx_b")).agg(
+      sum(col("__v0")).as("__bda"), sum(col("__v1")).as("__bdb"),
+      max(col("__signed")).as("__smax"),
+      min_by(col("__k"),
+        struct((-col("__signed")).as("ns"), col("__k"))).as("__cmax"),
+      min(col("__signed")).as("__smin"),
+      min_by(col("__k"),
+        struct(col("__signed").as("s"), col("__k"))).as("__cmin"),
+      min(col("na")).as("na"), min(col("nb")).as("nb"))
+    // tiny cross-bucket combine over B rows
+    val wOff = Window.orderBy(col("__pfx_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hi = abs(col("__smax") + col("__c"))
+    val lo = abs(col("__smin") + col("__c"))
     val naD = col("na").cast(DoubleType)
     val nbD = col("nb").cast(DoubleType)
-    dev.crossJoin(broadcast(m))
-      .filter(col("dstar") === col("md"))
-      .groupBy(col("na"), col("nb"), col("md"))
-      .agg(min(col("cents")).as("at_cents"))
+    perB
+      .withColumn("__c",
+        dec(coalesce(sum(col("__bda")).over(wOff), lit(0L))) * dec(col("nb")) -
+          dec(coalesce(sum(col("__bdb")).over(wOff), lit(0L))) * dec(col("na")))
+      .withColumn("__dev", greatest(hi, lo))
+      .withColumn("__wit",
+        when(hi > lo, col("__cmax")).when(hi < lo, col("__cmin"))
+          .otherwise(least(col("__cmax"), col("__cmin"))))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(col("__dev")).as("md"),
+        min_by(col("__wit"),
+          struct((-col("__dev")).as("nd"), col("__wit"))).as("at_cents"))
       .select(col("na"), col("nb"), col("at_cents"),
         round(col("md").cast(DoubleType) / (naD * nbD), 6)
           .as("ks_d"),

@@ -1,39 +1,52 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
-/** Distributed exact prefix sum (running total) over a globally ordered
-  * long-valued column.
+/** Distributed exact prefix scan (running total / running max) over a
+  * globally ordered long-valued column.
   *
   * Spark's window functions compute a global running total only under an
   * un-partitioned `Window.orderBy(...)`, which funnels the entire input
   * through ONE task — a non-starter at 100 TB. This operator is the
-  * scalable form, the classic two-phase scan:
+  * scalable form, the classic two-phase scan, expressed SQL-NATIVE so the
+  * whole computation is one codegen'd DAG (round-13 verdict #3: the
+  * previous DF↔RDD implementation cost a persist, two RDD passes, a
+  * driver collect and an eager localCheckpoint — ~0.4 s of pure
+  * machinery per call at gate scale, and 3 extra job launches that made
+  * the consumers the worst inverse-scalers in the core-count A/B):
   *
-  *   1. range-partition by the order key and sort within partitions
-  *      (each of the P partitions holds a contiguous key range);
-  *   2. pass A: reduce each partition to its local sum — P longs to the
-  *      driver (P ≈ thousands, so this collect is O(KB), the same
-  *      driver-side footprint as Spark's own RangePartitioner sample);
-  *   3. exclusive-scan those P totals on the driver, broadcast the
-  *      offsets;
-  *   4. pass B: each partition streams its rows once more, adding its
-  *      broadcast base offset to a local accumulator.
+  *   1. an order-preserving equi-width BUCKET id is attached to each row
+  *      from a broadcast (min, max) of the key: `(k - kmin) div W` with
+  *      `W = span div B + 1`, so bucket order == key order;
+  *   2. phase 1: a bucket-partitioned window computes each row's LOCAL
+  *      prefix (parallelism = B buckets, each a contiguous key range);
+  *   3. phase 2: per-bucket totals (map-side partial aggregation — only
+  *      B rows cross the wire) are exclusive-scanned by a window over
+  *      the B-row bucket-aggregate frame — the single-partition segment
+  *      therefore carries B ≈ O(parallelism) rows, the same information
+  *      the RDD form collected to the driver — and broadcast-joined
+  *      back; each row's global prefix is local ⊕ its bucket offset.
   *
-  * Both passes read the same persisted (MEMORY_AND_DISK) sorted RDD, so
-  * the range partitioning is computed once; if an executor drops a block
-  * the lineage recomputes with the SAME partitioner instance, so the
-  * offsets stay valid. The result is eagerly localCheckpoint'ed and the
-  * sorted intermediate is unpersisted before returning — a session that
-  * runs many scans (determinism sweeps, the bench loop) must not
-  * accumulate one cached sorted frame per call; only the grain-sized
-  * output stays cached, and the ContextCleaner reclaims it once the
-  * consumer drops the frame. All arithmetic is Long — exact,
-  * associative, partitioning-independent — which is what lets a
-  * prefix-sum result be oracle-gated at all.
+  * All arithmetic is Long — exact, associative, partitioning-independent
+  * — which is what lets a prefix-sum result be oracle-gated at all.
+  * Buckets are equi-WIDTH over the key span (the RDD form's range
+  * partitioner was equi-depth); per-row scan work is O(1), so even a
+  * badly clustered key domain only skews the per-bucket sort, and B is
+  * sized at several buckets per core (scale-adaptive via
+  * defaultParallelism, never a local-mode constant) to keep stragglers
+  * bounded. The key span must fit in a Long (ANSI mode turns the
+  * pathological wrap into a loud error, never a wrong answer).
+  *
+  * Consumers must consume the result ONCE (a single aggregate / filter
+  * pipeline): the result is a plain DataFrame — no checkpoint — so a
+  * second consumption re-executes the scan. Every registered consumer
+  * (q_max_concurrency, q_funnel_latency, q_skyline_pareto, ksStat) was
+  * restructured in round 14 to a single fused pass for exactly this
+  * reason (min_by/conditional-agg fusions, bit-identical results).
   *
   * Used by the interval max-concurrency sweep (q_max_concurrency), where
   * the input has already been aggregated to one net delta per distinct
@@ -41,104 +54,158 @@ import org.apache.spark.storage.StorageLevel
   */
 object PrefixSum {
 
+  /** Buckets per scan: several per core so the local phase saturates the
+    * cluster and equi-width skew cannot serialize it, bounded below so a
+    * small local session still exercises the two-phase shape. The bucket
+    * AGGREGATE frame (B rows) is the only single-partition segment.
+    */
+  private def nBuckets(spark: SparkSession): Int =
+    math.max(spark.sparkContext.defaultParallelism * 8, 256)
+
+  /** Bucket-local phase shared by the scans: project to (__k, __v<i>),
+    * attach the bucket id, and evaluate all W inclusive local running
+    * sums in one bucket-partitioned Window node. Consumers in this
+    * package compose the cross-bucket combine on top (join-back for
+    * per-row outputs; per-bucket aggregate + tiny exclusive scan for
+    * aggregate-only outputs — the latter never touches grain rows
+    * again, see [[runningTotalMaxArg]] / ExactStats.ksStat).
+    */
+  private[operators] def localScan(df: DataFrame, orderCol: String,
+      valueCols: Seq[String],
+      bounds: Option[DataFrame] = None): DataFrame = {
+    val spark = df.sparkSession
+    val idx = valueCols.indices
+    val base = df.select(col(orderCol).cast(LongType).as("__k") +:
+      idx.map(i => col(valueCols(i)).cast(LongType).as(s"__v$i")): _*)
+    val grid = bucketed(base, nBuckets(spark), bounds)
+    val loc = Window.partitionBy(col("__pfx_b")).orderBy(col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idx.foldLeft(grid) { (d, i) =>
+      d.withColumn(s"__run$i", sum(col(s"__v$i")).over(loc))
+    }
+  }
+
+  /** Attach the order-preserving equi-width bucket id `__pfx_b` to a
+    * frame with key column `__k` (long). The (min, max) aggregate rides
+    * a broadcast into the row stream — no driver action, one DAG.
+    *
+    * `bounds`, when given, is a 1-row frame with `__kmin`/`__kmax`
+    * (longs) COVERING the key range (kmin <= every key <= kmax — the
+    * bucket id must stay non-negative and monotone), computed by the
+    * caller from a source that is already cheap: without it, the
+    * default self-aggregate branch is column-pruned by Catalyst down to
+    * a key-only pipeline that can no longer share the caller's grain
+    * exchange, i.e. it RE-SCANS the fact — measured as the sf1
+    * regression of the first round-14 A/B. Extra columns on the bounds
+    * row are carried onto every grid row as broadcast constants (how
+    * ksStat threads its group totals through the scan in the same
+    * single consumption).
+    */
+  private def bucketed(base: DataFrame, nB: Int,
+      bounds: Option[DataFrame]): DataFrame = {
+    val st = bounds.getOrElse(base.agg(min(col("__k")).as("__kmin"),
+      max(col("__k")).as("__kmax")))
+    base.crossJoin(broadcast(st))
+      .withColumn("__pfx_b",
+        expr(s"(__k - __kmin) div ((__kmax - __kmin) div $nB + 1)"))
+      .drop("__kmin", "__kmax")
+  }
+
   /** Running total of `valueCol` (long) ordered by `orderCol` (long,
     * globally unique — e.g. a distinct timestamp). Returns
-    * (orderCol, valueCol, runName) with the INCLUSIVE prefix sum.
+    * (orderCol, valueCol, runName) with the INCLUSIVE prefix sum,
+    * followed by any EXTRA columns of the `bounds` row (broadcast
+    * constants — a consumer that needs, say, the grand total alongside
+    * each prefix threads it here so the bounds branch stays fully
+    * referenced and keeps sharing the caller's grain exchange).
     */
   def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
-      runName: String = "running"): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df
-      .select(col(orderCol).cast(LongType).as("__k"),
-        col(valueCol).cast(LongType).as("__v"))
-      .repartitionByRange(col("__k"))
-      .sortWithinPartitions(col("__k"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val rdd = sorted.rdd
-    // pass A: per-partition totals (tiny collect, see scaladoc)
-    val totals = rdd
-      .mapPartitionsWithIndex { (i, it) =>
-        var s = 0L
-        it.foreach(s += _.getLong(1))
-        Iterator.single((i, s))
-      }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = totals.scanLeft(0L)(_ + _) // exclusive scan
-    val bc = spark.sparkContext.broadcast(offsets)
-    // pass B: stream each partition once, seeded with its base offset
-    val out = rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc = bc.value(i)
-      it.map { r =>
-        acc += r.getLong(1)
-        Row(r.getLong(0), r.getLong(1), acc)
-      }
-    }
-    val result = spark.createDataFrame(out, StructType(Seq(
-        StructField(orderCol, LongType, nullable = false),
-        StructField(valueCol, LongType, nullable = false),
-        StructField(runName, LongType, nullable = false))))
-      .localCheckpoint() // eager: pass B runs now, off the cached sort
-    sorted.unpersist(blocking = false)
-    result
+      runName: String = "running",
+      bounds: Option[DataFrame] = None): DataFrame = {
+    val local = localScan(df, orderCol, Seq(valueCol), bounds)
+    // phase 2: exclusive scan of the B bucket totals (per-bucket
+    // aggregate ABOVE the window — same partitioning, no exchange —
+    // then one tiny ordered pass over B rows), broadcast back
+    val offs = local.groupBy(col("__pfx_b"))
+      .agg(sum(col("__v0")).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(
+        Window.orderBy(col("__pfx_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pfx_b"), col("__off"))
+    val extras = bounds.toSeq.flatMap(_.columns)
+      .filterNot(Set("__kmin", "__kmax")).map(col)
+    local.join(broadcast(offs), Seq("__pfx_b"))
+      .select(col("__k").as(orderCol) +: col("__v0").as(valueCol) +:
+        (col("__run0") + col("__off")).as(runName) +: extras: _*)
+  }
+
+  /** The two-phase scan REDUCED to (global maximum of the inclusive
+    * prefix sum, the earliest order key achieving it) — the
+    * aggregate-consumer form of [[runningTotal]] (q_max_concurrency's
+    * shape). Because the output is an aggregate of the prefix stream,
+    * the cross-bucket combine needs NO join-back of bucket offsets onto
+    * grain rows: each bucket reduces to (its total, its local running
+    * max, the earliest key achieving that local max) in one aggregate
+    * directly above the local window (same partitioning — no exchange),
+    * and the global answer assembles on the B-row bucket frame: the
+    * prefix max within bucket b is offset(b) + localmax(b), achieved
+    * earliest at that bucket's local witness. Round-14: the join-back
+    * form measured +65% on this query at sf0.1 (stage-depth overhead);
+    * this form drops the broadcast join AND the second grain-scale
+    * pass.
+    */
+  def runningTotalMaxArg(df: DataFrame, orderCol: String,
+      valueCol: String, maxName: String, atName: String,
+      bounds: Option[DataFrame] = None): DataFrame = {
+    val local = localScan(df, orderCol, Seq(valueCol), bounds)
+    // per-bucket reduce (above the window, no exchange); __k is unique,
+    // so min_by's struct order is total and the tie rule never fires
+    val perB = local.groupBy(col("__pfx_b")).agg(
+      sum(col("__v0")).as("__bsum"),
+      max(col("__run0")).as("__bmax"),
+      min_by(col("__k"),
+        struct((-col("__run0")).as("nr"), col("__k"))).as("__bat"))
+    // tiny cross-bucket combine over B rows
+    val wOff = Window.orderBy(col("__pfx_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perB
+      .withColumn("__gmax",
+        coalesce(sum(col("__bsum")).over(wOff), lit(0L)) + col("__bmax"))
+      .agg(max(col("__gmax")).as(maxName),
+        min_by(col("__bat"),
+          struct((-col("__gmax")).as("ng"), col("__bat"))).as(atName))
   }
 
   /** Running totals of SEVERAL long-valued columns in ONE two-phase scan
     * over a shared global order — the shape a two-sample ECDF comparison
     * needs (cumulative counts of population A and B over the pooled value
-    * axis). Same structure as [[runningTotal]] with a vector accumulator:
-    * pass A reduces each partition to a W-vector of local sums (P×W longs
-    * to the driver), the driver exclusive-scans component-wise, pass B
-    * streams each partition once seeded with its offset vector. Returns
+    * axis). Same structure as [[runningTotal]] with a vector of sums: the
+    * local window evaluates all W running sums in one Window node, the
+    * bucket aggregate carries W totals per bucket. Returns
     * (orderCol, v0, run0, v1, run1, ...) with INCLUSIVE prefix sums.
     *
     * `orderCol` must be globally unique (pre-reduce to value grain first);
     * value columns must be non-null.
     */
   def runningTotals(df: DataFrame, orderCol: String,
-      valueCols: Seq[String], runNames: Seq[String]): DataFrame = {
+      valueCols: Seq[String], runNames: Seq[String],
+      bounds: Option[DataFrame] = None): DataFrame = {
     require(valueCols.nonEmpty && valueCols.length == runNames.length,
       "valueCols and runNames must align")
-    val w = valueCols.length
-    val spark = df.sparkSession
-    val sorted = df
-      .select(col(orderCol).cast(LongType).as("__k") +:
-        valueCols.zipWithIndex.map { case (c, i) =>
-          col(c).cast(LongType).as(s"__v$i") }: _*)
-      .repartitionByRange(col("__k"))
-      .sortWithinPartitions(col("__k"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val rdd = sorted.rdd
-    val totals = rdd
-      .mapPartitionsWithIndex { (i, it) =>
-        val s = new Array[Long](w)
-        it.foreach { r =>
-          var j = 0
-          while (j < w) { s(j) += r.getLong(j + 1); j += 1 }
-        }
-        Iterator.single((i, s))
-      }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = totals.scanLeft(new Array[Long](w)) { (a, b) =>
-      Array.tabulate(w)(j => a(j) + b(j))
-    }
-    val bc = spark.sparkContext.broadcast(offsets)
-    val out = rdd.mapPartitionsWithIndex { (i, it) =>
-      val acc = bc.value(i).clone()
-      it.map { r =>
-        var j = 0
-        while (j < w) { acc(j) += r.getLong(j + 1); j += 1 }
-        Row.fromSeq(r.getLong(0) +:
-          (0 until w).flatMap(j => Seq(r.getLong(j + 1), acc(j))))
-      }
-    }
-    val result = spark.createDataFrame(out, StructType(
-      StructField(orderCol, LongType, nullable = false) +:
-        (0 until w).flatMap(j => Seq(
-          StructField(valueCols(j), LongType, nullable = false),
-          StructField(runNames(j), LongType, nullable = false)))))
-      .localCheckpoint()
-    sorted.unpersist(blocking = false)
-    result
+    val idx = valueCols.indices
+    val local = localScan(df, orderCol, valueCols, bounds)
+    val bAggs = idx.map(i => sum(col(s"__v$i")).as(s"__bt$i"))
+    val wOff = Window.orderBy(col("__pfx_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = idx.foldLeft(
+        local.groupBy(col("__pfx_b")).agg(bAggs.head, bAggs.tail: _*)) {
+      (d, i) => d.withColumn(s"__off$i",
+        coalesce(sum(col(s"__bt$i")).over(wOff), lit(0L)))
+    }.select(col("__pfx_b") +: idx.map(i => col(s"__off$i")): _*)
+    local.join(broadcast(offs), Seq("__pfx_b"))
+      .select(col("__k").as(orderCol) +: idx.flatMap(i => Seq(
+        col(s"__v$i").as(valueCols(i)),
+        (col(s"__run$i") + col(s"__off$i")).as(runNames(i)))): _*)
   }
 
   /** Running MAXIMUM of `valueCol` (long) ordered by `orderCol` (long,
@@ -147,10 +214,22 @@ object PrefixSum {
     * That flag is exactly the 2-D skyline/Pareto-front membership test
     * (sort by the minimized dimension, keep maximizer improvements), so
     * the front computation inherits this scan's scale shape instead of
-    * a single-task global window. Same two-phase structure as
-    * [[runningTotal]] with the (max, Long.MinValue) monoid — max is
-    * associative, so per-partition maxima + an exclusive driver scan of
-    * P values reconstruct the exact global scan.
+    * a single-task global window. Two-phase with the
+    * (max, Long.MinValue) monoid — max is associative, so per-partition
+    * maxima + an exclusive driver scan of P values reconstruct the
+    * exact global scan.
+    *
+    * DELIBERATELY still the DF↔RDD range-partitioned form (round 14):
+    * the SQL-native bucket form above was built for this scan too and
+    * measured AGAINST it in three alternating bench A/Bs on its only
+    * consumer, q_skyline_pareto — +6.9% / +10.4% / +13.0% at sf0.1 and
+    * +9% at sf1 (controls ±4%), while the same rewrite WON on the sum
+    * scans. The skyline consumer needs the per-row flag (join-back of
+    * bucket offsets onto grain rows — the costly half the aggregate
+    * consumers avoid), and here the RDD form's persist+two-cached-pass
+    * shape stays cheaper; empirical loop per guide §1.1. The rejected
+    * SQL-native candidate's plan is committed as
+    * plans/r14/q_skyline_pareto_sqlnative_rejected.txt.
     */
   def runningMax(df: DataFrame, orderCol: String, valueCol: String,
       runName: String = "runmax",

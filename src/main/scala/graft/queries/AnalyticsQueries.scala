@@ -1222,6 +1222,14 @@ object AnalyticsQueries extends QueryModule {
         // is one distributed running-max scan (PrefixSum.runningMax,
         // the two-phase range-partitioned form) — never a single-task
         // global window over ~|distinct prices| rows.
+        // round-14 adjudication: the SQL-native bucket-scan runningMax
+        // (kept for the SUM scans, where it won) was built and A/B'd
+        // here too and REJECTED — +6.9%/+10.4%/+13% at sf0.1, +9% at
+        // sf1 against ±4% controls; this consumer needs the per-row
+        // flag, i.e. the join-back of bucket offsets onto grain rows,
+        // and the RDD form's persist+two-cached-pass shape stays
+        // cheaper for that (see the runningMax scaladoc; rejected plan:
+        // plans/r14/q_skyline_pareto_sqlnative_rejected.txt).
         val g = T(s, dir, "lineitem")
           .groupBy((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
             .cast(LongType).as("price_cents"))

@@ -75,6 +75,23 @@ object BehaviorQueries extends QueryModule {
       sessionIntervals(T(s, dir, "events"))
     }
 
+  /** Stage a read-only source file into a streaming gate's temp dir as a
+    * HARD LINK (same-filesystem: instant, zero bytes moved) with a copy
+    * fallback for cross-device setups. Round-14: the streaming gates'
+    * `Files.copy` of events.parquet ran INSIDE the timed region and its
+    * cost scales with input size (a full serial byte copy of the fact at
+    * sf10) while contributing nothing to the measured operator — the
+    * link preserves the isolation the temp dir exists for (deleting the
+    * link never touches the source) and the stream still reads every
+    * byte from parquet.
+    */
+  private def linkOrCopy(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit =
+    try { java.nio.file.Files.createLink(dst, src); () }
+    catch { case _: Exception =>
+      java.nio.file.Files.copy(src, dst); ()
+    }
+
   def defs: Map[String, QueryDef] = Map(
 
     "q_funnel_conversion" -> QueryDef(
@@ -159,8 +176,18 @@ object BehaviorQueries extends QueryModule {
         // offset=0 filter below the partial agg, so the two branches
         // stop being one canonical subtree and exchange reuse never
         // fires — verified in the executed plan).
+        // null-ts policy, explicit (round-13 advice): events.ts is
+        // preserved as NULL by the loader's guarded cast; collect_set
+        // would silently drop null weeks, and an all-null-ts user would
+        // otherwise emit ws=[] (array_min=null cohort). The filter makes
+        // "null timestamps never enter the retention matrix" a stated
+        // rule rather than a set-semantics accident — same plan (the
+        // predicate pushes into the scan), identical rows on non-null
+        // data. NOTE: the pre-r13 distinct/join form emitted null-week
+        // rows instead; the policy changed WITH the r13 rewrite.
         val perUser = T(s, dir, "events")
           .select(col("user_id"), expr(s"ts div ${WeekUs}L").as("w"))
+          .filter(col("w").isNotNull)
           .groupBy(col("user_id"))
           .agg(collect_set(col("w")).as("ws"))
           .select(array_min(col("ws")).as("cw"), col("ws"))
@@ -208,12 +235,25 @@ object BehaviorQueries extends QueryModule {
         val nets = iv.select(col("s0").as("t"), lit(1L).as("d"))
           .unionByName(iv.select(col("e0").as("t"), lit(-1L).as("d")))
           .groupBy(col("t")).agg(sum(col("d")).as("net"))
-        val run = PrefixSum.runningTotal(nets, "t", "net", "conc")
-        val mx = run.agg(max(col("conc")).as("max_concurrency"))
+        // round-14: the query consumes only an AGGREGATE of the prefix
+        // stream (its max + earliest witness), so it rides the scan's
+        // bucket-combine form — one grain exchange, the per-bucket
+        // reduce runs directly above the local window, and the
+        // cross-bucket max/argmax assembles on the B-row bucket frame
+        // (no bucket-offset join-back onto grain rows; identical to the
+        // old global scan + max + equality-join + min(t) chain, see the
+        // runningTotalMaxArg scaladoc for the argmax equivalence).
+        // bucket bounds come from the CACHED interval frame (min start /
+        // max end+1 cover every boundary instant) — the scan's default
+        // self-aggregate branch would re-run the nets aggregation
+        // key-only (Catalyst prunes it off the shared exchange)
+        val bounds = iv.agg(min(col("s0")).as("__kmin"),
+          max(col("e0")).as("__kmax"))
+        val mx = PrefixSum.runningTotalMaxArg(nets, "t", "net",
+          "max_concurrency", "at_t", bounds = Some(bounds))
         iv.agg(count(lit(1)).as("n_sessions"))
-          .crossJoin(mx)
-          .crossJoin(run.join(mx, col("conc") === col("max_concurrency"))
-            .agg(min(col("t")).as("at_t")))
+          .crossJoin(broadcast(mx))
+          .select(col("n_sessions"), col("max_concurrency"), col("at_t"))
       },
       Some("""WITH m AS (SELECT user_id, epoch_us(ts) AS tu,
              |     event_id,
@@ -665,16 +705,32 @@ object BehaviorQueries extends QueryModule {
         val g = p.join(v, "user_id")
           .select(expr("(p_ts - v_ts) div 1000000").as("delay_s"))
           .groupBy(col("delay_s")).agg(count(lit(1)).as("c"))
-        val scanned = PrefixSum.runningTotal(g, "delay_s", "c", "cum")
-        val tot = scanned.agg(max(col("cum")).as("n"))
-        val cum = scanned.crossJoin(broadcast(tot))
+        // ONE consumption of the scan (the SQL-native PrefixSum result
+        // is not checkpointed): the grand total equals sum(c) over the
+        // grain (== max(cum), counts are positive), so it comes from
+        // the same tiny aggregate as min/max, and BOTH percentile
+        // crossings fuse into one conditional-min pass over the scan —
+        // the old form consumed `scanned` three times (total + p50 +
+        // p90), re-executing the two-phase scan per consumer. The same
+        // aggregate doubles as the scan's bucket bounds (min_s/max_s
+        // ARE the key range), referencing all of `stats`' columns so
+        // the bounds branch keeps sharing g's exchange instead of
+        // re-running the funnel joins key-only (the localScan bounds
+        // contract).
         val stats = g.agg(sum(col("c")).as("n_converted"),
           min(col("delay_s")).as("min_s"), max(col("delay_s")).as("max_s"))
-        val p50 = cum.filter(col("cum") * 100 >= col("n") * 50)
-          .agg(min(col("delay_s")).as("p50_s"))
-        val p90 = cum.filter(col("cum") * 100 >= col("n") * 90)
-          .agg(min(col("delay_s")).as("p90_s"))
-        stats.crossJoin(broadcast(p50)).crossJoin(broadcast(p90))
+        val scanned = PrefixSum.runningTotal(g, "delay_s", "c", "cum",
+          bounds = Some(stats.select(col("min_s").as("__kmin"),
+            col("max_s").as("__kmax"), col("n_converted").as("__n"))))
+        // __n rides the scan as a carried bounds extra — consuming it
+        // here (not via a second stats crossJoin) is what keeps the
+        // bounds branch un-prunable and the g exchange shared
+        val pct = scanned
+          .agg(min(when(col("cum") * 100 >= col("__n") * 50,
+            col("delay_s"))).as("p50_s"),
+            min(when(col("cum") * 100 >= col("__n") * 90,
+              col("delay_s"))).as("p90_s"))
+        stats.crossJoin(broadcast(pct))
           .select(col("n_converted"), col("min_s"), col("p50_s"),
             col("p90_s"), col("max_s"))
       },
@@ -730,7 +786,7 @@ object BehaviorQueries extends QueryModule {
         // localCheckpoint detaches the result from the sink files AND the
         // source files, so both can go
         try {
-          java.nio.file.Files.copy(
+          linkOrCopy(
             java.nio.file.Paths.get(s"$dir/events.parquet"),
             tmp.resolve("events.parquet"))
           val events = graft.streaming.EventStream.readEvents(s, tmp.toString)
@@ -807,7 +863,7 @@ object BehaviorQueries extends QueryModule {
         // open session, watermark-evicted.
         val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
         try {
-          java.nio.file.Files.copy(
+          linkOrCopy(
             java.nio.file.Paths.get(s"$dir/events.parquet"),
             tmp.resolve("events.parquet"))
           val events = graft.streaming.EventStream.readEvents(s, tmp.toString)

@@ -885,10 +885,20 @@ object CorpusQueries extends QueryModule {
         // ascending -cos = descending cos, clabel breaks ties ascending
         // AND makes the ordering key unique per row, so min_by's
         // pick-on-ties never fires; Spark's double ordering is the same
-        // total order the sort used). min_by is a DeclarativeAggregate —
-        // the plan stays HashAggregate (min(struct(...)) instead falls
-        // to SortAggregate, measured 40% slower than the window it
-        // replaced). The |labels|-way fan-out collapses MAP-SIDE in the
+        // total order the sort used — EXCEPT on NaN: cosine_sim emits
+        // NaN for a zero-norm or length-mismatched vector, and
+        // negate(NaN)=NaN sorts LAST ascending where the old cos-desc
+        // ranked it FIRST, so a degenerate centroid flips from
+        // always-picked to never-picked. That divergence is deliberate
+        // (never pick an undefined similarity) and unreachable on the
+        // gate's dense fixed-dim embeddings — the oracle hash pins the
+        // dense case, this comment pins the NaN policy. min_by with a
+        // struct ordering key plans as SortAggregate (r13 plan dump) —
+        // but over the already-collapsed map-side partials, which is
+        // why it still wins on shuffle volume (min(struct(...)) also
+        // fell to SortAggregate AND kept the full fan-out, measured 40%
+        // slower than the window it replaced).
+        // The |labels|-way fan-out collapses MAP-SIDE in the
         // partial agg — broadcast-join output is born co-partitioned per
         // vector — so the exchange carries one skinny
         // (vec_id, label, predicted) row per vector instead of |labels|

@@ -482,8 +482,14 @@ object LlmQueries extends QueryModule {
           .agg(count(lit(1)).as("__cnt"))
         val dist = docs.select(fp.as("__fp"), col("text"))
           .dropDuplicates("__fp")
-        val cross = NearDup.minHashPairs(dist, "__fp", "text",
-            minJaccard = 0.5)
+        // round-14: call the distinct-text core directly — this frame is
+        // already one row per fingerprint, so the minHashPairs wrapper's
+        // members checkpoint / re-dedup / identity joins / empty
+        // within-branch were pure overhead (its id_a = least(fa,fb) = fa
+        // here, since __fa < __fb by construction). Bit-identical pairs.
+        val cross = NearDup.minHashFpPairs(dist, "text", minJaccard = 0.5)
+          .select(col("__fa").as("id_a"), col("__fb").as("id_b"),
+            col("jaccard"))
           .join(counts.select(col("__fp").as("id_a"),
             col("__cnt").as("__ca")), Seq("id_a"))
           .join(counts.select(col("__fp").as("id_b"),
@@ -524,7 +530,10 @@ object LlmQueries extends QueryModule {
           .agg(min(col("doc_id")).as("__rep"), count(lit(1)).as("__cnt"))
         val dist = docs.select(fp.as("__fp"), col("text"))
           .dropDuplicates("__fp")
-        NearDup.minHashPairs(dist, "__fp", "text", minJaccard = 0.5)
+        // round-14: distinct-text core directly (see q_neardup_pair_stats)
+        NearDup.minHashFpPairs(dist, "text", minJaccard = 0.5)
+          .select(col("__fa").as("id_a"), col("__fb").as("id_b"),
+            col("jaccard"))
           .join(grp.select(col("__fp").as("id_a"), col("__rep").as("__ra"),
             col("__cnt").as("__ca")), Seq("id_a"))
           .join(grp.select(col("__fp").as("id_b"), col("__rep").as("__rb"),

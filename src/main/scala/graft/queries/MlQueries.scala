@@ -295,26 +295,44 @@ object MlQueries extends QueryModule {
             .as("label"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"),
           col("l_tax"))
-        val rows = (0L until 3L).map { f =>
-          val train = base.filter(col("fold") =!= f).drop("fold")
-          val test = base.filter(col("fold") === f).drop("fold")
-          val prep = ModelCache.fitted(s, dir, s"CV_PREP:fold=$f")(
-            PrepPipeline.fit(train, FeatureCols))
-            .asInstanceOf[org.apache.spark.ml.PipelineModel]
-          val clf = ModelCache.fitted(s, dir, s"CV_DT:fold=$f")(
-            Trainers.byName("D_TREE", Map("max_depth" -> "5"))
-              .fit(prep.transform(train)
+        // guide §2.6 (round-14): the three fold pipelines are INDEPENDENT
+        // jobs — submit them from a 3-thread pool so fold f+1's tasks
+        // back-fill executors idled by fold f's stage tails instead of
+        // serializing three small jobs end to end (this query's driver
+        // core-count ratio was 0.72: pure job-launch overhead at gate
+        // scale). Results assemble BY FOLD INDEX, so the output is
+        // order-deterministic regardless of completion order; ModelCache
+        // is promise-per-key concurrent (same fits, fitted once per
+        // session either way), and Spark job submission is thread-safe
+        // by design (the scheduler backfills FIFO).
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val rows = try {
+          val futs = (0L until 3L).map { f =>
+            scala.concurrent.Future {
+              val train = base.filter(col("fold") =!= f).drop("fold")
+              val test = base.filter(col("fold") === f).drop("fold")
+              val prep = ModelCache.fitted(s, dir, s"CV_PREP:fold=$f")(
+                PrepPipeline.fit(train, FeatureCols))
+                .asInstanceOf[org.apache.spark.ml.PipelineModel]
+              val clf = ModelCache.fitted(s, dir, s"CV_DT:fold=$f")(
+                Trainers.byName("D_TREE", Map("max_depth" -> "5"))
+                  .fit(prep.transform(train)
+                    .select(col("label"), col(PrepPipeline.FeaturesCol)))
+                  .asInstanceOf[org.apache.spark.ml.Transformer])
+              val scored = clf.transform(prep.transform(test)
                 .select(col("label"), col(PrepPipeline.FeaturesCol)))
-              .asInstanceOf[org.apache.spark.ml.Transformer])
-          val scored = clf.transform(prep.transform(test)
-            .select(col("label"), col(PrepPipeline.FeaturesCol)))
-          val r = scored.agg(count(lit(1)).as("n"),
-            sum(when(col("label") === col("prediction"), 1L)
-              .otherwise(0L)).as("ok")).head()
-          val n = r.getLong(0)
-          val acc = r.getLong(1).toDouble / n
-          Row(f, n, acc >= 0.3 && acc <= 1.0)
-        }
+              val r = scored.agg(count(lit(1)).as("n"),
+                sum(when(col("label") === col("prediction"), 1L)
+                  .otherwise(0L)).as("ok")).head()
+              val n = r.getLong(0)
+              val acc = r.getLong(1).toDouble / n
+              Row(f, n, acc >= 0.3 && acc <= 1.0)
+            }(ec)
+          }
+          futs.map(scala.concurrent.Await.result(_,
+            scala.concurrent.duration.Duration(600, "seconds")))
+        } finally pool.shutdown()
         s.createDataFrame(
           s.sparkContext.parallelize(rows, 1),
           StructType(Seq(StructField("fold", LT, nullable = false),

@@ -135,21 +135,8 @@ object NearDup {
       .localCheckpoint()
     val dist = df.select(fp.as("__fp"), col(textCol))
       .dropDuplicates("__fp")
-    val sigs = minHashSignatures(dist, "__fp", textCol, n, numHashTables,
-      seed)
-    val banded = sigs.select(col("__id"),
-      posexplode(col("__sig")).as(Seq("__band", "__h")))
-    val a = banded.select(col("__band"), col("__h"), col("__id").as("__fa"))
-    val b = banded.select(col("__band"), col("__h"), col("__id").as("__fb"))
-    val cand = a.join(b, Seq("__band", "__h"))
-      .filter(col("__fa") < col("__fb"))
-      .select(col("__fa"), col("__fb"))
-      .dropDuplicates("__fa", "__fb")
-    val fpPairs = hashJaccard(dist, "__fp", textCol,
-        cand.select(col("__fa").as("id_a"), col("__fb").as("id_b")), n)
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a").as("__fa"), col("id_b").as("__fb"),
-        col("jaccard"))
+    val fpPairs = minHashFpPairs(dist, textCol, n, numHashTables,
+      minJaccard, seed)
     val cross = fpPairs
       .join(members.select(col("__fp").as("__fa"),
         col("__mid").as("__ia")), Seq("__fa"))
@@ -164,6 +151,40 @@ object NearDup {
       .select(col("id_a"), col("id_b"), lit(1.0d).as("jaccard"))
       .filter(lit(1.0d) >= lit(minJaccard))
     cross.unionByName(within)
+  }
+
+  /** The distinct-text core of [[minHashPairs]]: banding + exact Jaccard
+    * verify over a frame that is ALREADY one row per text fingerprint
+    * (`__fp` = xxhash64(textCol), `textCol`). Consumers that operate on
+    * collapsed text groups and attach member weights/representatives
+    * themselves (q_neardup_pair_stats, q_neardup_topk_pairs) call this
+    * directly — wrapping it in [[minHashPairs]] paid, per query, an
+    * extra members localCheckpoint job, a redundant dropDuplicates
+    * exchange, two identity member joins and a structurally empty
+    * within-group branch (round-13 verdict #6 probe: the stats gate
+    * itself is cheap; the machinery around candidate gen was the cost).
+    *
+    * @return (__fa, __fb, jaccard): fingerprint pairs, __fa < __fb
+    *         (long order), jaccard >= minJaccard
+    */
+  def minHashFpPairs(dist: DataFrame, textCol: String,
+      n: Int = 3, numHashTables: Int = 8,
+      minJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val sigs = minHashSignatures(dist, "__fp", textCol, n, numHashTables,
+      seed)
+    val banded = sigs.select(col("__id"),
+      posexplode(col("__sig")).as(Seq("__band", "__h")))
+    val a = banded.select(col("__band"), col("__h"), col("__id").as("__fa"))
+    val b = banded.select(col("__band"), col("__h"), col("__id").as("__fb"))
+    val cand = a.join(b, Seq("__band", "__h"))
+      .filter(col("__fa") < col("__fb"))
+      .select(col("__fa"), col("__fb"))
+      .dropDuplicates("__fa", "__fb")
+    hashJaccard(dist, "__fp", textCol,
+        cand.select(col("__fa").as("id_a"), col("__fb").as("id_b")), n)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a").as("__fa"), col("id_b").as("__fb"),
+        col("jaccard"))
   }
 
   /** Incremental (cross-shard) MinHash-LSH near-dup: candidate pairs

@@ -26,11 +26,14 @@ object ExplainQuery {
         // adaptive plan — AQE's runtime exchange reuse (stage cache) is
         // invisible in the static plan, so reuse audits need this mode.
         // The execution must drive df's OWN QueryExecution: df.write
-        // creates a fresh QueryExecution, leaving df.queryExecution
-        // un-executed (isFinalPlan=false) — exactly the un-reused plan
-        // this mode exists to see past. foreach(noop) executes in place.
+        // AND df.foreach/rdd each create a fresh QueryExecution, leaving
+        // df.queryExecution un-executed (isFinalPlan=false — observed on
+        // 4.1.2) — exactly the un-reused plan this mode exists to see
+        // past. collect() is the Dataset action that drives
+        // df.queryExecution in place; this tool only audits gate-scale
+        // outputs, so the driver-side result is small.
         if (sys.env.get("GRAFT_EXPLAIN_RUN").contains("1")) {
-          df.foreach(_ => ())
+          df.collect()
           println(df.queryExecution.executedPlan.toString)
         } else df.explain("formatted")
       }

@@ -122,6 +122,42 @@ object Probe {
     "sky_runmax" -> ((s, dir) =>
       graft.operators.PrefixSum.runningMax(
         variants("sky_group")(s, dir), "price_cents", "qty")),
+    // round-14 REJECTED candidate, kept reproducible: the SQL-native
+    // bucket-scan runningMax (join-back form) applied to the skyline —
+    // measured +6.9%/+10.4%/+13% at sf0.1 and +9% at sf1 in alternating
+    // bench A/Bs vs the RDD form (controls ±4%), so q_skyline_pareto
+    // keeps the RDD scan; the sum scans keep the SQL-native form where
+    // it won. This variant pins the rejected plan shape
+    // (plans/r14/q_skyline_pareto_sqlnative_rejected.txt).
+    "sky_sqlnative" -> ((s, dir) => {
+      val nB = math.max(s.sparkContext.defaultParallelism * 8, 256)
+      val g = variants("sky_group")(s, dir)
+      val base = g.select(col("price_cents").as("__k"),
+        col("qty").as("__v"))
+      val st = base.agg(min(col("__k")).as("__kmin"),
+        max(col("__k")).as("__kmax"))
+      val grid = base.crossJoin(broadcast(st))
+        .withColumn("__pfx_b",
+          expr(s"(__k - __kmin) div ((__kmax - __kmin) div $nB + 1)"))
+        .drop("__kmin", "__kmax")
+      val w = Window.partitionBy(col("__pfx_b")).orderBy(col("__k"))
+      val local = grid.withColumn("__prevl", max(col("__v")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      val offs = grid.groupBy(col("__pfx_b"))
+        .agg(max(col("__v")).as("__bm"))
+        .withColumn("__off", coalesce(max(col("__bm")).over(
+          Window.orderBy(col("__pfx_b"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(Long.MinValue)))
+        .select(col("__pfx_b"), col("__off"))
+      local.join(broadcast(offs), Seq("__pfx_b"))
+        .filter(col("__v") > greatest(coalesce(col("__prevl"),
+          lit(Long.MinValue)), col("__off")))
+        .select(col("__k").as("price_cents"), col("__v").as("qty"))
+        .orderBy(col("price_cents"))
+    }),
+    "sky_sqlnative_diff" -> ((s, dir) => orderedDiff(
+      variants("sky_sqlnative")(s, dir), variants("sky_full")(s, dir))),
     "sky_window1task" -> ((s, dir) => {
       val w = Window.orderBy(col("price_cents"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -130,6 +166,108 @@ object Probe {
         .filter(col("pm").isNull || col("qty") > col("pm"))
         .select(col("price_cents"), col("qty"))
         .orderBy(col("price_cents"))
+    }),
+    // ---- q_max_concurrency (round-14: SQL-native PrefixSum) -------------
+    "conc_full" -> registered("q_max_concurrency"),
+    // ---- q_chi2_independence (round-14: measure the recorded 100 TB
+    // flip under the cluster profile at a larger SF — r13 kept the
+    // 4-concurrent-scan form at gate scale and recorded "derived
+    // marginals win when the scan is the cost" as prose; this pins it)
+    "chi2_full" -> registered("q_chi2_independence"),
+    "chi2_derived" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val d = T(s, dir, "documents").select(col("lang"), col("source"))
+      val cells = d.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("nij"))
+      // marginals derived from the cells table: ONE fact scan total
+      val rows = cells.groupBy(col("lang")).agg(sum(col("nij")).as("ri"))
+      val cols = cells.groupBy(col("source")).agg(sum(col("nij")).as("cj"))
+      val n = cells.agg(sum(col("nij")).as("n"))
+      val terms = cells
+        .join(broadcast(rows), Seq("lang"))
+        .join(broadcast(cols), Seq("source"))
+        .select(graft.functions.FixedPoint.scaledDiv(
+          col("nij").cast(DecimalType(38, 0)) * col("nij"),
+          col("ri").cast(DecimalType(38, 0)) * col("cj"),
+          10000000000L).as("term"))
+      terms.agg(sum(col("term")).as("t")).crossJoin(broadcast(n))
+        .select(col("n"), col("t"))
+    }),
+    // ---- q_bfs_reach (round-14 decomposition: iteration overhead) -------
+    "bfs_full" -> registered("q_bfs_reach"),
+    // seed frontier alone: the per-rep lineitem+orders scans
+    "bfs_seed" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val o = T(s, dir, "orders")
+      li.join(o.filter(col("o_custkey") === 0).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("node")).distinct()
+    }),
+    // candidate: min-hop BFS WITHOUT anti-joins — label each distinct
+    // k-step neighborhood with k and take min(hop) per node. Node set is
+    // identical (neighbors of already-visited members of hop-set k are
+    // ⊆ hop-set k+1's input and min() re-ranks them); the anti-join
+    // pruning only pays when frontier ≪ visited, which a 2-hop bound
+    // never reaches — while each anti-join costs an exchange of BOTH
+    // sides and deepens the re-executed lineage.
+    "bfs_nounion" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val o = T(s, dir, "orders")
+      val seed = li.join(
+          o.filter(col("o_custkey") === 0).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("node")).distinct()
+      val edges = graft.core.FrameCache.cached(s,
+          s"coorder_edges:bysrc:$dir") {
+        li.join(li.select(col("l_orderkey").as("k2"),
+              col("l_partkey").as("dst")),
+            col("l_orderkey") === col("k2"))
+          .filter(col("l_partkey") =!= col("dst"))
+          .select(col("l_partkey").as("src"), col("dst"))
+          .groupBy(col("src"))
+          .agg(collect_set(col("dst")).as("__dsts"))
+          .select(col("src"), explode(col("__dsts")).as("dst"))
+      }
+      val n1 = seed.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+      val n2 = n1.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+      seed.withColumn("hop", lit(0L))
+        .unionByName(n1.withColumn("hop", lit(1L)))
+        .unionByName(n2.withColumn("hop", lit(2L)))
+        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+        .groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("hop"))
+    }),
+    "bfs_diff" -> ((s, dir) => orderedDiff(
+      variants("bfs_nounion")(s, dir), variants("bfs_full")(s, dir))),
+    // ---- q_triangle_count (round-14 decomposition) -----------------------
+    "tri_full" -> registered("q_triangle_count"),
+    // directed edge construction (2 degree joins) up to the checkpoint
+    "tri_directed" -> ((s, dir) => {
+      // same FrameCache key as MiningQueries.cachedPartPairs, so this
+      // probe times the degree joins off the SAME warmed pair cache the
+      // registered query uses
+      val e = graft.core.FrameCache.cached(s, s"copairs:l_partkey:$dir") {
+        graft.operators.CoOccur.pairs(
+          T(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey").as("item"))
+            .distinct(), "l_orderkey", "item")
+      }.filter(col("cab") >= 2).select(col("pa"), col("pb"))
+      val nodes = e.select(col("pa").as("v"))
+        .unionByName(e.select(col("pb").as("v")))
+      val deg = nodes.groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val withDeg = e
+        .join(deg.select(col("v").as("pa"), col("d").as("da")), Seq("pa"))
+        .join(deg.select(col("v").as("pb"), col("d").as("db")), Seq("pb"))
+      val aFirst = (col("da") < col("db")) ||
+        (col("da") === col("db") && col("pa") < col("pb"))
+      withDeg.select(
+        when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
+        when(aFirst, col("pb")).otherwise(col("pa")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
     }),
     // ---- q_ngram_jaccard ------------------------------------------------
     "ngram_full" -> registered("q_ngram_jaccard"),
@@ -507,7 +645,13 @@ object Probe {
       .filter(v => pattern.findFirstIn(v._1).isDefined)
       .foreach { case (name, fn) =>
         try {
-          if (name.endsWith("_diff")) {
+          // PROBE_EXPLAIN=1: print the formatted plan instead of timing —
+          // lets rejected-candidate variants pin their plan shape into
+          // the committed evidence dumps without a bench run.
+          if (sys.env.get("PROBE_EXPLAIN").contains("1")) {
+            println(s"\n========== $name ==========")
+            fn(spark, dir).explain("formatted")
+          } else if (name.endsWith("_diff")) {
             println(s"$name: " + fn(spark, dir).collect().mkString(" "))
           } else {
             System.gc()

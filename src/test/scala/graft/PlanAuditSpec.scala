@@ -470,13 +470,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.split("Scan parquet").length - 1 == 2, p.take(3000))
   }
 
-  test("q_ks_drift: no window anywhere — both ECDFs ride the two-phase " +
-      "prefix-sum scan") {
+  test("q_ks_drift: both ECDFs ride the bucket-partitioned two-phase " +
+      "prefix-sum scan — no grain-scale single-task funnel") {
     val p = planOf("q_ks_drift")
-    // the whole point of PrefixSum.runningTotals: a global cumulative
-    // sum with NO per-row global window and no single-task funnel
-    assert(!p.contains("Window"), p.take(3000))
-    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+    // the point of PrefixSum.runningTotals: the GRAIN rows only ever
+    // flow through a window partitioned by the scan bucket (parallel),
+    // and the only single-partition segment is the exclusive scan of
+    // the B bucket AGGREGATES (B = O(parallelism) rows — the same
+    // information the old RDD form collected to the driver)
+    assert(p.contains("hashpartitioning(__pfx_b"), p.take(3000))
+    val sp = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(sp <= 1,
+      s"expected at most the one bucket-aggregate funnel, got $sp:\n" +
+        p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
