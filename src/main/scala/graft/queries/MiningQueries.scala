@@ -137,7 +137,16 @@ object MiningQueries extends QueryModule {
         val nEdges = e.agg(count(lit(1)).as("n_edges"))
         val nodes = e.select(col("pa").as("v"))
           .unionByName(e.select(col("pb").as("v")))
+        // localCheckpoint (round-14): deg is consumed THREE times (the
+        // wedge-count aggregate + both orientation joins) and the AQE
+        // stage cache only deduplicated one pair — the executed plan
+        // carried TWO `Exchange hashpartitioning(v)` subtrees, i.e. the
+        // 2|E|-row union + aggregation ran twice per execution (probe
+        // tri_deg: 0.36 s of tri_full's 1.05 s at sf0.1). The frame is
+        // node-domain-sized, so the checkpoint itself is tiny — same
+        // reference-it-thrice pattern as `directed` below.
         val deg = nodes.groupBy(col("v")).agg(count(lit(1)).as("d"))
+          .localCheckpoint()
         // DIV keeps the wedge count integral end-to-end (d*(d-1) is even);
         // `/` would route it through double — a hub node past ~1e8 degree
         // would silently lose wedges to the 2^53 mantissa at corpus scale
@@ -487,12 +496,11 @@ object MiningQueries extends QueryModule {
         // bounded BFS over the part co-order graph — the recursive-CTE
         // query shape (WITH RECURSIVE), expressed as the distributed
         // iterative frontier pattern: per hop, join the frontier to the
-        // edge list, anti-join away already-visited nodes, dedup the new
-        // frontier. Min-hop semantics fall out of visiting each node at
-        // its first frontier. Every step is a keyed join/dedup — no
-        // driver-side state beyond the loop counter; at 100 TB each hop
-        // is one co-partitioned join (and the visited set stays
-        // partitioned by node, exactly connected-components' layout).
+        // edge list and dedup; min-hop semantics come from a final
+        // min(hop) re-rank per node (see below — the per-hop anti-join
+        // pruning was removed in round 14). Every step is a keyed
+        // join/dedup — no driver-side state beyond the loop counter; at
+        // 100 TB each hop is one co-partitioned join.
         val li = T(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"))
         val o = T(s, dir, "orders")
@@ -508,11 +516,10 @@ object MiningQueries extends QueryModule {
         // distributed BFS, but its size is DATA-DEPENDENT — hop 1 from a
         // hub seed on a dense graph can be a large fraction of the node
         // set, and a forced broadcast of that frame OOMs executors at
-        // cluster scale. Same reasoning for VISITED, which grows
-        // monotonically toward the full reachable set. Both joins let
-        // AQE pick broadcast at runtime while the frame is actually
-        // small — the safe direction of adaptivity (PlanAuditSpec
-        // asserts no ResolvedHint survives anywhere in this query).
+        // cluster scale. The hop joins let AQE pick broadcast at
+        // runtime while the frame is actually small — the safe
+        // direction of adaptivity (PlanAuditSpec asserts no
+        // ResolvedHint survives anywhere in this query).
         // FrameCache: the co-order self-join + dedup is by far the
         // query's dominant cost and is a pure function of the input dir,
         // so one materialization serves every BFS run in the session
@@ -549,19 +556,28 @@ object MiningQueries extends QueryModule {
             .agg(collect_set(col("dst")).as("__dsts"))
             .select(col("src"), explode(col("__dsts")).as("dst"))
         }
-        var visited = seed.withColumn("hop", lit(0L))
-        var frontier = seed
-        for (h <- 1 to 2) {
-          val next = frontier
-            .join(edges, col("node") === col("src"))
-            .select(col("dst").as("node")).distinct()
-            .join(visited.select(col("node").as("vn")),
-              col("node") === col("vn"), "left_anti")
-          frontier = next
-          visited = visited.unionByName(
-            next.withColumn("hop", lit(h.toLong)))
-        }
-        visited.groupBy(col("hop"))
+        // round-14 (§2.4/§7): min-hop BFS WITHOUT the per-hop anti-joins.
+        // Each anti-join shuffled BOTH the growing visited set and the
+        // new frontier and deepened the re-executed lineage (visited is
+        // a union of every prior hop); with a 2-hop bound the pruning
+        // they buy (frontier ≪ visited) never pays. Instead label each
+        // k-step neighborhood with k and take min(hop) per node — the
+        // node set is identical (neighbors of already-visited members
+        // of hop-set k are ⊆ hop-set k+1's input, and min() re-ranks
+        // them to their first hop), which Probe pins row-exactly
+        // (bfs_diff = [0,0]) and the oracle hash confirms; measured
+        // −20% same-JVM at sf0.1 (bfs_full 1.113 → bfs_nounion 0.889).
+        // For an UNBOUNDED/deep BFS the anti-join form comes back: once
+        // the frontier is a sliver of visited, pruning beats re-ranking.
+        val n1 = seed.join(edges, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+        val n2 = n1.join(edges, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+        seed.withColumn("hop", lit(0L))
+          .unionByName(n1.withColumn("hop", lit(1L)))
+          .unionByName(n2.withColumn("hop", lit(2L)))
+          .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+          .groupBy(col("hop"))
           .agg(count(lit(1)).as("n_nodes"))
           .orderBy(col("hop"))
       },

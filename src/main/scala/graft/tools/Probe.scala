@@ -204,13 +204,50 @@ object Probe {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_partkey").as("node")).distinct()
     }),
-    // candidate: min-hop BFS WITHOUT anti-joins — label each distinct
-    // k-step neighborhood with k and take min(hop) per node. Node set is
-    // identical (neighbors of already-visited members of hop-set k are
-    // ⊆ hop-set k+1's input and min() re-ranks them); the anti-join
-    // pruning only pays when frontier ≪ visited, which a 2-hop bound
-    // never reaches — while each anti-join costs an exchange of BOTH
-    // sides and deepens the re-executed lineage.
+    // the round-13 production form, kept reproducible after the round-14
+    // rewrite: per-hop anti-join pruning against the visited set. The
+    // rewrite (now the registered query) labels each k-step neighborhood
+    // with k and takes min(hop) per node instead — node set identical
+    // (neighbors of already-visited members of hop-set k are ⊆ hop-set
+    // k+1's input and min() re-ranks them; bfs_diff pins [0,0]); the
+    // anti-join pruning only pays when frontier ≪ visited, which a
+    // 2-hop bound never reaches — while each anti-join costs an
+    // exchange of BOTH sides and deepens the re-executed lineage.
+    "bfs_antijoin" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val o = T(s, dir, "orders")
+      val seed = li.join(
+          o.filter(col("o_custkey") === 0).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("node")).distinct()
+      val edges = graft.core.FrameCache.cached(s,
+          s"coorder_edges:bysrc:$dir") {
+        li.join(li.select(col("l_orderkey").as("k2"),
+              col("l_partkey").as("dst")),
+            col("l_orderkey") === col("k2"))
+          .filter(col("l_partkey") =!= col("dst"))
+          .select(col("l_partkey").as("src"), col("dst"))
+          .groupBy(col("src"))
+          .agg(collect_set(col("dst")).as("__dsts"))
+          .select(col("src"), explode(col("__dsts")).as("dst"))
+      }
+      var visited = seed.withColumn("hop", lit(0L))
+      var frontier = seed
+      for (h <- 1 to 2) {
+        val next = frontier
+          .join(edges, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select(col("node").as("vn")),
+            col("node") === col("vn"), "left_anti")
+        frontier = next
+        visited = visited.unionByName(
+          next.withColumn("hop", lit(h.toLong)))
+      }
+      visited.groupBy(col("hop"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("hop"))
+    }),
     "bfs_nounion" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
@@ -242,7 +279,7 @@ object Probe {
         .orderBy(col("hop"))
     }),
     "bfs_diff" -> ((s, dir) => orderedDiff(
-      variants("bfs_nounion")(s, dir), variants("bfs_full")(s, dir))),
+      variants("bfs_nounion")(s, dir), variants("bfs_antijoin")(s, dir))),
     // ---- q_triangle_count (round-14 decomposition) -----------------------
     "tri_full" -> registered("q_triangle_count"),
     // directed edge construction (2 degree joins) up to the checkpoint
@@ -268,6 +305,27 @@ object Probe {
         when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
         when(aFirst, col("pb")).otherwise(col("pa")).as("dst"),
         when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+    }),
+    // directed edges INCLUDING the localCheckpoint materialization —
+    // (tri_ckpt − tri_directed) isolates the checkpoint write,
+    // (tri_full − tri_ckpt) isolates the wedge + closure joins
+    "tri_ckpt" -> ((s, dir) =>
+      variants("tri_directed")(s, dir).localCheckpoint()),
+    // the support-filtered edge frame alone (off the warmed pair cache)
+    "tri_e" -> ((s, dir) =>
+      graft.core.FrameCache.cached(s, s"copairs:l_partkey:$dir") {
+        graft.operators.CoOccur.pairs(
+          T(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey").as("item"))
+            .distinct(), "l_orderkey", "item")
+      }.filter(col("cab") >= 2).select(col("pa"), col("pb"))),
+    // degree frame alone — (tri_directed − tri_deg − tri_e) ≈ the two
+    // degree joins + orientation projection
+    "tri_deg" -> ((s, dir) => {
+      val e = variants("tri_e")(s, dir)
+      e.select(col("pa").as("v"))
+        .unionByName(e.select(col("pb").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
     }),
     // ---- q_ngram_jaccard ------------------------------------------------
     "ngram_full" -> registered("q_ngram_jaccard"),
@@ -627,9 +685,18 @@ object Probe {
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("PROBE_REPS", "3").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.benchScratch(GraftSession.configure(
-      SparkSession.builder().master(s"local[$cpus]").appName("graft-probe")))
-      .config("spark.sql.shuffle.partitions", cpus)
+    // SPARK_GRAFT_PROFILE=cluster: probe under clusterDefaults() (same
+    // contract as Bench/Verify) — this is how the recorded "flips at
+    // cluster scale" claims get their measurement instead of staying
+    // prose: 2000 shuffle partitions AQE-coalesces down from, skew join
+    // on, Kryo, 64 MiB broadcast.
+    val cluster = sys.env.get("SPARK_GRAFT_PROFILE").contains("cluster")
+    val base0 =
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-probe")
+    val spark = (if (cluster)
+        GraftSession.benchScratch(GraftSession.clusterDefaults(base0))
+      else GraftSession.benchScratch(GraftSession.configure(base0))
+        .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     GraftSession.tuneScanSplits(spark)
     spark.sparkContext.setLogLevel("ERROR")

@@ -412,7 +412,15 @@ class PlanAuditSpec extends SparkSpec {
   test("q_bfs_reach: frontier hops are hash joins, never cartesian") {
     val p = planOf("q_bfs_reach")
     assert(!p.contains("CartesianProduct"), p.take(3000))
-    assert(p.contains("LeftAnti"), p.take(3000))
+    // round-14: per-hop anti-join pruning replaced by a final min(hop)
+    // re-rank (each anti-join shuffled BOTH sides per hop and deepened
+    // the re-executed lineage; at a 2-hop bound pruning never pays —
+    // Probe bfs_diff pins row-equality against the anti-join form).
+    // The contract is now ZERO anti-joins and a hop-label union feeding
+    // a per-node min aggregate.
+    assert(!p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("Union"), p.take(3000))
+    assert(p.contains("min(hop"), p.take(3000))
   }
 
   test("q_bfs_reach: NO broadcast hint anywhere — frontier and visited " +
