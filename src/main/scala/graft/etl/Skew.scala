@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   * salt in [0, buckets); the small side is exploded ×buckets so every
   * (key, salt) pair finds its match. Shuffle then distributes each hot
   * key over `buckets` reducers.
+  *
+  * Round-14 measurement (Probe salted_plain/hot/full, sf10,
+  * SPARK_GRAFT_PROFILE=cluster — AQE skewJoin ON): plain join 1.69 s,
+  * [[hotSaltedJoin]] 3.20 s, full [[saltedJoin]] 16.6 s min. On the
+  * gate's mild-skew custkey data AQE alone wins by ~2× over even the
+  * hot-only variant — these operators are for the skew regime AQE's
+  * partition-splitting cannot fix (a single key larger than an
+  * executor's memory, or a non-broadcastable small side), not a default
+  * substitute for it.
   */
 object Skew {
 

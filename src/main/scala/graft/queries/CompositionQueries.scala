@@ -142,9 +142,15 @@ object CompositionQueries extends QueryModule {
         // CONCURRENTLY, while the derived form serializes everything
         // behind the cells exchange — at gate scale the extra reads are
         // cheaper than the lost stage parallelism. Kept as-is per guide
-        // §1.1; on a 100 TB fact the trade flips (three avoided scans
-        // dominate), which is a conf-free plan change to revisit when a
-        // real cluster profile is the measurement target.
+        // §1.1. Round-14 measurement of the recorded "flips at scale"
+        // claim (Probe chi2_full vs chi2_derived, sf10,
+        // SPARK_GRAFT_PROFILE=cluster): the 4-scan form STILL wins,
+        // 0.705 s vs 1.0 s min — no flip by sf10 even under
+        // clusterDefaults, because documents stays a cheap columnar
+        // scan whose 2-column pruned reads are nearly free next to the
+        // lost concurrency. The flip needs the scan itself to dominate
+        // (I/O-bound fact at 100 TB); until a real cluster measurement
+        // shows it, this form stands on its numbers.
         val d = T(s, dir, "documents").select(col("lang"), col("source"))
         val cells = d.groupBy(col("lang"), col("source"))
           .agg(count(lit(1)).as("nij"))
