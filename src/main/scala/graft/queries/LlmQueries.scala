@@ -121,6 +121,48 @@ object LlmQueries extends QueryModule {
         minJaccard = 0.5)
     }
 
+  /** The self-seeded containment corpus shared by q_containment_dedup and
+    * q_containment_stats: documents plus truncated 15-token prefixes of
+    * the first 40 docs (q_dedup_exact_stats convention — prefix 3-grams
+    * are a subset of the source doc's by construction).
+    */
+  private def seededContainmentDocs(s: SparkSession, dir: String)
+      : DataFrame = {
+    val d = T(s, dir, "documents")
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    d.select(col("doc_id"), col("text")).unionByName(
+      d.filter(col("doc_id") < 40 && size(toks) >= 18)
+        .select((-col("doc_id") - 1).as("doc_id"),
+          array_join(slice(toks, 1, 15), " ").as("text")))
+  }
+
+  /** Session-cached collapsed containment frames over the seeded corpus —
+    * round 14 session 2: q_containment_dedup and q_containment_stats each
+    * re-ran the IDENTICAL rarest-shingle blocking + exact subset verify
+    * per execution (probe: 1.7 s of machinery shared by two ~2 s
+    * queries). One FrameCache entry encodes BOTH containmentSetPairs
+    * outputs (members rows tagged 'm' = (set digest, doc id), strict
+    * set-level pairs tagged 'p' = (contained digest, container digest)),
+    * so one build serves both consumers — the cachedMinHashPairs pattern;
+    * the build is charged to the bench's cache_build_sec ledger.
+    */
+  private def cachedSeededContainment(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val both = graft.core.FrameCache.cached(s,
+      s"containment_seeded:3:$dir") {
+      val (members, setPairs) = NearDup.containmentSetPairs(
+        seededContainmentDocs(s, dir), "doc_id", "text", 3)
+      members.select(lit("m").as("__tag"), col("__did").as("__a"),
+          col("__id").as("__b"))
+        .unionByName(setPairs.select(lit("p").as("__tag"),
+          col("__da").as("__a"), col("__db").as("__b")))
+    }
+    (both.filter(col("__tag") === "m")
+        .select(col("__a").as("__did"), col("__b").as("__id")),
+      both.filter(col("__tag") === "p")
+        .select(col("__a").as("__da"), col("__b").as("__db")))
+  }
+
   /** Session-cached near-dup components over the lang-chain edge set
     * (consecutive doc_ids sharing a language — long chains that exercise
     * the multi-hop pointer-jumping path). The iterative clusterer is the
@@ -294,8 +336,16 @@ object LlmQueries extends QueryModule {
         // the same fingerprint. The wraparound Long arithmetic itself is
         // not SQL-expressible; the agreement property is.
         val docs = T(s, dir, "documents")
-        val pairs = NearDup.minHashPairs(docs, "doc_id", "text",
-            minJaccard = 0.5)
+        // round-14 session 2: the true-pair set here is EXACTLY the frame
+        // the session already materializes for q_minhash_neardup /
+        // q_simhash_neardup / q_curation_pipeline (same table, same n/
+        // bands/threshold/seed) — re-deriving it per execution was the
+        // whole query wall (probe: fresh minHashPairs 2.6 s of the 2.3 s
+        // query; the rolling fingerprints under test cost 0.1 s). Shared
+        // via cachedMinHashPairs like every other consumer; the build is
+        // charged to the bench's cache_build_sec ledger, per its
+        // round-7 attribution contract.
+        val pairs = cachedMinHashPairs(s, dir)
           .select(col("id_a"), col("id_b"))
         val fps = docs.select(col("doc_id"),
           graft.functions.RollingFingerprint
@@ -388,17 +438,16 @@ object LlmQueries extends QueryModule {
         // exactly (all-pairs list_intersect — oracle-side O(n²) is fine
         // at gate scale), so green proves blocking completeness AND
         // exact verification.
-        val d = T(s, dir, "documents")
-        val toks = split(trim(lower(col("text"))), "\\s+")
-        val seeded = d.select(col("doc_id"), col("text")).unionByName(
-          d.filter(col("doc_id") < 40 && size(toks) >= 18)
-            .select((-col("doc_id") - 1).as("doc_id"),
-              array_join(slice(toks, 1, 15), " ").as("text")))
-        // blocking and verification live in NearDup.containmentPairs
+        // blocking and verification live in NearDup.containmentSetPairs
         // (64-bit rolling-hash shingles — equality-only downstream, so
         // longs shuffle ~5× less than gram strings; completeness
-        // property-tested on random corpora)
-        NearDup.containmentPairs(seeded, "doc_id", "text", 3)
+        // property-tested on random corpora). Round 14 session 2: the
+        // collapsed frames come from the session cache shared with
+        // q_containment_stats (see cachedSeededContainment) — this query
+        // is their member-level expansion, as q_minhash_neardup is for
+        // the cached minhash pair set.
+        val (members, setPairs) = cachedSeededContainment(s, dir)
+        NearDup.containmentExpand(members, setPairs)
           .orderBy(col("id_a"), col("id_b"))
       },
       // duplicate-collapsed truth (round-8, same construction as
@@ -476,6 +525,12 @@ object LlmQueries extends QueryModule {
         // scales with DISTINCT-text pairs while the exact gates
         // (q_minhash_neardup) stay the full-list contract at gate scale.
         // Output ≤ 6 rows (deciles 5..10).
+        // (round-14 session 2 probed a fused single groupBy carrying
+        // (count, first(text)) and fused+localCheckpoint here — the
+        // two-aggregation form below stays FASTEST on same-JVM minima
+        // (1.31 vs 1.58 vs 1.85 s, Probe ndtk_*): the skinny count
+        // aggregate never carries text, and dragging it through a First
+        // buffer costs more than the second exchange saves.)
         val docs = T(s, dir, "documents")
         val fp = xxhash64(col("text"))
         val counts = docs.groupBy(fp.as("__fp"))
@@ -524,6 +579,9 @@ object LlmQueries extends QueryModule {
         // the output is engine-independent; TakeOrderedAndProject keeps
         // the sort a per-partition top-k + driver merge of 20 rows, not
         // a total order.
+        // (two-aggregation shape deliberately kept — see the
+        // q_neardup_pair_stats probe note; Probe ndtk_* pins this form
+        // fastest against fused and fused+checkpoint)
         val docs = T(s, dir, "documents")
         val fp = xxhash64(col("text"))
         val grp = docs.groupBy(fp.as("__fp"))
@@ -581,14 +639,9 @@ object LlmQueries extends QueryModule {
         // inside its own equal-set group — so the histogram is a keyed
         // agg over set-level pairs; no member-level pair row ever
         // exists. Same self-seeded corpus as q_containment_dedup.
-        val d = T(s, dir, "documents")
-        val toks = split(trim(lower(col("text"))), "\\s+")
-        val seeded = d.select(col("doc_id"), col("text")).unionByName(
-          d.filter(col("doc_id") < 40 && size(toks) >= 18)
-            .select((-col("doc_id") - 1).as("doc_id"),
-              array_join(slice(toks, 1, 15), " ").as("text")))
-        val (members, setPairs) =
-          NearDup.containmentSetPairs(seeded, "doc_id", "text", 3)
+        // round 14 session 2: collapsed frames from the session cache
+        // shared with q_containment_dedup (see cachedSeededContainment)
+        val (members, setPairs) = cachedSeededContainment(s, dir)
         val sizes = members.groupBy(col("__did"))
           .agg(count(lit(1)).as("__cnt"))
         val strict = setPairs
@@ -711,13 +764,20 @@ object LlmQueries extends QueryModule {
         // cross-text pair contributes cnt_a × cnt_b member pairs, and
         // identical-text member pairs (jaccard exactly 1 ≥ 0.5, always
         // found) contribute C(cnt, 2) directly.
+        // round-14 session 2: the candidate generator is the
+        // distinct-frame core simHashFpPairs — the simHashPairs wrapper
+        // re-fingerprinted, re-deduped and identity-joined a frame that
+        // is already one row per fingerprint (probe: core 1.11 vs
+        // wrapper 1.20 s; pair set pinned [0,0] by Probe simh_core_diff).
+        // (A fused single groupBy for counts+dist was probed and REJECTED
+        // — see the q_neardup_pair_stats note.)
         val docs = T(s, dir, "documents")
         val fp = xxhash64(col("text"))
         val counts = docs.groupBy(fp.as("__fp"))
           .agg(count(lit(1)).as("__cnt"))
         val dist = docs.select(fp.as("__fp"), col("text"))
           .dropDuplicates("__fp")
-        val cand = NearDup.simHashPairs(dist, "__fp", "text",
+        val cand = NearDup.simHashFpPairs(dist, "text",
             maxHamming = 16, numBands = 8, shingleN = 3)
           .select(col("id_a"), col("id_b"))
         val passing = NearDup.hashJaccard(dist, "__fp", "text", cand,

@@ -207,30 +207,52 @@ object NearDup {
       idCol: String, textCol: String, n: Int = 3, numHashTables: Int = 8,
       minJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
     // duplicate-collapsed like minHashPairs: band and verify DISTINCT
-    // texts per side, expand member ids last — the raw-id form is
-    // quadratic in per-side copy counts. A text present on BOTH sides
-    // shares one fingerprint; the verify self-joins that row (exact 1.0)
-    // and the dedup'd union keeps the shingle frame one-row-per-text.
+    // texts, expand member ids last — the raw-id form is quadratic in
+    // per-side copy counts.
+    //
+    // Round 14 (session 2): ONE side-flagged distinct frame instead of
+    // per-side machinery. The previous form localCheckpointed both member
+    // frames (2 eager jobs buying nothing — each is consumed exactly
+    // once), deduped each side separately (2 exchanges), SIGNED each side
+    // separately (2 shingle+minhash passes — a both-sides text was signed
+    // twice), and re-deduped the union for the verify (3rd exchange). Now
+    // the sides union into one groupBy(fingerprint) carrying membership
+    // flags (first(text) is THE group's text — identical texts share a
+    // fingerprint), signatures and banding run ONCE over it, and the band
+    // join's sides are flag filters of the same banded frame. Candidate
+    // set provably identical: signatures are a pure function of text, so
+    // per-side banding of per-side distinct rows = flag-filtered banding
+    // of union-distinct rows (pinned row-exactly by the Probe ninc_diff
+    // = [0,0] and property-tested vs the raw-id reference). A text on
+    // BOTH sides has both flags set; its fa=fb self-candidate verifies at
+    // exact 1.0 as before. The distinct frame is localCheckpointed — it
+    // feeds the signature branch, the verify's shingle frame and the flag
+    // join (3 consumers). Same-JVM probe: −19% at sf0.1.
     val fp = xxhash64(col(textCol))
     val cMembers = corpus.select(fp.as("__fa"), col(idCol).as("__cid"))
-      .localCheckpoint()
     val bMembers = batch.select(fp.as("__fb"), col(idCol).as("__bid"))
+    val dist = corpus.select(fp.as("__fp"), col(textCol),
+        lit(true).as("__inC"), lit(false).as("__inB"))
+      .unionByName(batch.select(fp.as("__fp"), col(textCol),
+        lit(false).as("__inC"), lit(true).as("__inB")))
+      .groupBy(col("__fp"))
+      .agg(first(col(textCol)).as(textCol),
+        max(col("__inC")).as("__inC"), max(col("__inB")).as("__inB"))
       .localCheckpoint()
-    val cDist = corpus.select(fp.as("__fp"), col(textCol))
-      .dropDuplicates("__fp")
-    val bDist = batch.select(fp.as("__fp"), col(textCol))
-      .dropDuplicates("__fp")
-    def banded(df: DataFrame, as: String) =
-      minHashSignatures(df, "__fp", textCol, n, numHashTables, seed)
-        .select(col("__id"), posexplode(col("__sig"))
-          .as(Seq("__band", "__h")))
-        .select(col("__band"), col("__h"), col("__id").as(as))
-    val cand = banded(cDist, "__fa")
-      .join(banded(bDist, "__fb"), Seq("__band", "__h"))
+    val sigs = minHashSignatures(dist, "__fp", textCol, n, numHashTables,
+        seed)
+      .join(dist.select(col("__fp").as("__id"), col("__inC"),
+        col("__inB")), Seq("__id"))
+    val banded = sigs.select(col("__id"), col("__inC"), col("__inB"),
+      posexplode(col("__sig")).as(Seq("__band", "__h")))
+    val cand = banded.filter(col("__inC"))
+      .select(col("__band"), col("__h"), col("__id").as("__fa"))
+      .join(banded.filter(col("__inB"))
+        .select(col("__band"), col("__h"), col("__id").as("__fb")),
+        Seq("__band", "__h"))
       .select(col("__fa"), col("__fb"))
       .dropDuplicates("__fa", "__fb")
-    val union = cDist.unionByName(bDist).dropDuplicates("__fp")
-    val fpPairs = hashJaccard(union, "__fp", textCol,
+    val fpPairs = hashJaccard(dist, "__fp", textCol,
         cand.select(col("__fa").as("id_a"), col("__fb").as("id_b")),
         n, seed)
       .filter(col("jaccard") >= minJaccard)
@@ -273,14 +295,24 @@ object NearDup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val (members, setPairs) = containmentSetPairs(df, idCol, textCol, n)
+    containmentExpand(members, setPairs)
+  }
+
+  /** Member-level expansion of [[containmentSetPairs]] frames — exposed
+    * standalone (round 14, session 2) so consumers holding cached
+    * (members, setPairs) frames expand without re-running blocking +
+    * verify. Exactly [[containmentPairs]]' expansion: strict set pairs
+    * expand cross-product, equal sets (same digest) contain each other —
+    * every ordered pair within a duplicate group, both directions.
+    */
+  def containmentExpand(members: DataFrame, setPairs: DataFrame)
+      : DataFrame = {
     val cross = setPairs
       .join(members.select(col("__did").as("__da"), col("__id").as("id_a")),
         Seq("__da"))
       .join(members.select(col("__did").as("__db"), col("__id").as("id_b")),
         Seq("__db"))
       .select(col("id_a"), col("id_b"))
-    // equal sets (same digest) contain each other: every ordered pair
-    // within a duplicate group, both directions
     val within = members.select(col("__did"), col("__id").as("id_a"))
       .join(members.select(col("__did"), col("__id").as("id_b")),
         Seq("__did"))
@@ -562,9 +594,6 @@ object NearDup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, numBands: Int = 4, shingleN: Int = 0)
       : DataFrame = {
-    require(64 % numBands == 0, s"numBands must divide 64, got $numBands")
-    val width = 64 / numBands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
     // two-level duplicate collapse (round-7 sf1 sweep finding, same
     // rationale as minHashPairs): (1) the 64-sum simhash aggregation
     // runs once per DISTINCT text (identical texts have identical
@@ -572,17 +601,59 @@ object NearDup {
     // per DISTINCT simhash VALUE — near-dup-heavy corpora collapse
     // further here, since different texts often share a simhash. Member
     // ids expand only at the end; equal-value pairs are hamming 0 by
-    // definition.
+    // definition. Round 14 (session 2): the value-level machinery lives
+    // in [[simHashFpPairs]]; this wrapper adds the member expansion —
+    // fingerprint pairs join back to member ids, and same-fingerprint
+    // (identical-text) member pairs are hamming 0 directly. Output is
+    // pair-for-pair the pre-split form's (property-tested vs the raw-id
+    // reference in DistributedPrimitivesPropertySpec).
     val fp = xxhash64(col(textCol))
     val fpMembers = df.select(fp.as("__fp"), col(idCol).as("__mid"))
       .localCheckpoint()
     val dist = df.select(fp.as("__fp"), col(textCol))
       .dropDuplicates("__fp")
-    val shDist = simHash(dist, "__fp", textCol, shingleN)
-    val members = fpMembers
-      .join(shDist.select(col("__id").as("__fp"), col("simhash")),
+    val fpPairs = simHashFpPairs(dist, textCol, maxHamming, numBands,
+      shingleN)
+    val cross = fpPairs
+      .join(fpMembers.select(col("__fp").as("id_a"),
+        col("__mid").as("__ia")), Seq("id_a"))
+      .join(fpMembers.select(col("__fp").as("id_b"),
+        col("__mid").as("__ib")), Seq("id_b"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    val within = fpMembers.select(col("__fp"), col("__mid").as("id_a"))
+      .join(fpMembers.select(col("__fp"), col("__mid").as("id_b")),
         Seq("__fp"))
-      .select(col("__mid").as("__id"), col("simhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionByName(within)
+  }
+
+  /** The distinct-text core of [[simHashPairs]] — the simhash edition of
+    * [[minHashFpPairs]]: banding + hamming verify over a frame that is
+    * ALREADY one row per text fingerprint (`__fp` = xxhash64(textCol),
+    * `textCol`). Consumers that operate on collapsed text groups and
+    * attach member weights themselves (q_simhash_neardup) call this
+    * directly — wrapping it in [[simHashPairs]] paid an extra member
+    * localCheckpoint job (a re-fingerprinting scan), a redundant
+    * dropDuplicates exchange on already-distinct input, and an identity
+    * member join. The hamming-0 within-branch here pairs DISTINCT
+    * fingerprints sharing a simhash VALUE — that is candidate-set
+    * completeness, not member expansion, so it stays.
+    *
+    * @return (id_a, id_b, hamming): fingerprint pairs, id_a < id_b
+    *         (long order), hamming <= maxHamming
+    */
+  def simHashFpPairs(dist: DataFrame, textCol: String,
+      maxHamming: Int = 3, numBands: Int = 4, shingleN: Int = 0)
+      : DataFrame = {
+    require(64 % numBands == 0, s"numBands must divide 64, got $numBands")
+    val width = 64 / numBands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    // (__id = fingerprint, simhash) — consumed by the value dedup, both
+    // member-expansion sides and the within-branch: checkpoint once
+    val members = simHash(dist, "__fp", textCol, shingleN)
       .localCheckpoint()
     val values = members.select(col("simhash")).dropDuplicates("simhash")
     val banded = values.select(col("simhash"),

@@ -631,6 +631,287 @@ object Probe {
     "sess_full" -> registered("q_stream_sessionize"),
     "sess_stats" -> registered("q_session_stats"),
 
+    // ---- q_neardup_incremental (round 14, session 2) ---------------------
+    // decomposes minHashPairsAcross: the production form localCheckpoints
+    // BOTH member frames (2 eager jobs), dedups each side separately (2
+    // exchanges), SIGNS each side separately (2 shingle+minhash passes),
+    // and re-dedups the union for the verify (3rd exchange). The rewrite
+    // candidate signs ONE side-flagged distinct frame once and bands it
+    // twice by flag filter.
+    "ninc_full" -> registered("q_neardup_incremental"),
+    // the pre-round-14-session-2 minHashPairsAcross body, kept
+    // reproducible for the before/after A/B and the row-exact diff
+    "ninc_prev" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val corpus = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val batch = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val fp = xxhash64(col("text"))
+      val cMembers = corpus.select(fp.as("__fa"), col("doc_id").as("__cid"))
+        .localCheckpoint()
+      val bMembers = batch.select(fp.as("__fb"), col("doc_id").as("__bid"))
+        .localCheckpoint()
+      val cDist = corpus.select(fp.as("__fp"), col("text"))
+        .dropDuplicates("__fp")
+      val bDist = batch.select(fp.as("__fp"), col("text"))
+        .dropDuplicates("__fp")
+      def banded(df: DataFrame, as: String) =
+        NearDup.minHashSignatures(df, "__fp", "text", 3, 8, 42L)
+          .select(col("__id"), posexplode(col("__sig"))
+            .as(Seq("__band", "__h")))
+          .select(col("__band"), col("__h"), col("__id").as(as))
+      val cand = banded(cDist, "__fa")
+        .join(banded(bDist, "__fb"), Seq("__band", "__h"))
+        .select(col("__fa"), col("__fb"))
+        .dropDuplicates("__fa", "__fb")
+      val union = cDist.unionByName(bDist).dropDuplicates("__fp")
+      val fpPairs = NearDup.hashJaccard(union, "__fp", "text",
+          cand.select(col("__fa").as("id_a"), col("__fb").as("id_b")),
+          3, 42L)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a").as("__fa"), col("id_b").as("__fb"),
+          col("jaccard"))
+      fpPairs
+        .join(cMembers, Seq("__fa"))
+        .join(bMembers, Seq("__fb"))
+        .select(col("__cid").as("corpus_id"), col("__bid").as("batch_id"),
+          col("jaccard"))
+        .orderBy(col("corpus_id"), col("batch_id"))
+    }),
+    "ninc_diff" -> ((s, dir) => orderedDiff(
+      registered("q_neardup_incremental")(s, dir),
+      variants("ninc_prev")(s, dir))),
+
+    // ---- q_simhash_neardup (round 14, session 2) --------------------------
+    // the caller already passes a one-row-per-fingerprint frame, yet
+    // simHashPairs re-fingerprints it into a checkpointed member frame,
+    // re-dedups it, and identity-joins members back (the minHashPairs
+    // wrapper overhead, simhash edition). simh_pairs isolates the
+    // candidate machinery; simh_core is the distinct-frame core.
+    "simh_full" -> registered("q_simhash_neardup"),
+    "simh_pairs" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val dist = docs.select(xxhash64(col("text")).as("__fp"), col("text"))
+        .dropDuplicates("__fp")
+      NearDup.simHashPairs(dist, "__fp", "text",
+        maxHamming = 16, numBands = 8, shingleN = 3)
+    }),
+    "simh_core" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val dist = docs.select(xxhash64(col("text")).as("__fp"), col("text"))
+        .dropDuplicates("__fp")
+      NearDup.simHashFpPairs(dist, "text",
+        maxHamming = 16, numBands = 8, shingleN = 3)
+    }),
+    "simh_core_diff" -> ((s, dir) => orderedDiff(
+      variants("simh_pairs")(s, dir).select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b")),
+      variants("simh_core")(s, dir).select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b")))),
+    // fused counts+dist: ONE groupBy carrying (cnt, text) vs the two
+    // aggregations (count agg + dropDuplicates) every collapsed-group
+    // consumer pays today
+    "simh_twoagg" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val fp = xxhash64(col("text"))
+      val counts = docs.groupBy(fp.as("__fp"))
+        .agg(count(lit(1)).as("__cnt"))
+      val dist = docs.select(fp.as("__fp"), col("text"))
+        .dropDuplicates("__fp")
+      dist.join(counts, Seq("__fp"))
+        .agg(count(lit(1)).as("n"), sum(col("__cnt")).as("m"),
+          sum(length(col("text"))).as("b"))
+    }),
+    "simh_oneagg" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val g = docs.groupBy(xxhash64(col("text")).as("__fp"))
+        .agg(count(lit(1)).as("__cnt"), first(col("text")).as("text"))
+      g.agg(count(lit(1)).as("n"), sum(col("__cnt")).as("m"),
+        sum(length(col("text"))).as("b"))
+    }),
+
+    // ---- q_containment_dedup / q_containment_stats (round 14, session 2) --
+    // stage decomposition of containmentSetPairs over the seeded corpus:
+    // contd_g = the fused tokenize+hash+digest pass alone; contd_sh = +
+    // set-collapse to the exploded distinct-set shingle frame (both
+    // checkpoints); contd_set = full set-level pairs (blocking + subset
+    // verify); contd_full/conts_full = the registered queries.
+    "contd_full" -> registered("q_containment_dedup"),
+    "conts_full" -> registered("q_containment_stats"),
+    "contd_g" -> ((s, dir) =>
+      NearDup.shingleHashes(seededDocs(s, dir), "text", 3)
+        .select(col("doc_id").as("__id"),
+          col("__shingle_hashes").as("__hs"))
+        .withColumn("__did", xxhash64(col("__hs")))
+        .select(col("__did"), col("__id"))),
+    "contd_sh" -> ((s, dir) =>
+      NearDup.shingleHashes(seededDocs(s, dir), "text", 3)
+        .select(col("doc_id").as("__id"),
+          col("__shingle_hashes").as("__hs"))
+        .withColumn("__did", xxhash64(col("__hs")))
+        .groupBy(col("__did")).agg(min(col("__hs")).as("__hs"))
+        .select(col("__did"), explode(col("__hs")).as("__sh"))),
+    "contd_set" -> ((s, dir) => {
+      val (_, setPairs) =
+        NearDup.containmentSetPairs(seededDocs(s, dir), "doc_id", "text", 3)
+      setPairs
+    }),
+
+    // ---- q_neardup_topk_pairs grouping-shape bake-off --------------------
+    // three shapes of the (rep, cnt, text) pre-collapse: the r14s1
+    // two-aggregation form, the fused single groupBy (registered), and
+    // fused + localCheckpoint — bench A/Bs were noise-bound (±15%), so
+    // the call is made on same-JVM minima
+    "ndtk_fused" -> registered("q_neardup_topk_pairs"),
+    "ndtk_twoagg" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val fp = xxhash64(col("text"))
+      val grp = docs.groupBy(fp.as("__fp"))
+        .agg(min(col("doc_id")).as("__rep"), count(lit(1)).as("__cnt"))
+      val dist = docs.select(fp.as("__fp"), col("text"))
+        .dropDuplicates("__fp")
+      NearDup.minHashFpPairs(dist, "text", minJaccard = 0.5)
+        .select(col("__fa").as("id_a"), col("__fb").as("id_b"),
+          col("jaccard"))
+        .join(grp.select(col("__fp").as("id_a"), col("__rep").as("__ra"),
+          col("__cnt").as("__ca")), Seq("id_a"))
+        .join(grp.select(col("__fp").as("id_b"), col("__rep").as("__rb"),
+          col("__cnt").as("__cb")), Seq("id_b"))
+        .select(least(col("__ra"), col("__rb")).as("rep_a"),
+          greatest(col("__ra"), col("__rb")).as("rep_b"),
+          col("jaccard"),
+          (col("__ca") * col("__cb")).as("n_member_pairs"))
+        .orderBy(col("jaccard").desc, col("rep_a"), col("rep_b"))
+        .limit(20)
+    }),
+    "ndtk_ckpt" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val g = docs.groupBy(xxhash64(col("text")).as("__fp"))
+        .agg(min(col("doc_id")).as("__rep"), count(lit(1)).as("__cnt"),
+          first(col("text")).as("text"))
+        .localCheckpoint()
+      val grp = g.select(col("__fp"), col("__rep"), col("__cnt"))
+      val dist = g.select(col("__fp"), col("text"))
+      NearDup.minHashFpPairs(dist, "text", minJaccard = 0.5)
+        .select(col("__fa").as("id_a"), col("__fb").as("id_b"),
+          col("jaccard"))
+        .join(grp.select(col("__fp").as("id_a"), col("__rep").as("__ra"),
+          col("__cnt").as("__ca")), Seq("id_a"))
+        .join(grp.select(col("__fp").as("id_b"), col("__rep").as("__rb"),
+          col("__cnt").as("__cb")), Seq("id_b"))
+        .select(least(col("__ra"), col("__rb")).as("rep_a"),
+          greatest(col("__ra"), col("__rb")).as("rep_b"),
+          col("jaccard"),
+          (col("__ca") * col("__cb")).as("n_member_pairs"))
+        .orderBy(col("jaccard").desc, col("rep_a"), col("rep_b"))
+        .limit(20)
+    }),
+
+    // ---- q_fingerprint_rolling (round 14, session 2) ----------------------
+    // fpr_pairs isolates the fresh minHashPairs build the query pays per
+    // execution; the same frame is already session-materialized as
+    // FrameCache["minhash_pairs:3:8:0.5:<dir>"] for q_minhash_neardup /
+    // q_simhash_neardup / q_curation_pipeline.
+    "fpr_full" -> registered("q_fingerprint_rolling"),
+    "fpr_pairs" -> ((s, dir) =>
+      NearDup.minHashPairs(T(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"))),
+    "fpr_fps" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        graft.functions.RollingFingerprint
+          .rolling_fingerprint(col("text")).as("__fp"))),
+
+    // ---- q_m2_smote (round 14, session 2) ---------------------------------
+    // passes-over-prep decomposition: the SMOTE transform consumes the
+    // prep pipeline's output THREE times per execution (fused stats
+    // collect, minority slab checkpoint, final union scan) — smote_prep
+    // times one full prep-transform pass; smote_stats the fused stats
+    // aggregation; smote_full the registered query.
+    "smote_full" -> registered("q_m2_smote"),
+    // candidate: localCheckpoint the prepped matrix so the transform's
+    // three consumers (stats collect, minority slab, final union scan)
+    // read a materialization instead of re-running the prep transform
+    "smote_ckptprep" -> ((s, dir) => {
+      val prepped = preppedM2(s, dir).localCheckpoint()
+      new graft.ml.Smote().setStrategy("smote").setK(3).transform(prepped)
+        .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("label"))
+    }),
+    "smote_plain" -> ((s, dir) =>
+      new graft.ml.Smote().setStrategy("smote").setK(3)
+        .transform(preppedM2(s, dir))
+        .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("label"))),
+    "smote_prep" -> ((s, dir) => preppedM2(s, dir)),
+    "smote_stats" -> ((s, dir) =>
+      preppedM2(s, dir).groupBy(col("label"))
+        .agg(count(lit(1)).as("__n"),
+          first(col(graft.ml.PrepPipeline.FeaturesCol)).as("__sample"))
+        .select(col("label"), col("__n"),
+          // reference __sample so the noop sink cannot prune the vector
+          // out of the aggregate being measured
+          org.apache.spark.ml.functions.vector_to_array(col("__sample"))
+            .getItem(0).as("__s0"))),
+
+    // ---- keep-first dedup shape: window row_number vs min_by ------------
+    // q_corpus_curation / q_curation_pipeline s1 dedup with a
+    // partitionBy(fingerprint) row_number window — every copy of a
+    // duplicate text crosses the exchange, then sorts. min_by collapses
+    // copies map-side (one survivor per fingerprint per partition crosses)
+    // — the §2.3 aggregate-before-you-shuffle shape; r13's q_centroid
+    // probe says min_by plans SortAggregate, so the win (if any) is
+    // shuffle volume vs the sort's cost.
+    "curc_full" -> registered("q_corpus_curation"),
+    "curc_minby" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val p = TextStats.profile(col("text"))
+      val scored = d.select(
+          col("doc_id"), col("source"), p.as("__p"),
+          TextStats.fingerprintMd5(col("text")).as("__fp"))
+        .select(col("doc_id"), col("source"), col("__fp"),
+          TextStats.langIdFrom(col("__p")).as("__lang"),
+          TextStats.qualityScoreFrom(col("__p")).as("__q"),
+          TextStats.tokenCountFrom(col("__p")).as("__tok"))
+        .filter(col("__lang") === "en" && col("__q") >= 0.5)
+      scored.groupBy(col("__fp"))
+        .agg(min_by(struct(col("source"), col("__tok")), col("doc_id"))
+          .as("__m"))
+        .groupBy(col("__m.source").as("source"))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("__m.__tok").cast("long")).as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+    "curc_diff" -> ((s, dir) => orderedDiff(
+      registered("q_corpus_curation")(s, dir),
+      variants("curc_minby")(s, dir))),
+    "curp_full" -> registered("q_curation_pipeline"),
+    // s1 in isolation, both shapes (materializes survivor profiles)
+    "curp_s1" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val w = Window.partitionBy(TextStats.fingerprintMd5(col("text")))
+        .orderBy(col("doc_id"))
+      docs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("source"),
+          TextStats.profile(col("text")).as("__p"))
+        .select(col("doc_id"), col("source"),
+          TextStats.tokenCountFrom(col("__p")).cast("long").as("__toks"))
+    }),
+    "curp_s1minby" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      docs.groupBy(TextStats.fingerprintMd5(col("text")).as("__fp"))
+        .agg(min_by(struct(col("doc_id"), col("source"), col("text")),
+          col("doc_id")).as("__m"))
+        .select(col("__m.doc_id").as("doc_id"),
+          col("__m.source").as("source"),
+          TextStats.profile(col("__m.text")).as("__p"))
+        .select(col("doc_id"), col("source"),
+          TextStats.tokenCountFrom(col("__p")).cast("long").as("__toks"))
+    }),
+    "curp_s1diff" -> ((s, dir) => orderedDiff(
+      variants("curp_s1")(s, dir).orderBy(col("doc_id")),
+      variants("curp_s1minby")(s, dir).orderBy(col("doc_id")))),
+
     // ---- q_join_salted --------------------------------------------------
     "salted_full" -> registered("q_join_salted"),
     "salted_plain" -> ((s, dir) => {
@@ -658,6 +939,35 @@ object Probe {
         .orderBy(col("c_mktsegment"))
     })
   )
+
+  /** The self-seeded corpus of q_containment_dedup / q_containment_stats:
+    * documents plus truncated 15-token prefixes of the first 40 docs.
+    */
+  private def seededDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    d.select(col("doc_id"), col("text")).unionByName(
+      d.filter(col("doc_id") < 40 && size(toks) >= 18)
+        .select((-col("doc_id") - 1).as("doc_id"),
+          array_join(slice(toks, 1, 15), " ").as("text")))
+  }
+
+  /** q_m2_smote's prepared modeling frame (label, features) — one full
+    * prep-pipeline transform pass over lineitem.
+    */
+  private def preppedM2(s: SparkSession, dir: String): DataFrame = {
+    val featureCols =
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val df = T(s, dir, "lineitem").select(
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+      col("l_tax"))
+    val prep = graft.ml.ModelCache.fitted(s, dir, "PREP:full")(
+      graft.ml.PrepPipeline.fit(df, featureCols))
+      .asInstanceOf[org.apache.spark.ml.PipelineModel]
+    prep.transform(df)
+      .select(col("label"), col(graft.ml.PrepPipeline.FeaturesCol))
+  }
 
   private def piiBody(s: SparkSession, dir: String, order: Boolean,
       counts: Boolean, scrub: Boolean): DataFrame = {

@@ -213,6 +213,41 @@ class DistributedPrimitivesPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: fused side-flagged minHashPairsAcross == the raw-id " +
+      "cross-shard reference on duplication-heavy corpora") {
+    // round 14 session 2: the across-shards operator signs/bands ONE
+    // side-flagged distinct frame instead of per-side machinery — this
+    // pins its output (cross pairs ONLY, exact Jaccard) to a reference
+    // built from the public per-id primitives, including texts present
+    // on both sides (the fa=fb self-candidate at jaccard 1.0)
+    for ((docs, k) <- samples(dupCorpusGen, 6).zipWithIndex) {
+      val df = docsDf(docs)
+      val corpus = df.filter(col("id") % 2 === 0)
+      val batch = df.filter(col("id") % 2 === 1)
+      val got = NearDup.minHashPairsAcross(corpus, batch, "id", "text",
+          minJaccard = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val sigs = NearDup.minHashSignatures(df, "id", "text")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val sets = NearDup.shingleHashes(df, "text", 3)
+        .select(col("id"), col("__shingle_hashes")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      // raw-id reference: candidates = (corpus id, batch id) sharing any
+      // signature position; exact hashed-shingle Jaccard >= 0.5. Ids with
+      // no shingles have no signature (dropped, like the operator).
+      val expect = (for {
+        (a, sa) <- sigs.toSeq if a % 2 == 0
+        (b, sb) <- sigs.toSeq if b % 2 == 1
+        if sa.zip(sb).exists { case (x, y) => x == y }
+        inter = sets(a).intersect(sets(b)).size.toDouble
+        j = inter / (sets(a).size + sets(b).size - inter)
+        if j >= 0.5
+      } yield (a, b, j)).toSet
+      assert(got === expect, s"sample #$k docs=${docs.take(6)}...")
+    }
+  }
+
   test("property: duplicate-collapsed containmentPairs still matches " +
       "exhaustive subset truth on duplication-heavy corpora") {
     for ((docs, k) <- samples(dupCorpusGen, 6).zipWithIndex) {
