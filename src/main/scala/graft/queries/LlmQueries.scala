@@ -147,11 +147,20 @@ object LlmQueries extends QueryModule {
     * the build is charged to the bench's cache_build_sec ledger.
     */
   private def cachedSeededContainment(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val both = graft.core.FrameCache.cached(s,
-      s"containment_seeded:3:$dir") {
-      val (members, setPairs) = NearDup.containmentSetPairs(
-        seededContainmentDocs(s, dir), "doc_id", "text", 3)
+      : (DataFrame, DataFrame) =
+    cachedContainmentFrames(s, s"containment_seeded:3:$dir",
+      seededContainmentDocs(s, dir))
+
+  /** One FrameCache entry encoding BOTH containmentSetPairs outputs
+    * (members rows tagged 'm' = (set digest, doc id), strict set-level
+    * pairs tagged 'p' = (contained digest, container digest)) — one
+    * build serves every consumer of the corpus named by `cacheKey`.
+    */
+  private def cachedContainmentFrames(s: SparkSession, cacheKey: String,
+      docs: => DataFrame): (DataFrame, DataFrame) = {
+    val both = graft.core.FrameCache.cached(s, cacheKey) {
+      val (members, setPairs) =
+        NearDup.containmentSetPairs(docs, "doc_id", "text", 3)
       members.select(lit("m").as("__tag"), col("__did").as("__a"),
           col("__id").as("__b"))
         .unionByName(setPairs.select(lit("p").as("__tag"),
@@ -1462,25 +1471,32 @@ object LlmQueries extends QueryModule {
             "left_semi")
           .select(col("id_b").as("doc_id")).distinct()
         val s2 = s1.join(ndVictims, Seq("doc_id"), "left_anti")
-        val cont = graft.core.FrameCache.cached(s,
-          s"containment_pairs:$dir") {
-          NearDup.containmentPairs(docs, "doc_id", "text", 3)
+        // strict containment only — round 14 session 3: the STRICT SET
+        // pairs are exactly the |S_a| < |S_b| member pairs (distinct
+        // digests ⇒ strict subset ⇒ strictly smaller set; the equal-set
+        // branch has |S_a| = |S_b| and is the jaccard-1.0 case already
+        // dead at stage 2), so the previous per-execution full
+        // shingleHashes sizes pass and two size joins were provably
+        // redundant — dropped. The cached frame is the member expansion
+        // of the strict set pairs (replacing the containment_pairs
+        // entry, whose within-branch only ever fed the filtered-out
+        // equal-size rows).
+        val cross = graft.core.FrameCache.cached(s,
+          s"containment_cross:3:$dir") {
+          val (m, p) = NearDup.containmentSetPairs(
+            docs.select(col("doc_id"), col("text")), "doc_id", "text", 3)
+          p.join(m.select(col("__did").as("__da"), col("__id").as("id_a")),
+              Seq("__da"))
+            .join(m.select(col("__did").as("__db"),
+              col("__id").as("id_b")), Seq("__db"))
+            .select(col("id_a"), col("id_b"))
         }
-        // strict containment only (|S_a| < |S_b|): the equal-set case is
-        // jaccard 1.0 and already dead at stage 2
-        val sizes = NearDup.shingleHashes(docs, "text", 3)
-          .select(col("doc_id"), size(col("__shingle_hashes")).as("__nsh"))
         val s2ids = s2.select(col("doc_id"))
-        val ctVictims = cont
+        val ctVictims = cross
           .join(s2ids.select(col("doc_id").as("id_a")), Seq("id_a"),
             "left_semi")
           .join(s2ids.select(col("doc_id").as("id_b")), Seq("id_b"),
             "left_semi")
-          .join(sizes.select(col("doc_id").as("id_a"),
-            col("__nsh").as("__na")), Seq("id_a"))
-          .join(sizes.select(col("doc_id").as("id_b"),
-            col("__nsh").as("__nb")), Seq("id_b"))
-          .filter(col("__na") < col("__nb"))
           .select(col("id_a").as("doc_id")).distinct()
         val s3 = s2.join(ctVictims, Seq("doc_id"), "left_anti")
         val s4 = s3.filter(

@@ -221,17 +221,23 @@ object TpchQueries extends QueryModule {
         // distinct suppliers per part group, minus an excluded supplier
         // set (negative balance stands in for the complaints filter):
         // the part-supplier relation is derived from lineitem (the
-        // testdata has no partsupp), exclusion is a broadcast anti join
-        val ps = T(s, dir, "lineitem")
-          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        // testdata has no partsupp), exclusion is a broadcast anti join.
+        // Round 14 session 3: the explicit (partkey, suppkey) distinct —
+        // a FULL fact exchange — is gone: countDistinct's map-side
+        // partial stage already dedups (group, suppkey), so the raw
+        // stream reaches the same aggregate through one fewer shuffle of
+        // strictly more rows (3 exchanges → 2; Probe q16_nodistinct
+        // −27% same-JVM, q16_diff [0,0]; broadcast joins stay map-side).
+        val l = T(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"))
         val excluded = T(s, dir, "supplier")
           .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
         val p = T(s, dir, "part")
           .filter(col("p_brand") =!= "Brand#4" && col("p_size") <= 20)
           .select(col("p_partkey"), col("p_brand"), col("p_type"),
             col("p_size"))
-        ps.join(broadcast(excluded),
-            ps("l_suppkey") === excluded("s_suppkey"), "left_anti")
+        l.join(broadcast(excluded),
+            l("l_suppkey") === excluded("s_suppkey"), "left_anti")
           .join(p, col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"), col("p_type"), col("p_size"))
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))

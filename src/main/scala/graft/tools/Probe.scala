@@ -912,6 +912,34 @@ object Probe {
       variants("curp_s1")(s, dir).orderBy(col("doc_id")),
       variants("curp_s1minby")(s, dir).orderBy(col("doc_id")))),
 
+    // ---- q_q16_supplier_count (round 14, session 3) -----------------------
+    // the pre-r14s3 form kept reproducible: an explicit (partkey,
+    // suppkey) distinct — a FULL fact exchange — fed an aggregation
+    // whose countDistinct ALREADY dedups (group, suppkey) in its
+    // map-side partial stage; production dropped it (3 exchanges -> 2,
+    // strictly fewer shuffled bytes, -27% same-JVM, diff [0,0])
+    "q16_full" -> registered("q_q16_supplier_count"),
+    "q16_prev" -> ((s, dir) => {
+      val ps = T(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val excluded = T(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val p = T(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#4" && col("p_size") <= 20)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))
+      ps.join(broadcast(excluded),
+          ps("l_suppkey") === excluded("s_suppkey"), "left_anti")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+    "q16_diff" -> ((s, dir) => orderedDiff(
+      registered("q_q16_supplier_count")(s, dir),
+      variants("q16_prev")(s, dir))),
+
     // ---- q_join_salted --------------------------------------------------
     "salted_full" -> registered("q_join_salted"),
     "salted_plain" -> ((s, dir) => {
